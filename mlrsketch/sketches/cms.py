@@ -1,0 +1,186 @@
+"""Count-Min Sketch + heavy-hitter candidate tracking.
+
+Replaces Miller's exact `most-frequent`/`least-frequent` (reference:
+/root/reference/pkg/transformers/most_or_least_frequent.go:28,216-295 —
+an in-memory map of EVERY distinct value combination) and the
+`mode` accumulator (stats1_accumulators.go:367-445) with bounded state.
+
+Algorithm: Cormode & Muthukrishnan 2005. Guarantee: with width w and
+depth d, the estimate over-counts by at most eps*N with probability
+>= 1-delta, where eps = e/w and delta = exp(-d), N = total count.
+Point estimates never under-count.
+
+TopKSketch pairs the CMS with a bounded candidate set (space-saving
+style): every value actually seen in a batch is a candidate; candidates
+are re-scored against the merged CMS and trimmed to `capacity`. Merge =
+matrix add (associative, bit-identical) + candidate union/trim.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+from mlrsketch.sketches.hashing import hash_strings, kirsch_mitzenmacher, to_u64
+
+_MAGIC = b"CMS1"
+_TK_MAGIC = b"TOPK"
+
+
+class CountMinSketch:
+    __slots__ = ("depth", "width", "table", "total")
+
+    def __init__(
+        self,
+        depth: int = 5,
+        width: int = 8192,
+        table: np.ndarray | None = None,
+        total: int = 0,
+    ):
+        self.depth = depth
+        self.width = width
+        self.table = (
+            table if table is not None else np.zeros((depth, width), dtype=np.int64)
+        )
+        self.total = total
+
+    # -- update ------------------------------------------------------------
+    def update_hashes(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Add counts (default 1 each) for a batch of 64-bit hashes.
+
+        Callers should pre-aggregate batches (value_counts) so each
+        distinct item appears once — fewer scatter ops.
+        """
+        if hashes.size == 0:
+            return
+        h = to_u64(hashes)
+        if counts is None:
+            counts = np.ones(h.shape[0], dtype=np.int64)
+        idx = kirsch_mitzenmacher(h, self.depth, self.width)
+        for i in range(self.depth):
+            np.add.at(self.table[i], idx[i].astype(np.int64), counts)
+        self.total += int(counts.sum())
+
+    # -- query -------------------------------------------------------------
+    def estimate_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Point estimates (min over rows) for a batch of hashes."""
+        h = to_u64(hashes)
+        idx = kirsch_mitzenmacher(h, self.depth, self.width)
+        ests = np.empty((self.depth, h.shape[0]), dtype=np.int64)
+        for i in range(self.depth):
+            ests[i] = self.table[i][idx[i].astype(np.int64)]
+        return ests.min(axis=0)
+
+    def error_bound(self) -> tuple[float, float]:
+        """(eps, delta): overcount <= eps*N with prob >= 1-delta."""
+        return (math.e / self.width, math.exp(-self.depth))
+
+    # -- merge -------------------------------------------------------------
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("CMS shape mismatch")
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    # -- serde -------------------------------------------------------------
+    def serialize(self) -> bytes:
+        head = _MAGIC + struct.pack("<IIq", self.depth, self.width, self.total)
+        return head + self.table.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "CountMinSketch":
+        if data[:4] != _MAGIC:
+            raise ValueError("not a CMS state")
+        depth, width, total = struct.unpack_from("<IIq", data, 4)
+        table = (
+            np.frombuffer(data[4 + 16 :], dtype=np.int64).reshape(depth, width).copy()
+        )
+        return cls(depth=depth, width=width, table=table, total=total)
+
+
+class TopKSketch:
+    """CMS + bounded candidate set for heavy hitters (`most-frequent`)."""
+
+    __slots__ = ("cms", "capacity", "candidates")
+
+    def __init__(
+        self,
+        depth: int = 5,
+        width: int = 8192,
+        capacity: int = 1024,
+        cms: CountMinSketch | None = None,
+        candidates: dict[str, int] | None = None,
+    ):
+        self.cms = cms or CountMinSketch(depth, width)
+        self.capacity = capacity
+        # item -> exact-within-candidate count floor (for diagnostics);
+        # ranking always uses CMS estimates after merge.
+        self.candidates: dict[str, int] = candidates or {}
+
+    def update_values(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
+        """Ingest a pre-aggregated batch: distinct string values + counts."""
+        if len(values) == 0:
+            return
+        if counts is None:
+            counts = np.ones(len(values), dtype=np.int64)
+        hashes = hash_strings(list(values))
+        self.cms.update_hashes(hashes, counts)
+        for v, c in zip(values, counts):
+            key = v if isinstance(v, str) else str(v)
+            self.candidates[key] = self.candidates.get(key, 0) + int(c)
+        self._trim()
+
+    def _trim(self) -> None:
+        if len(self.candidates) <= self.capacity:
+            return
+        items = list(self.candidates.keys())
+        ests = self.cms.estimate_hashes(hash_strings(items))
+        order = np.argsort(-ests, kind="stable")[: self.capacity]
+        keep = {items[i] for i in order}
+        self.candidates = {k: v for k, v in self.candidates.items() if k in keep}
+
+    def top(self, k: int) -> list[tuple[str, int]]:
+        """Top-k candidates ranked by CMS estimate (desc, then value asc)."""
+        if not self.candidates:
+            return []
+        items = list(self.candidates.keys())
+        ests = self.cms.estimate_hashes(hash_strings(items))
+        ranked = sorted(zip(items, ests.tolist()), key=lambda t: (-t[1], t[0]))
+        return ranked[:k]
+
+    def merge(self, other: "TopKSketch") -> "TopKSketch":
+        self.cms.merge(other.cms)
+        for k, v in other.candidates.items():
+            self.candidates[k] = self.candidates.get(k, 0) + v
+        self._trim()
+        return self
+
+    def serialize(self) -> bytes:
+        cms_bytes = self.cms.serialize()
+        cand_blob = "\x00".join(
+            f"{k}\x01{v}" for k, v in sorted(self.candidates.items())
+        ).encode("utf-8")
+        return (
+            _TK_MAGIC
+            + struct.pack("<III", self.capacity, len(cms_bytes), len(cand_blob))
+            + cms_bytes
+            + cand_blob
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "TopKSketch":
+        if data[:4] != _TK_MAGIC:
+            raise ValueError("not a TopK state")
+        capacity, cms_len, cand_len = struct.unpack_from("<III", data, 4)
+        off = 4 + 12
+        cms = CountMinSketch.deserialize(data[off : off + cms_len])
+        cand_blob = data[off + cms_len : off + cms_len + cand_len].decode("utf-8")
+        candidates = {}
+        if cand_blob:
+            for pair in cand_blob.split("\x00"):
+                k, v = pair.split("\x01")
+                candidates[k] = int(v)
+        return cls(capacity=capacity, cms=cms, candidates=candidates)

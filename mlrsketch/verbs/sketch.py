@@ -1,0 +1,265 @@
+"""Miller-verb-shaped APPROXIMATE verbs — the sketch-backed scale path.
+
+Each verb mirrors an exact verb in mlrsketch.verbs.exact (and hence a
+Miller verb) but returns bounded-state estimates suitable for 10^12-row
+inputs, with the sketch's published error bound attached:
+
+  count_distinct_hll   ~ `mlr count-distinct` / stats1 distinct_count
+                         (reference: pkg/transformers/uniq.go:27)
+  quantiles_tdigest /
+  quantiles_kll        ~ `mlr stats1 -a median,p10,...`
+                         (pkg/transformers/utils/percentile_keeper.go)
+  most_frequent_cms    ~ `mlr most-frequent`
+                         (pkg/transformers/most_or_least_frequent.go:28)
+  seen_bloom / bloom_dedup
+                       ~ `mlr uniq -a` membership
+                         (pkg/transformers/uniq.go:391-425)
+  ewma_pandas          ~ `mlr step -a ewma` (pkg/transformers/step.go:647)
+
+All run the two-level partial/final plan in mlrsketch.agg: per-partition
+Arrow-batched partials, associative merge, single KB-scale shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mlrsketch.agg import SketchSpec, sketch_aggregate
+from mlrsketch.sketches import KLL, BloomFilter, HyperLogLog, TDigest, TopKSketch
+
+
+def _by_fields(df: DataFrame, by: Sequence[str]):
+    return [df.schema[c] for c in by]
+
+
+# ---------------------------------------------------------------------------
+# distinct count (HLL++)
+# ---------------------------------------------------------------------------
+
+
+def count_distinct_hll(
+    df: DataFrame, of: str, by: Sequence[str] = (), p: int = 14, salted: bool = False
+) -> DataFrame:
+    """Approximate `count-distinct -f of [-g by]`; ±1.04/sqrt(2^p) stderr.
+
+    Output: by..., distinct_count_est:double, error_bound:double.
+    """
+    spec = SketchSpec(
+        make=lambda: HyperLogLog(p=p),
+        update=lambda sk, pdf: sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64)),
+        finalize=lambda sk: pd.DataFrame(
+            {
+                "distinct_count_est": [sk.estimate()],
+                "error_bound": [sk.error_bound()],
+            }
+        ),
+        deserialize=HyperLogLog.deserialize,
+    )
+    schema = StructType(
+        list(_by_fields(df, by))
+        + [
+            StructField("distinct_count_est", DoubleType()),
+            StructField("error_bound", DoubleType()),
+        ]
+    )
+    return sketch_aggregate(df, of, spec, by=by, out_schema=schema, salted=salted)
+
+
+# ---------------------------------------------------------------------------
+# quantiles (t-digest / KLL)
+# ---------------------------------------------------------------------------
+
+
+def _quantile_spec(make_sketch, deserialize, qs: Sequence[float], bound_fn):
+    def finalize(sk) -> pd.DataFrame:
+        row = {f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}": sk.quantile(q) for q in qs}
+        row["rank_error_bound"] = bound_fn(sk)
+        return pd.DataFrame([row])
+
+    return SketchSpec(
+        make=make_sketch,
+        update=lambda sk, pdf: sk.update_batch(pdf["__v"].to_numpy(dtype=np.float64)),
+        finalize=finalize,
+        internal_cols=("__v",),
+        prepare=lambda df, of: df.withColumn("__v", F.col(of).cast("double")),
+        deserialize=deserialize,
+    )
+
+
+def _quantile_schema(df, by, qs):
+    names = [f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}" for q in qs]
+    return StructType(
+        list(_by_fields(df, by))
+        + [StructField(n, DoubleType()) for n in names]
+        + [StructField("rank_error_bound", DoubleType())]
+    )
+
+
+def quantiles_tdigest(
+    df: DataFrame,
+    of: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    by: Sequence[str] = (),
+    delta: int = 200,
+    salted: bool = False,
+) -> DataFrame:
+    """Approximate `stats1 -a p50,p90,... -f of -g by` via merging t-digest."""
+    spec = _quantile_spec(
+        lambda: TDigest(delta=delta),
+        TDigest.deserialize,
+        qs,
+        lambda sk: sk.rank_error_bound(0.5),
+    )
+    return sketch_aggregate(
+        df, of, spec, by=by, out_schema=_quantile_schema(df, by, qs), salted=salted
+    )
+
+
+def quantiles_kll(
+    df: DataFrame,
+    of: str,
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    by: Sequence[str] = (),
+    k: int = 200,
+    salted: bool = False,
+) -> DataFrame:
+    """Approximate grouped quantiles via KLL (uniform rank error ~2/k)."""
+    spec = _quantile_spec(
+        lambda: KLL(k=k), KLL.deserialize, qs, lambda sk: sk.error_bound()
+    )
+    return sketch_aggregate(
+        df, of, spec, by=by, out_schema=_quantile_schema(df, by, qs), salted=salted
+    )
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters (Count-Min + candidates)
+# ---------------------------------------------------------------------------
+
+
+def most_frequent_cms(
+    df: DataFrame,
+    of: str,
+    k: int = 10,
+    by: Sequence[str] = (),
+    depth: int = 5,
+    width: int = 8192,
+    capacity: int = 1024,
+    salted: bool = False,
+) -> DataFrame:
+    """Approximate `most-frequent -f of -b k [-g by]`.
+
+    Output: by..., value:string, count_est:long — top-k per group ranked
+    by CMS estimate (overcount <= e/width * N with prob 1-e^-depth).
+    """
+
+    def update(sk: TopKSketch, pdf: pd.DataFrame) -> None:
+        vc = pdf["__v"].value_counts()  # pre-aggregate the Arrow batch
+        sk.update_values(vc.index.to_numpy(), vc.to_numpy(dtype=np.int64))
+
+    def finalize(sk: TopKSketch) -> pd.DataFrame:
+        rows = sk.top(k)
+        return pd.DataFrame(
+            {"value": [r[0] for r in rows], "count_est": [r[1] for r in rows]}
+        )
+
+    spec = SketchSpec(
+        make=lambda: TopKSketch(depth=depth, width=width, capacity=capacity),
+        update=update,
+        finalize=finalize,
+        internal_cols=("__v",),
+        prepare=lambda df, of: df.withColumn("__v", F.col(of).cast("string")),
+        deserialize=TopKSketch.deserialize,
+    )
+    schema = StructType(
+        list(_by_fields(df, by))
+        + [StructField("value", StringType()), StructField("count_est", LongType())]
+    )
+    return sketch_aggregate(df, of, spec, by=by, out_schema=schema, salted=salted)
+
+
+# ---------------------------------------------------------------------------
+# membership (Bloom)
+# ---------------------------------------------------------------------------
+
+
+def build_bloom(df: DataFrame, of: str, n_bits: int = 1 << 23, n_hashes: int = 7) -> BloomFilter:
+    """Build a Bloom filter over column `of` with the two-level plan and
+    return the merged driver-side filter (state is n_bits/8 bytes)."""
+    spec = SketchSpec(
+        make=lambda: BloomFilter(n_bits=n_bits, n_hashes=n_hashes),
+        update=lambda sk, pdf: sk.add_hashes(pdf["__h"].to_numpy(dtype=np.int64)),
+        finalize=lambda sk: pd.DataFrame({"state": [sk.serialize()]}),
+        deserialize=BloomFilter.deserialize,
+    )
+    schema = StructType([StructField("state", BinaryType())])
+    row = sketch_aggregate(df, of, spec, by=(), out_schema=schema).collect()[0]
+    return BloomFilter.deserialize(bytes(row["state"]))
+
+
+def bloom_filter_new(df: DataFrame, of: str, bloom: BloomFilter) -> DataFrame:
+    """`uniq -a`-style membership at scale: keep rows whose `of` value is
+    definitely NOT in the filter (no false negatives ⇒ no true duplicate
+    survives; a published-FPR fraction of new rows is dropped).
+
+    The filter is broadcast once; the membership test is a vectorized
+    Arrow-batched predicate over JVM-computed xxhash64.
+    """
+    sc = df.sparkSession.sparkContext
+    b_state = sc.broadcast(bloom.serialize())
+
+    def keep_new(batches):
+        bf = BloomFilter.deserialize(b_state.value)
+        for pdf in batches:
+            mask = ~bf.contains_hashes(pdf["__h"].to_numpy(dtype=np.int64))
+            yield pdf[mask]
+
+    prepared = df.withColumn("__h", F.xxhash64(F.col(of).cast("string")))
+    return prepared.mapInPandas(keep_new, schema=prepared.schema).drop("__h")
+
+
+# ---------------------------------------------------------------------------
+# ewma (order-sensitive; no closed Catalyst form that is numerically stable)
+# ---------------------------------------------------------------------------
+
+
+def ewma_pandas(
+    df: DataFrame,
+    value: str,
+    alphas: Sequence[float],
+    order_by: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """`mlr step -a ewma -d a1,a2 -f value` (reference: step.go:647-651):
+    y_0 = x_0; y_t = a*x_t + (1-a)*y_{t-1}, one output column per alpha.
+    applyInPandas per group, pandas ewm (adjust=False matches Miller).
+    """
+    by = list(by)
+    cols = {
+        f"{value}_ewma_{('%g' % a).replace('.', '_')}": a for a in alphas
+    }
+    schema = StructType(
+        list(df.schema.fields) + [StructField(n, DoubleType()) for n in cols]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_by), kind="stable")
+        for name, a in cols.items():
+            pdf[name] = pdf[value].ewm(alpha=a, adjust=False).mean()
+        return pdf
+
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.applyInPandas(per_group, schema=schema)
