@@ -1,0 +1,207 @@
+"""Deduplication at training-data scale: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Scale notes (the part that matters at 100 TB):
+- exact dedup keys on md5(text) — one hash-partitioned shuffle on a
+  128-bit key, perfectly balanced regardless of content skew.
+- MinHash runs entirely JVM-side: shingles via F.transform over a
+  sequence (no explode of the document!), per-permutation min via
+  F.array_min of xxhash64(shingle, seed) — so the signature matrix is
+  computed in whole-stage codegen; only the band → bucket-join shuffles,
+  and bucket keys are uniform hashes (no skew).
+- candidate verification (exact Jaccard over shingle sets) happens only
+  within LSH buckets — the classic candidate-pair reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = None) -> DataFrame:
+    """Exact dedup by content hash; keeps the row with the smallest
+    ``keep_by`` per distinct text (deterministic), or an arbitrary row
+    when keep_by is None (dropDuplicates)."""
+    keyed = df.withColumn("__fp", F.md5(F.col(text_col)))
+    if keep_by is None:
+        return keyed.dropDuplicates(["__fp"]).drop("__fp")
+    w_min = F.min(keep_by).over(Window.partitionBy("__fp"))
+    return keyed.withColumn("__min", w_min).filter(F.col(keep_by) == F.col("__min")).drop("__fp", "__min")
+
+
+def shingles(text_col: str, n: int = 5):
+    """Word n-gram shingles as an array column, computed JVM-side:
+    transform(sequence(0, n_tokens-n), i -> concat_ws over slice)."""
+    toks = F.split(F.col(text_col), " ")
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
+    """Add ``__sig``: array of n_hashes minhash values.
+
+    sig[j] = min over shingles s of xxhash64(s, seed=j) — the standard
+    min-wise permutation family. All JVM expressions; Pr[sig_a[j] ==
+    sig_b[j]] = Jaccard(a, b) per Broder 1997.
+    """
+    sh = shingles(text_col, shingle_n)
+
+    def perm(j: int):
+        # NB: must close over j via factory — a `j=j` default arg would
+        # make PySpark treat the lambda as 2-ary and pass the element
+        # index as j.
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, perm(j))) for j in range(n_hashes)]
+    )
+    return df.withColumn("__sig", sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH, verified by
+    estimated Jaccard = fraction of agreeing signature components.
+
+    Plan shape: signatures JVM-side → explode to (band, band_hash)
+    (bands ≈ 16 rows/doc, tiny) → self-join on uniform band-hash keys →
+    distinct pairs → signature-agreement filter. Returns (id_a, id_b,
+    jaccard_est) with id_a < id_b.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(df, text_col, n_hashes, shingle_n).select(id_col, "__sig")
+    banded = sig.select(
+        F.col(id_col),
+        F.col("__sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("__sig").alias("sig_a"), "band", "bucket"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("__sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return (
+        pairs.withColumn("jaccard_est", agree / F.lit(float(n_hashes)))
+        .filter(F.col("jaccard_est") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+    """64-bit SimHash (Charikar 2002) over whitespace tokens, JVM-side.
+
+    For each bit position b: sign of sum over tokens of
+    (+1 if bit b of xxhash64(token) set else -1). Near-duplicates have
+    small Hamming distance. Implemented as 64 aggregate expressions over
+    the token array — no shuffle, no Python.
+    """
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def voter(b: int):
+        # closure factory, not a default arg — see perm() note above
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for b in range(64):
+        vote = F.aggregate(th, F.lit(0).cast("long"), voter(b))
+        bit_exprs.append(
+            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sh = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        sh = sh.bitwiseOR(e)
+    return df.withColumn(out, sh)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair
+    within Hamming distance 3 shares at least one exact chunk — the
+    pigeonhole blocking of Manku et al. 2007), verify Hamming distance.
+    """
+    hashed = simhash(df, text_col).select(id_col, "simhash")
+    chunks = hashed.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity for candidate pairs — the oracle
+    for MinHash estimates. O(n^2) cross within small inputs; at scale,
+    feed it only LSH candidate pairs. Jaccard via array_intersect /
+    array_union on distinct shingle arrays (JVM-side)."""
+    sh = df.select(F.col(id_col), F.array_distinct(shingles(text_col, n)).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -192,6 +192,7 @@ def top(
     by: Sequence[str] = (),
     use_min: bool = False,
     show_full_records: bool = False,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """`mlr top -f v -n N -g g [--min] [-a]` (pkg/transformers/top.go:29;
     sorted-insert keeper utils/top_keeper.go:68-94).
@@ -202,8 +203,10 @@ def top(
     analogue of Miller's capacity-N keeper.
     """
     by = _cols(by)
-    order = F.col(value).asc() if use_min else F.col(value).desc()
-    w = Window.partitionBy(*by).orderBy(order) if by else Window.orderBy(order)
+    order = [F.col(value).asc() if use_min else F.col(value).desc()] + [
+        F.col(c).asc() for c in _cols(tiebreak)
+    ]
+    w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
     ranked = df.withColumn("top_idx", F.row_number().over(w)).filter(F.col("top_idx") <= n)
     if show_full_records:
         return ranked
