@@ -75,7 +75,7 @@ def lsh_topk(
         for b in range(bits):
             plane = F.array(*[F.lit(float(v)) for v in planes[table, b]])
             bit = (_dot(F.col(vec_col), plane) > 0).cast("long")
-            acc = acc.bitwiseOR(bit << b)
+            acc = acc.bitwiseOR(F.shiftleft(bit, b))
         return acc
 
     q_buckets = []

@@ -1,0 +1,123 @@
+"""Property tests: merge associativity + partition invariance (north rule).
+
+For HLL/CMS/Bloom the merged STATE must be bit-identical regardless of
+how the input is split or the merges are parenthesized (register-max,
+matrix-add and bit-or are associative+commutative). For t-digest/KLL,
+internal layout depends on merge order, so the property is estimate
+stability: every split's quantile estimates stay within the error bound
+of the exact answer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mlrsketch.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog, TDigest
+from mlrsketch.sketches.hashing import splitmix64
+
+
+def _hashes(n: int) -> np.ndarray:
+    return splitmix64(np.arange(n, dtype=np.uint64)).view(np.int64)
+
+
+def _random_split(arr: np.ndarray, seed: int, k: int) -> list[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    assignment = rng.integers(0, k, arr.shape[0])
+    return [arr[assignment == i] for i in range(k)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 8))
+def test_hll_partition_invariance(seed, k):
+    data = _hashes(5_000)
+    whole = HyperLogLog(p=8)
+    whole.update_hashes(data)
+    parts = []
+    for chunk in _random_split(data, seed, k):
+        h = HyperLogLog(p=8)
+        h.update_hashes(chunk)
+        parts.append(h)
+    # left fold
+    left = parts[0]
+    for p in parts[1:]:
+        left = left.merge(p)
+    assert left.serialize() == whole.serialize()
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_hll_associativity(seed):
+    data = _hashes(3_000)
+    a_d, b_d, c_d = _random_split(data, seed, 3)
+
+    def mk(chunk):
+        h = HyperLogLog(p=8)
+        h.update_hashes(chunk)
+        return h
+
+    ab_c = mk(a_d).merge(mk(b_d)).merge(mk(c_d))
+    bc = mk(b_d).merge(mk(c_d))
+    a_bc = mk(a_d).merge(bc)
+    assert ab_c.serialize() == a_bc.serialize()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 6))
+def test_cms_partition_invariance(seed, k):
+    data = _hashes(4_000)
+    whole = CountMinSketch(depth=3, width=256)
+    whole.update_hashes(data)
+    merged = None
+    for chunk in _random_split(data, seed, k):
+        c = CountMinSketch(depth=3, width=256)
+        c.update_hashes(chunk)
+        merged = c if merged is None else merged.merge(c)
+    assert merged.serialize() == whole.serialize()
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 6))
+def test_bloom_partition_invariance(seed, k):
+    data = _hashes(2_000)
+    whole = BloomFilter(n_bits=1 << 12, n_hashes=5)
+    whole.add_hashes(data)
+    merged = None
+    for chunk in _random_split(data, seed, k):
+        b = BloomFilter(n_bits=1 << 12, n_hashes=5)
+        b.add_hashes(chunk)
+        merged = b if merged is None else merged.merge(b)
+    assert merged.serialize() == whole.serialize()
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 8))
+def test_tdigest_estimate_stability_under_splits(seed, k):
+    rng = np.random.default_rng(123)
+    data = rng.lognormal(3, 1, 30_000)
+    s = np.sort(data)
+    merged = None
+    for chunk in _random_split(data, seed, k):
+        td = TDigest(delta=200)
+        td.update_batch(chunk)
+        merged = td if merged is None else merged.merge(td)
+    for q in (0.1, 0.5, 0.9):
+        rank_err = abs(np.searchsorted(s, merged.quantile(q)) / data.size - q)
+        assert rank_err <= merged.rank_error_bound(q) + 0.01, (seed, k, q, rank_err)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 8))
+def test_kll_estimate_stability_under_splits(seed, k):
+    rng = np.random.default_rng(123)
+    data = rng.normal(0, 1, 30_000)
+    s = np.sort(data)
+    merged = None
+    for chunk in _random_split(data, seed, k):
+        kl = KLL(k=256)
+        kl.update_batch(chunk)
+        merged = kl if merged is None else merged.merge(kl)
+    for q in (0.25, 0.5, 0.75):
+        rank_err = abs(np.searchsorted(s, merged.quantile(q)) / data.size - q)
+        assert rank_err <= merged.error_bound() + 0.01, (seed, k, q, rank_err)

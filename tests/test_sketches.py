@@ -1,0 +1,198 @@
+"""Unit tests for the sketch cores: error bounds vs exact, serde
+round-trips, and bit-identical merges where the algorithm guarantees it."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mlrsketch.sketches import KLL, BloomFilter, CountMinSketch, HyperLogLog, TDigest, TopKSketch
+from mlrsketch.sketches.hashing import hash_strings, splitmix64
+
+
+def _hashes(n: int, offset: int = 0) -> np.ndarray:
+    return splitmix64(np.arange(offset, offset + n, dtype=np.uint64)).view(np.int64)
+
+
+class TestHLL:
+    @pytest.mark.parametrize("n", [100, 5_000, 100_000])
+    def test_error_within_3_sigma(self, n):
+        h = HyperLogLog(p=12)
+        h.update_hashes(_hashes(n))
+        rel = abs(h.estimate() - n) / n
+        assert rel <= 3 * h.error_bound() + 0.01, f"n={n} rel={rel}"
+
+    def test_merge_bit_identical(self):
+        full = HyperLogLog(p=10)
+        full.update_hashes(_hashes(10_000))
+        a, b, c = (HyperLogLog(p=10) for _ in range(3))
+        a.update_hashes(_hashes(3_000))
+        b.update_hashes(_hashes(4_000, offset=3_000))
+        c.update_hashes(_hashes(3_000, offset=7_000))
+        merged = a.merge(b).merge(c)
+        assert merged.serialize() == full.serialize()
+
+    def test_serde_roundtrip(self):
+        h = HyperLogLog(p=8)
+        h.update_hashes(_hashes(500))
+        assert HyperLogLog.deserialize(h.serialize()).estimate() == h.estimate()
+
+    def test_duplicates_dont_inflate(self):
+        h = HyperLogLog(p=12)
+        for _ in range(5):
+            h.update_hashes(_hashes(1_000))
+        assert abs(h.estimate() - 1_000) / 1_000 <= 3 * h.error_bound() + 0.01
+
+
+class TestCMS:
+    def test_never_undercounts_and_bound(self, rng):
+        c = CountMinSketch(depth=5, width=2048)
+        vals = rng.zipf(1.3, 50_000)
+        u, cnt = np.unique(vals, return_counts=True)
+        hs = splitmix64(u.astype(np.uint64)).view(np.int64)
+        c.update_hashes(hs, cnt)
+        est = c.estimate_hashes(hs)
+        assert (est >= cnt).all()
+        eps, delta = c.error_bound()
+        frac_over = ((est - cnt) > eps * c.total).mean()
+        assert frac_over <= delta + 0.01
+
+    def test_merge_bit_identical(self):
+        full = CountMinSketch(width=512)
+        a, b = CountMinSketch(width=512), CountMinSketch(width=512)
+        h1, h2 = _hashes(1000), _hashes(1000, offset=1000)
+        full.update_hashes(h1)
+        full.update_hashes(h2)
+        a.update_hashes(h1)
+        b.update_hashes(h2)
+        assert a.merge(b).serialize() == full.serialize()
+
+    def test_serde(self):
+        c = CountMinSketch(width=256)
+        c.update_hashes(_hashes(100))
+        c2 = CountMinSketch.deserialize(c.serialize())
+        assert (c2.table == c.table).all() and c2.total == c.total
+
+
+class TestTopK:
+    def test_exact_on_skewed(self, rng):
+        vals = np.array([f"tok{v}" for v in rng.zipf(1.5, 20_000)])
+        u, cnt = np.unique(vals, return_counts=True)
+        tk = TopKSketch(width=4096, capacity=512)
+        half = len(u) // 2
+        tk.update_values(u[:half], cnt[:half])
+        tk2 = TopKSketch(width=4096, capacity=512)
+        tk2.update_values(u[half:], cnt[half:])
+        tk.merge(tk2)
+        true_top = sorted(zip(u.tolist(), cnt.tolist()), key=lambda t: (-t[1], t[0]))[:10]
+        assert tk.top(10) == [(k, int(v)) for k, v in true_top]
+
+    def test_serde(self):
+        tk = TopKSketch(width=256, capacity=16)
+        tk.update_values(np.array(["a", "b", "a"]))
+        assert TopKSketch.deserialize(tk.serialize()).top(2) == tk.top(2)
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        b = BloomFilter.for_capacity(5_000, fpr=0.01)
+        ins = _hashes(5_000)
+        b.add_hashes(ins)
+        assert b.contains_hashes(ins).all()
+
+    def test_fpr_within_2x_published(self):
+        b = BloomFilter.for_capacity(10_000, fpr=0.01)
+        b.add_hashes(_hashes(10_000))
+        probe = _hashes(50_000, offset=1_000_000)
+        fpr = b.contains_hashes(probe).mean()
+        assert fpr <= 2 * b.expected_fpr() + 0.005
+
+    def test_merge_bit_identical(self):
+        full = BloomFilter(n_bits=1 << 12)
+        a, b = BloomFilter(n_bits=1 << 12), BloomFilter(n_bits=1 << 12)
+        full.add_hashes(_hashes(200))
+        full.add_hashes(_hashes(200, offset=200))
+        a.add_hashes(_hashes(200))
+        b.add_hashes(_hashes(200, offset=200))
+        assert a.merge(b).serialize() == full.serialize()
+
+
+class TestTDigest:
+    @pytest.mark.parametrize("dist", ["lognormal", "uniform", "bimodal"])
+    def test_rank_error(self, rng, dist):
+        if dist == "lognormal":
+            data = rng.lognormal(5, 1, 100_000)
+        elif dist == "uniform":
+            data = rng.uniform(0, 1, 100_000)
+        else:
+            data = np.concatenate([rng.normal(0, 1, 50_000), rng.normal(100, 1, 50_000)])
+        td = TDigest(delta=200)
+        for i in range(0, data.size, 10_000):
+            td.update_batch(data[i : i + 10_000])
+        s = np.sort(data)
+        for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+            est = td.quantile(q)
+            rank_err = abs(np.searchsorted(s, est) / data.size - q)
+            assert rank_err <= td.rank_error_bound(q) + 0.002, f"{dist} q={q}: {rank_err}"
+
+    def test_merge_rank_error(self, rng):
+        data = rng.lognormal(5, 1, 100_000)
+        parts = [TDigest(200) for _ in range(8)]
+        for i, p in enumerate(parts):
+            p.update_batch(data[i * 12_500 : (i + 1) * 12_500])
+        merged = parts[0]
+        for p in parts[1:]:
+            merged.merge(p)
+        s = np.sort(data)
+        for q in (0.1, 0.5, 0.9):
+            rank_err = abs(np.searchsorted(s, merged.quantile(q)) / data.size - q)
+            assert rank_err <= merged.rank_error_bound(q) + 0.005
+
+    def test_serde(self, rng):
+        td = TDigest(100)
+        td.update_batch(rng.uniform(0, 1, 1_000))
+        td2 = TDigest.deserialize(td.serialize())
+        assert td2.quantile(0.5) == td.quantile(0.5)
+
+    def test_exact_min_max_tails(self, rng):
+        td = TDigest(100)
+        data = rng.uniform(0, 1, 10_000)
+        td.update_batch(data)
+        assert td.quantile(0.0) == data.min()
+        assert td.quantile(1.0) == data.max()
+
+
+class TestKLL:
+    def test_rank_error(self, rng):
+        data = rng.lognormal(5, 1, 100_000)
+        kl = KLL(k=200)
+        for i in range(0, data.size, 10_000):
+            kl.update_batch(data[i : i + 10_000])
+        s = np.sort(data)
+        for q in (0.01, 0.5, 0.99):
+            rank_err = abs(np.searchsorted(s, kl.quantile(q)) / data.size - q)
+            assert rank_err <= kl.error_bound() + 0.002
+
+    def test_merge(self, rng):
+        data = rng.normal(0, 1, 80_000)
+        parts = [KLL(200) for _ in range(4)]
+        for i, p in enumerate(parts):
+            p.update_batch(data[i * 20_000 : (i + 1) * 20_000])
+        m = parts[0]
+        for p in parts[1:]:
+            m.merge(p)
+        s = np.sort(data)
+        assert abs(np.searchsorted(s, m.quantile(0.5)) / data.size - 0.5) <= m.error_bound() + 0.005
+        assert m.n == data.size
+
+    def test_serde(self, rng):
+        kl = KLL(100)
+        kl.update_batch(rng.uniform(0, 1, 5_000))
+        assert KLL.deserialize(kl.serialize()).quantile(0.5) == kl.quantile(0.5)
+
+
+class TestHashing:
+    def test_hash_strings_distinct_and_deterministic(self):
+        a = hash_strings(["foo", "bar", "foo"])
+        assert a[0] == a[2] and a[0] != a[1]
+        assert (hash_strings(["foo", "bar"]) == np.array([a[0], a[1]])).all()

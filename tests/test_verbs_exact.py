@@ -1,0 +1,158 @@
+"""Miller-semantics tests for the exact verbs on the abixy-style fixture
+(reference semantics from /root/reference/pkg/bifs/percentiles.go and
+pkg/transformers/utils/stats1_accumulators.go)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from mlrsketch.verbs import exact as ev
+
+
+def test_stats1_against_numpy(spark, abixy):
+    row = ev.stats1(abixy, ["count", "sum", "mean", "min", "max", "var", "stddev"], ["x"]).collect()[0]
+    xs = np.array([r["x"] for r in abixy.collect()])
+    assert row["x_count"] == 10
+    assert abs(row["x_sum"] - xs.sum()) < 1e-12
+    assert abs(row["x_mean"] - xs.mean()) < 1e-12
+    assert row["x_min"] == xs.min() and row["x_max"] == xs.max()
+    assert abs(row["x_var"] - xs.var(ddof=1)) < 1e-12
+    assert abs(row["x_stddev"] - xs.std(ddof=1)) < 1e-12
+
+
+def test_miller_noninterpolated_percentile(spark, abixy):
+    """index = int(p/100 * n) clamped to [0, n-1] over sorted values
+    (percentiles.go:193-208) — NOT the R-7 interpolation."""
+    xs = sorted(r["x"] for r in abixy.collect())
+    n = len(xs)
+    for p in (10, 25, 50, 75, 90, 99):
+        got = ev.stats1(abixy, [f"p{p}"], ["x"]).collect()[0][f"x_p{p}"]
+        idx = min(max(int(p / 100 * n), 0), n - 1)
+        assert got == xs[idx], f"p{p}: {got} != {xs[idx]}"
+
+
+def test_interpolated_percentile_matches_numpy_linear(spark, abixy):
+    xs = np.array(sorted(r["x"] for r in abixy.collect()))
+    got = ev.stats1(abixy, ["p25"], ["x"], interpolated=True).collect()[0]["x_p25"]
+    assert abs(got - np.percentile(xs, 25)) < 1e-9  # numpy default = R-7
+
+
+def test_mode_first_seen_tiebreak(spark):
+    """stats1_accumulators.go:367-445: among equal counts the value seen
+    EARLIEST wins."""
+    df = spark.createDataFrame(
+        [(1, "b"), (2, "a"), (3, "b"), (4, "a"), (5, "c")], ["__ord", "v"]
+    )
+    got = ev.mode_impl(df, "v", by=[]).collect()[0]["v_mode"]
+    assert got == "b"  # b and a both count 2; b first seen at __ord 1
+    anti = ev.mode_impl(df, "v", by=[], anti=True).collect()[0]["v_antimode"]
+    assert anti == "c"
+
+
+def test_top_keeper_semantics(spark, abixy):
+    """top.go:29 + top_keeper.go: top-n BY VALUE with 1-up top_idx."""
+    rows = ev.top(abixy, "x", n=3, tiebreak=["i"]).collect()
+    xs = sorted((r["x"] for r in abixy.collect()), reverse=True)
+    assert [r["x_top"] for r in sorted(rows, key=lambda r: r["top_idx"])] == xs[:3]
+
+
+def test_uniq_and_count_distinct(spark, abixy):
+    assert ev.uniq(abixy, ["a"]).count() == 5
+    assert ev.uniq_distinct_count(abixy, ["a", "b"]).collect()[0]["count"] == len(
+        {(r["a"], r["b"]) for r in abixy.collect()}
+    )
+    un = ev.count_distinct(abixy, ["a", "b"], unlashed=True)
+    assert un.filter(F.col("field") == "a").count() == 5
+    assert un.filter(F.col("field") == "b").count() == 3
+
+
+def test_fraction_sums_to_one(spark, abixy):
+    fr = ev.fraction(abixy, "x", by=["b"])
+    sums = fr.groupBy("b").agg(F.sum("x_fraction").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-9
+
+
+def test_step_running_sum(spark, abixy):
+    out = ev.step(abixy, ["rsum", "counter", "delta"], ["x"], order_by=["i"]).orderBy("i").collect()
+    acc = 0.0
+    prev = None
+    for r in out:
+        acc += r["x"]
+        assert abs(r["x_rsum"] - acc) < 1e-9
+        expected_delta = 0.0 if prev is None else r["x"] - prev
+        assert abs(r["x_delta"] - expected_delta) < 1e-12
+        prev = r["x"]
+
+
+def test_ewma_closed_form_matches_recurrence(spark, abixy):
+    out = ev.step(abixy, [], ["x"], order_by=["i"], ewma_alphas=[0.3]).orderBy("i").collect()
+    y = None
+    for r in out:
+        y = r["x"] if y is None else 0.3 * r["x"] + 0.7 * y
+        assert abs(r["x_ewma_0_3"] - y) < 1e-9
+
+
+def test_fill_down(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, None), (4, 40.0), (5, None)], ["i", "v"]
+    )
+    out = {r["i"]: r["v"] for r in ev.fill_down(df, ["v"], order_by=["i"]).collect()}
+    assert out == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
+
+
+def test_histogram_counts(spark, abixy):
+    out = ev.histogram(abixy, "x", 0.0, 1.0, 4).orderBy("bin_lo").collect()
+    xs = [r["x"] for r in abixy.collect()]
+    for r in out:
+        expected = sum(1 for x in xs if r["bin_lo"] <= x < r["bin_hi"])
+        assert r["count"] == expected
+    assert sum(r["count"] for r in out) == len(xs)
+
+
+def test_join_type_matrix(spark):
+    """join.go:24-31 emit-flag matrix → six join types."""
+    left = spark.createDataFrame([(1, "l1"), (2, "l2"), (3, "l3")], ["k", "lv"])
+    right = spark.createDataFrame([(2, "r2"), (3, "r3"), (4, "r4")], ["k", "rv"])
+    assert ev.join(left, right, ["k"], "inner").count() == 2
+    assert ev.join(left, right, ["k"], "left").count() == 3
+    assert ev.join(left, right, ["k"], "full").count() == 4
+    assert ev.join(left, right, ["k"], "left-anti").collect()[0]["k"] == 1
+    assert ev.join(left, right, ["k"], "left-semi").count() == 2
+
+
+def test_join_prefixes(spark):
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "b")], ["k", "v"])
+    out = ev.join(left, right, ["k"], "inner", lp="l_", rp="r_")
+    assert set(out.columns) == {"k", "l_v", "r_v"}
+
+
+def test_seqgen_inclusive_stop(spark):
+    vals = [r["i"] for r in ev.seqgen(spark, 1, 5).collect()]
+    assert vals == [1, 2, 3, 4, 5]
+
+
+def test_repeat_and_decimate(spark, abixy):
+    assert ev.repeat(abixy, 3).count() == 30
+    assert ev.decimate(abixy, 2, order_by=["i"]).count() == 5
+
+
+def test_merge_fields_rowwise(spark):
+    df = spark.createDataFrame([(1.0, 5.0, 3.0)], ["a", "b", "c"])
+    r = ev.merge_fields(df, ["min", "max", "sum", "mean"], ["a", "b", "c"], "m").collect()[0]
+    assert (r["m_min"], r["m_max"], r["m_sum"], r["m_mean"]) == (1.0, 5.0, 9.0, 3.0)
+
+
+def test_rank_competition_style(spark):
+    """EmitRank 1,2,2,4 (percentile_keeper.go:87-104)."""
+    df = spark.createDataFrame([(1, 10), (2, 20), (3, 20), (4, 30)], ["i", "v"])
+    out = {r["i"]: r["rank"] for r in ev.rank(df, "v").collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 4}
+
+
+def test_sample_exact_k_deterministic(spark, abixy):
+    s1 = {r["i"] for r in ev.sample(abixy, 4, seed=1).collect()}
+    s2 = {r["i"] for r in ev.sample(abixy, 4, seed=1).collect()}
+    assert len(s1) == 4 and s1 == s2
