@@ -41,25 +41,32 @@ def shingles(text_col: str, n: int = 5):
     )
 
 
-def minhash_signature(df: DataFrame, text_col: str = "text", n_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
-    """Add ``__sig``: array of n_hashes minhash values.
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str = "text", n_hashes: int = 64, shingle_n: int = 5
+) -> DataFrame:
+    """Per-id minhash signature as columns ``__m0..__m{n-1}``.
 
-    sig[j] = min over shingles s of xxhash64(s, seed=j) — the standard
-    min-wise permutation family. All JVM expressions; Pr[sig_a[j] ==
-    sig_b[j]] = Jaccard(a, b) per Broder 1997.
+    sig[j] = min over shingles s of xxhash64(xxhash64(s), j) — the
+    standard min-wise permutation family (Broder 1997): Pr[sig_a[j] ==
+    sig_b[j]] = Jaccard(a, b).
+
+    Plan shape (the 100 TB-relevant part): each string shingle is hashed
+    to int64 exactly ONCE, exploded to (id, h) pairs, and the n
+    permutation minima are n ``min(xxhash64(h, j))`` aggregates in a
+    single whole-stage-codegen'd hash aggregation. Because a document's
+    shingles are colocated in its input partition, the map-side partial
+    aggregate collapses to one row per doc before the (only) shuffle —
+    rehashing an int64 per permutation is codegen'd JVM work, unlike
+    re-hashing string shingles n times through interpreted higher-order
+    functions.
     """
-    sh = shingles(text_col, shingle_n)
-
-    def perm(j: int):
-        # NB: must close over j via factory — a `j=j` default arg would
-        # make PySpark treat the lambda as 2-ary and pass the element
-        # index as j.
-        return lambda s: F.xxhash64(s, F.lit(j))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, perm(j))) for j in range(n_hashes)]
-    )
-    return df.withColumn("__sig", sig)
+    sh_h = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    ex = df.select(F.col(id_col), F.explode(sh_h).alias("__h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
+        for j in range(n_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -80,21 +87,17 @@ def minhash_lsh_pairs(
     jaccard_est) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, text_col, n_hashes, shingle_n).select(id_col, "__sig")
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    # band hash = xxhash64 over the band's signature columns directly
+    # (multi-column JVM hash; no string concat, no array element_at).
     banded = sig.select(
         F.col(id_col),
-        F.col("__sig"),
+        F.array(*[F.col(f"__m{j}") for j in range(n_hashes)]).alias("__sig"),
         F.posexplode(
             F.array(
                 *[
                     F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(F.col("__sig"), b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
+                        *[F.col(f"__m{b * rows_per_band + r}") for r in range(rows_per_band)]
                     )
                     for b in range(bands)
                 ]

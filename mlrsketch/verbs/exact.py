@@ -53,6 +53,27 @@ def _percentile_exact(col: str, p: float, interpolated: bool) -> Column:
     return F.get(arr, idx)
 
 
+# percentile-family accumulators share ONE keeper per field, exactly like
+# Miller's shared PercentileKeeper (stats1_accumulators.go:160-168,258-290):
+# median == p50; Tukey fences derive from p25/p75
+# (utils/percentile_keeper.go:105-165, k = 1.5 inner / 3.0 outer at :19-21).
+_FENCE_K = {"lof": -3.0, "lif": -1.5, "uif": 1.5, "uof": 3.0}
+
+
+def _pct_needs(a: str) -> list[float] | None:
+    """Percentile points acc `a` needs, or None if not percentile-family."""
+    if a == "median":
+        return [50.0]
+    if a == "iqr" or a in _FENCE_K:
+        return [25.0, 75.0]
+    if a.startswith("p"):
+        try:
+            return [float(a[1:])]
+        except ValueError:
+            return None
+    return None
+
+
 # accumulator registry mirroring stats1 (pkg/transformers/utils/
 # stats1_accumulators.go:29-124). Each returns a Column for value field f.
 def _acc(name: str, f: str, interpolated: bool = False) -> Column:
@@ -84,10 +105,6 @@ def _acc(name: str, f: str, interpolated: bool = False) -> Column:
         return F.skewness(F.col(f))
     if name == "kurtosis":
         return F.kurtosis(F.col(f))
-    if name == "median":
-        return _percentile_exact(f, 50.0, interpolated)
-    if name.startswith("p"):
-        return _percentile_exact(f, float(name[1:]), interpolated)
     if name == "first":
         return F.first(F.col(f))
     if name == "last":
@@ -112,13 +129,66 @@ def stats1(
     Output columns named ``{field}_{acc}`` exactly like Miller
     (stats1.go docs). One single-shuffle hash aggregation; Catalyst
     emits partial aggregates map-side.
+
+    All percentile-family accumulators of one field share a single
+    aggregate buffer — one ``percentile(f, array(ps))`` (interpolated)
+    or one sorted ``collect_list`` (Miller non-interpolated pick) —
+    mirroring Miller's shared PercentileKeeper instead of sorting the
+    group once per requested percentile.
     """
-    aggs = [
-        _acc(a, f, interpolated).alias(f"{f}_{a}") for f in _cols(values) for a in _cols(accs)
-    ]
-    if by:
-        return df.groupBy(*_cols(by)).agg(*aggs)
-    return df.agg(*aggs)
+    accs, values, by = _cols(accs), _cols(values), _cols(by)
+    pct_points: dict[str, list[float]] = {}  # field -> sorted needed points
+    for f in values:
+        pts = sorted({p for a in accs for p in (_pct_needs(a) or [])})
+        if pts:
+            pct_points[f] = pts
+
+    aggs = []
+    for f in values:
+        for a in accs:
+            if _pct_needs(a) is None:
+                aggs.append(_acc(a, f, interpolated).alias(f"{f}_{a}"))
+        if f in pct_points:
+            if interpolated:
+                aggs.append(
+                    F.percentile(
+                        F.col(f), F.array(*[F.lit(p / 100.0) for p in pct_points[f]])
+                    ).alias(f"__pcts_{f}")
+                )
+            else:
+                aggs.append(F.array_sort(F.collect_list(F.col(f))).alias(f"__sorted_{f}"))
+
+    grouped = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+    if not pct_points:
+        return grouped
+
+    def pick(f: str, p: float) -> Column:
+        if interpolated:
+            return F.element_at(F.col(f"__pcts_{f}"), pct_points[f].index(p) + 1)
+        arr = F.col(f"__sorted_{f}")
+        n = F.size(arr)
+        idx = F.least(
+            F.greatest(F.floor(F.lit(p / 100.0) * n).cast("int"), F.lit(0)), n - 1
+        )
+        return F.get(arr, idx)
+
+    out_cols: list[Column] = [F.col(c) for c in by]
+    for f in values:
+        for a in accs:
+            if _pct_needs(a) is None:
+                out_cols.append(F.col(f"{f}_{a}"))
+            elif a == "iqr":
+                out_cols.append((pick(f, 75.0) - pick(f, 25.0)).alias(f"{f}_{a}"))
+            elif a in _FENCE_K:
+                k = _FENCE_K[a]
+                base = pick(f, 25.0) if k < 0 else pick(f, 75.0)
+                iqr = pick(f, 75.0) - pick(f, 25.0)
+                out_cols.append((base + F.lit(k) * iqr).alias(f"{f}_{a}"))
+            elif a == "median":
+                out_cols.append(pick(f, 50.0).alias(f"{f}_{a}"))
+            else:
+                out_cols.append(pick(f, float(a[1:])).alias(f"{f}_{a}"))
+    return grouped.select(*out_cols)
 
 
 def mode_impl(df: DataFrame, value: str, by: Sequence[str], anti: bool = False) -> DataFrame:
