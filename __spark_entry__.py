@@ -494,6 +494,338 @@ def q_sample_per_group(spark, sf):
     )
 
 
+# -- round-1 widening: remaining SURVEY.md §2 verbs --------------------------
+
+
+def q_stats1_extended(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    s = ev.stats1(
+        li,
+        accs=["null_count", "distinct_count", "minlen", "maxlen", "meaneb", "skewness", "kurtosis"],
+        values=["l_quantity"],
+        by=["l_returnflag"],
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("l_quantity_null_count").alias("null_cnt"),
+        F.col("l_quantity_distinct_count").alias("dist_cnt"),
+        F.col("l_quantity_minlen").alias("minlen"),
+        F.col("l_quantity_maxlen").alias("maxlen"),
+        F.round("l_quantity_meaneb", 6).alias("meaneb"),
+        F.round("l_quantity_skewness", 6).alias("skew"),
+        F.round("l_quantity_kurtosis", 6).alias("kurt"),
+    )
+
+
+def q_stats1_mad(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return ev.mad(li, "l_quantity", by=["l_returnflag"]).select(
+        "l_returnflag", F.round("l_quantity_mad", 6).alias("mad")
+    )
+
+
+def q_stats1_iqr_fences(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    s = ev.stats1(
+        li, accs=["iqr", "lof", "lif", "uif", "uof"], values=["l_extendedprice"],
+        by=["l_returnflag"],
+    )
+    return s.select(
+        "l_returnflag",
+        F.round("l_extendedprice_iqr", 4).alias("iqr"),
+        F.round("l_extendedprice_lof", 4).alias("lof"),
+        F.round("l_extendedprice_lif", 4).alias("lif"),
+        F.round("l_extendedprice_uif", 4).alias("uif"),
+        F.round("l_extendedprice_uof", 4).alias("uof"),
+    )
+
+
+def q_stats1_antimode(spark, sf):
+    li = _t(spark, sf, "lineitem").withColumn(
+        "__ord", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    return ev.mode_impl(li, "l_quantity", by=["l_returnflag"], anti=True).orderBy(
+        "l_returnflag"
+    )
+
+
+def q_stats2_linreg(spark, sf):
+    s = ev.stats2(
+        _t(spark, sf, "lineitem"), "l_quantity", "l_extendedprice",
+        ["linreg-ols", "linreg-pca"], by=["l_returnflag"],
+    )
+    return s.select(
+        "l_returnflag",
+        F.round("l_quantity_l_extendedprice_m", 6).alias("ols_m"),
+        F.round("l_quantity_l_extendedprice_b", 6).alias("ols_b"),
+        F.round("l_quantity_l_extendedprice_pca_m", 6).alias("pca_m"),
+        F.round("l_quantity_l_extendedprice_pca_b", 6).alias("pca_b"),
+        F.col("l_quantity_l_extendedprice_pca_n").alias("pca_n"),
+        F.round("l_quantity_l_extendedprice_pca_quality", 6).alias("pca_q"),
+    )
+
+
+def q_stats2_covx(spark, sf):
+    s = ev.stats2(
+        _t(spark, sf, "lineitem"), "l_quantity", "l_extendedprice", ["covx"],
+        by=["l_returnflag"],
+    )
+    return s.select(
+        "l_returnflag",
+        F.round("l_quantity_var", 6).alias("xx"),
+        F.round("l_quantity_l_extendedprice_cov", 6).alias("xy"),
+        F.round("l_extendedprice_var", 6).alias("yy"),
+    )
+
+
+def q_step_advanced(spark, sf):
+    e = _t(spark, sf, "events")
+    s = ev.step(
+        e, ["shift_lead", "ratio", "from-first", "shift_lag_2", "delta_2"], ["value"],
+        order_by=["ts", "event_id"], by=["user_id"],
+    )
+    return s.select(
+        "event_id",
+        F.round("value_shift_lead", 6).alias("lead_v"),
+        F.round("value_ratio", 6).alias("ratio_v"),
+        F.round("value_from-first", 6).alias("fromfirst_v"),
+        F.round("value_shift_lag_2", 6).alias("lag2_v"),
+        F.round("value_delta_2", 6).alias("delta2_v"),
+    )
+
+
+def q_stats1_windowed(spark, sf):
+    e = _t(spark, sf, "events")
+    s = ev.stats1_windowed(
+        e, ["mean", "min", "max"], ["value"], w=5, order_by=["ts", "event_id"],
+        by=["user_id"],
+    )
+    return s.select(
+        "event_id",
+        F.round("value_mean_5", 6).alias("wmean"),
+        F.round("value_min_5", 6).alias("wmin"),
+        F.round("value_max_5", 6).alias("wmax"),
+    )
+
+
+def q_summary(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    s = ev.summary(o)
+    return s.select(
+        "field_name",
+        "field_type",
+        "count",
+        "null_count",
+        "distinct_count",
+        F.round("sum", 4).alias("sum"),
+        F.round("mean", 6).alias("mean"),
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("var", 4).alias("var"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("median", 4).alias("median"),
+        "minlen",
+        "maxlen",
+    )
+
+
+def q_sort_natural(spark, sf):
+    d = _t(spark, sf, "documents").select(
+        F.concat(F.lit("doc"), F.col("doc_id")).alias("name")
+    )
+    key = ev._natural_sort_key(F.col("name"))
+    return d.select(
+        "name", F.row_number().over(Window.orderBy(key.asc(), F.col("name"))).alias("rk")
+    )
+
+
+def q_tac(spark, sf):
+    r = _t(spark, sf, "region")
+    t = ev.tac(r, order_by=["r_regionkey"])
+    return t.select(
+        "r_regionkey",
+        F.row_number().over(Window.orderBy(F.col("r_regionkey").desc())).alias("rn"),
+    )
+
+
+def q_sub_first(spark, sf):
+    return ev.sub_field(
+        _t(spark, sf, "part"), "p_name", "[aeiou]", "*", all_matches=False
+    ).select("p_partkey", "p_name")
+
+
+def q_format_values(spark, sf):
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_discount")
+    return ev.format_values(li, "%.4f", ["l_discount"])
+
+
+def q_cut_rename_reorder(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    d = ev.cut(li, ["l_orderkey", "l_linenumber", "l_quantity"])
+    d = ev.rename_fields(d, {"l_quantity": "qty"})
+    return ev.reorder(d, front=["qty"])
+
+
+def q_label(spark, sf):
+    return ev.label(_t(spark, sf, "region"), ["rk", "rname"]).select("rk", "rname")
+
+
+def q_having_fields(spark, sf):
+    e = _t(spark, sf, "events").withColumn(
+        "v2", F.when(F.col("value") < 100, None).otherwise(F.col("value"))
+    )
+    return ev.having_fields_all_defined(e, ["v2"]).select("event_id", "v2")
+
+
+def q_sec2gmtdate(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id", F.unix_timestamp("ts").alias("epoch")
+    )
+    return ev.sec2gmtdate(e, ["epoch"])
+
+
+def q_gmt2sec(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso")
+    )
+    return ev.gmt2sec(e, ["iso"])
+
+
+def q_altkv(spark, sf):
+    return ev.altkv(_t(spark, sf, "part"), ["p_name", "p_brand", "p_type", "p_size"])
+
+
+def q_flatten(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "event_id", F.from_json("props", "k long").alias("props")
+    )
+    return ev.flatten_structs(e)
+
+
+def q_json_stringify(spark, sf):
+    e = _t(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.to_json(F.struct(F.col("user_id"), F.col("event_type"))).alias("js"),
+    )
+
+
+def q_remove_empty_columns(spark, sf):
+    e = (
+        _t(spark, sf, "events")
+        .select("event_id", "user_id")
+        .withColumn("empty1", F.lit(""))
+        .withColumn("empty2", F.lit(None).cast("string"))
+    )
+    return ev.remove_empty_columns(e)
+
+
+def q_surv_km(spark, sf):
+    e = _t(spark, sf, "events").select(
+        F.floor(F.col("value") / 50).cast("long").alias("t"),
+        (F.col("event_type") == "purchase").cast("int").alias("status"),
+    )
+    s = ev.surv(e, "t", "status")
+    return s.select("t", "n_risk", "n_events", F.round("survival", 6).alias("survival"))
+
+
+def q_merge_fields_var(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    m = ev.merge_fields(li, ["var", "stddev"], ["l_quantity", "l_discount", "l_tax"], "qdt")
+    return m.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("qdt_var", 6).alias("qdt_var"),
+        F.round("qdt_stddev", 6).alias("qdt_stddev"),
+    )
+
+
+def q_count_distinct_n(spark, sf):
+    return ev.count_distinct_n(_t(spark, sf, "orders"), ["o_orderstatus", "o_orderpriority"])
+
+
+def q_top_full(spark, sf):
+    return ev.top(
+        _t(spark, sf, "orders"), "o_totalprice", n=2, by=["o_orderpriority"],
+        tiebreak=["o_orderkey"], show_full_records=True,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice", "top_idx")
+
+
+def q_bpe_token_count(spark, sf):
+    return textstats.token_count_bpe(_t(spark, sf, "documents")).select(
+        "doc_id", F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens")
+    )
+
+
+def q_embedding_near_dups(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = dedup.embedding_near_dup_pairs(
+        emb, "vec_id", threshold=0.45, brute_force=True
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_shuffle(spark, sf):
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return ev.shuffle_verb(o)  # random permutation — content-equal to input
+
+
+def q_group_by_stream(spark, sf):
+    return ev.group_by_stream(
+        _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+        ["o_orderpriority"],
+    )
+
+
+# rows-only (no SQL equivalent / nondeterministic content)
+
+
+def q_embedding_near_dups_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return dedup.embedding_near_dup_pairs(
+        emb, "vec_id", threshold=0.45, n_bands=8, band_bits=6
+    )
+
+
+def q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.lsh_topk(emb, qvec, k=10)
+
+
+def q_bloom_dedup(spark, sf):
+    d = _t(spark, sf, "documents")
+    seen = sv.build_bloom(d.filter(F.col("lang") == "en"), "text", n_bits=1 << 20)
+    return sv.bloom_filter_new(d.filter(F.col("lang") != "en"), "text", seen).select(
+        "doc_id", "lang"
+    )
+
+
+def q_bootstrap(spark, sf):
+    return ev.bootstrap(_t(spark, sf, "orders")).select("o_orderkey")
+
+
+def q_bootstrap_ci(spark, sf):
+    return ev.bootstrap_ci(
+        _t(spark, sf, "orders"), "o_totalprice", by=["o_orderpriority"], n_boot=100
+    )
+
+
+def q_image_features(spark, sf):
+    from mlrsketch.pipeline import multimodal
+
+    d = multimodal.attach_fake_payload(
+        _t(spark, sf, "documents").limit(200), from_col="text"
+    )
+    return multimodal.image_features(d)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "stats1_basic": q_stats1_basic,
@@ -550,7 +882,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
+        "stats1_extended": q_stats1_extended,
+        "stats1_mad": q_stats1_mad,
+        "stats1_iqr_fences": q_stats1_iqr_fences,
+        "stats1_antimode": q_stats1_antimode,
+        "stats2_linreg": q_stats2_linreg,
+        "stats2_covx": q_stats2_covx,
+        "step_advanced": q_step_advanced,
+        "stats1_windowed": q_stats1_windowed,
+        "summary": q_summary,
+        "sort_natural": q_sort_natural,
+        "tac": q_tac,
+        "sub_first": q_sub_first,
+        "format_values": q_format_values,
+        "cut_rename_reorder": q_cut_rename_reorder,
+        "label": q_label,
+        "having_fields": q_having_fields,
+        "sec2gmtdate": q_sec2gmtdate,
+        "gmt2sec": q_gmt2sec,
+        "altkv": q_altkv,
+        "flatten": q_flatten,
+        "json_stringify": q_json_stringify,
+        "remove_empty_columns": q_remove_empty_columns,
+        "surv_km": q_surv_km,
+        "merge_fields_var": q_merge_fields_var,
+        "count_distinct_n": q_count_distinct_n,
+        "top_full": q_top_full,
+        "bpe_token_count": q_bpe_token_count,
+        "embedding_near_dups": q_embedding_near_dups,
+        "shuffle": q_shuffle,
+        "group_by_stream": q_group_by_stream,
         # sketch / non-SQL-expressible (rows-only checks)
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "ann_lsh": q_ann_lsh,
+        "bloom_dedup": q_bloom_dedup,
+        "bootstrap": q_bootstrap,
+        "bootstrap_ci": q_bootstrap_ci,
+        "image_features": q_image_features,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,
@@ -872,4 +1240,247 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
             LIMIT 10
         """,
+        "stats1_extended": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     count(l_quantity) AS n,
+                     sum(l_quantity) AS s1,
+                     sum(l_quantity*l_quantity) AS s2,
+                     sum(l_quantity*l_quantity*l_quantity) AS s3,
+                     sum(l_quantity*l_quantity*l_quantity*l_quantity) AS s4,
+                     sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nullc,
+                     count(DISTINCT l_quantity) AS distc,
+                     min(length(CAST(l_quantity AS VARCHAR))) AS minlen,
+                     max(length(CAST(l_quantity AS VARCHAR))) AS maxlen,
+                     var_samp(l_quantity) AS vs
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag,
+                   nullc AS null_cnt,
+                   distc AS dist_cnt,
+                   minlen, maxlen,
+                   round(sqrt(vs / n), 6) AS meaneb,
+                   round(((s3 - (s1/n)*(3.0*s2 - 2.0*n*(s1/n)*(s1/n))) / n)
+                         / pow((s2 - n*(s1/n)*(s1/n)) / (n-1), 1.5), 6) AS skew,
+                   round(((s4 - (s1/n)*(4.0*s3 - (s1/n)*(6.0*s2 - 3.0*n*(s1/n)*(s1/n)))) / n)
+                         / pow((s2 - n*(s1/n)*(s1/n)) / n, 2) - 3.0, 6) AS kurt
+            FROM m
+        """,
+        "stats1_mad": """
+            SELECT l_returnflag, round(avg(abs(l_quantity - m)), 6) AS mad
+            FROM (SELECT l_returnflag, l_quantity,
+                         avg(l_quantity) OVER (PARTITION BY l_returnflag) AS m
+                  FROM lineitem)
+            GROUP BY 1
+        """,
+        "stats1_iqr_fences": """
+            WITH s AS (
+              SELECT l_returnflag,
+                     list_sort(list(l_extendedprice))[least(cast(floor(0.25*count(*)) AS BIGINT), count(*)-1) + 1] AS p25,
+                     list_sort(list(l_extendedprice))[least(cast(floor(0.75*count(*)) AS BIGINT), count(*)-1) + 1] AS p75
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag,
+                   round(p75 - p25, 4) AS iqr,
+                   round(p25 - 3.0*(p75-p25), 4) AS lof,
+                   round(p25 - 1.5*(p75-p25), 4) AS lif,
+                   round(p75 + 1.5*(p75-p25), 4) AS uif,
+                   round(p75 + 3.0*(p75-p25), 4) AS uof
+            FROM s
+        """,
+        "stats1_antimode": """
+            WITH counted AS (
+              SELECT l_returnflag, l_quantity, count(*) AS cnt,
+                     min(l_orderkey * 10 + l_linenumber) AS first_seen
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_returnflag, l_quantity AS l_quantity_antimode
+            FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY cnt ASC, first_seen ASC) AS rn FROM counted)
+            WHERE rn = 1 ORDER BY l_returnflag
+        """,
+        "stats2_linreg": """
+            WITH m AS (
+              SELECT l_returnflag,
+                     count(*) AS n,
+                     avg(l_quantity) AS xbar, avg(l_extendedprice) AS ybar,
+                     covar_pop(l_quantity, l_extendedprice) AS cxy_p,
+                     var_pop(l_quantity) AS vx_p,
+                     var_samp(l_quantity) AS sxx,
+                     var_samp(l_extendedprice) AS syy,
+                     covar_samp(l_quantity, l_extendedprice) AS sxy
+              FROM lineitem GROUP BY 1),
+            pca AS (
+              SELECT *,
+                     (sxx + syy + sqrt((sxx-syy)*(sxx-syy) + 4*sxy*sxy)) / 2 AS l1,
+                     (sxx + syy - sqrt((sxx-syy)*(sxx-syy) + 4*sxy*sxy)) / 2 AS l2
+              FROM m)
+            SELECT l_returnflag,
+                   round(cxy_p / vx_p, 6) AS ols_m,
+                   round(ybar - (cxy_p / vx_p) * xbar, 6) AS ols_b,
+                   round((l1 - sxx) / sxy, 6) AS pca_m,
+                   round(ybar - ((l1 - sxx) / sxy) * xbar, 6) AS pca_b,
+                   n AS pca_n,
+                   round(CASE WHEN abs(l1) = 0 THEN 0.0 ELSE 1.0 - abs(l2)/abs(l1) END, 6) AS pca_q
+            FROM pca
+        """,
+        "stats2_covx": """
+            SELECT l_returnflag,
+                   round(var_samp(l_quantity), 6) AS xx,
+                   round(covar_samp(l_quantity, l_extendedprice), 6) AS xy,
+                   round(var_samp(l_extendedprice), 6) AS yy
+            FROM lineitem GROUP BY 1
+        """,
+        "step_advanced": """
+            SELECT event_id,
+                   round(lead(value) OVER w, 6) AS lead_v,
+                   round(value / lag(value) OVER w, 6) AS ratio_v,
+                   round(value - first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS fromfirst_v,
+                   round(lag(value, 2) OVER w, 6) AS lag2_v,
+                   round(coalesce(value - lag(value, 2) OVER w, 0), 6) AS delta2_v
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "stats1_windowed": """
+            SELECT event_id,
+                   round(avg(value) OVER w5, 6) AS wmean,
+                   round(min(value) OVER w5, 6) AS wmin,
+                   round(max(value) OVER w5, 6) AS wmax
+            FROM events WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "summary": """
+            SELECT 'o_orderkey' AS field_name, 'bigint' AS field_type,
+                   count(*) AS count,
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+                   count(DISTINCT o_orderkey) AS distinct_count,
+                   round(sum(CAST(o_orderkey AS DOUBLE)), 4) AS sum,
+                   round(avg(CAST(o_orderkey AS DOUBLE)), 6) AS mean,
+                   round(min(CAST(o_orderkey AS DOUBLE)), 4) AS min,
+                   round(max(CAST(o_orderkey AS DOUBLE)), 4) AS max,
+                   round(var_samp(CAST(o_orderkey AS DOUBLE)), 4) AS var,
+                   round(stddev_samp(CAST(o_orderkey AS DOUBLE)), 6) AS stddev,
+                   round(list_sort(list(CAST(o_orderkey AS DOUBLE)))[least(cast(floor(0.5*count(o_orderkey)) AS BIGINT), count(o_orderkey)-1) + 1], 4) AS median,
+                   min(length(CAST(o_orderkey AS VARCHAR))) AS minlen,
+                   max(length(CAST(o_orderkey AS VARCHAR))) AS maxlen
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', 'double',
+                   count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   count(DISTINCT o_totalprice),
+                   round(sum(o_totalprice), 4),
+                   round(avg(o_totalprice), 6),
+                   round(min(o_totalprice), 4),
+                   round(max(o_totalprice), 4),
+                   round(var_samp(o_totalprice), 4),
+                   round(stddev_samp(o_totalprice), 6),
+                   round(list_sort(list(o_totalprice))[least(cast(floor(0.5*count(o_totalprice)) AS BIGINT), count(o_totalprice)-1) + 1], 4),
+                   min(length(CAST(o_totalprice AS VARCHAR))),
+                   max(length(CAST(o_totalprice AS VARCHAR)))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', 'string',
+                   count(*),
+                   sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END),
+                   count(DISTINCT o_orderstatus),
+                   NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                   min(length(o_orderstatus)),
+                   max(length(o_orderstatus))
+            FROM orders
+        """,
+        "sort_natural": """
+            SELECT 'doc' || CAST(doc_id AS VARCHAR) AS name,
+                   row_number() OVER (ORDER BY doc_id, 'doc' || CAST(doc_id AS VARCHAR)) AS rk
+            FROM documents
+        """,
+        "tac": """
+            SELECT r_regionkey,
+                   row_number() OVER (ORDER BY r_regionkey DESC) AS rn
+            FROM region
+        """,
+        "sub_first": """
+            SELECT p_partkey, regexp_replace(p_name, '[aeiou]', '*') AS p_name FROM part
+        """,
+        "format_values": """
+            SELECT l_orderkey, l_linenumber, printf('%.4f', l_discount) AS l_discount
+            FROM lineitem
+        """,
+        "cut_rename_reorder": """
+            SELECT l_quantity AS qty, l_orderkey, l_linenumber FROM lineitem
+        """,
+        "label": "SELECT r_regionkey AS rk, r_name AS rname FROM region",
+        "having_fields": """
+            SELECT event_id, value AS v2 FROM events WHERE value >= 100
+        """,
+        "sec2gmtdate": """
+            SELECT event_id, strftime(ts, '%Y-%m-%d') AS epoch FROM events
+        """,
+        "gmt2sec": """
+            SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS iso FROM events
+        """,
+        "altkv": """
+            SELECT p_name AS key, p_brand AS value FROM part
+            UNION ALL
+            SELECT p_type, CAST(p_size AS VARCHAR) FROM part
+        """,
+        "flatten": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS "props.k"
+            FROM events
+        """,
+        "json_stringify": """
+            SELECT event_id,
+                   '{"user_id":' || CAST(user_id AS VARCHAR) || ',"event_type":"' || event_type || '"}' AS js
+            FROM events
+        """,
+        "remove_empty_columns": """
+            SELECT event_id, user_id FROM events
+        """,
+        "surv_km": """
+            WITH per AS (
+              SELECT CAST(floor(value/50) AS BIGINT) AS t, count(*) AS c,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d
+              FROM events GROUP BY 1),
+            w AS (
+              SELECT t, c, d,
+                     sum(c) OVER () AS total,
+                     coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+              FROM per)
+            SELECT t, total - prior AS n_risk, d AS n_events,
+                   round(exp(sum(CASE WHEN d < total - prior THEN ln(1 - d*1.0/(total-prior)) ELSE '-infinity'::DOUBLE END)
+                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+            FROM w ORDER BY t
+        """,
+        "merge_fields_var": """
+            SELECT l_orderkey, l_linenumber,
+                   round(((l_quantity*l_quantity + l_discount*l_discount + l_tax*l_tax)
+                          - (l_quantity + l_discount + l_tax)*(l_quantity + l_discount + l_tax)/3) / 2, 6) AS qdt_var,
+                   round(sqrt(((l_quantity*l_quantity + l_discount*l_discount + l_tax*l_tax)
+                          - (l_quantity + l_discount + l_tax)*(l_quantity + l_discount + l_tax)/3) / 2), 6) AS qdt_stddev
+            FROM lineitem
+        """,
+        "count_distinct_n": """
+            SELECT count(*) AS count
+            FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        """,
+        "top_full": """
+            SELECT o_orderkey, o_orderpriority, o_totalprice, top_idx FROM (
+              SELECT o_orderkey, o_orderpriority, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS top_idx
+              FROM orders) WHERE top_idx <= 2
+        """,
+        "bpe_token_count": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "embedding_near_dups": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+            FROM v a, v b
+            WHERE a.vec_id < b.vec_id
+              AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+        """,
+        "shuffle": "SELECT o_orderkey, o_totalprice FROM orders",
+        "group_by_stream": "SELECT o_orderkey, o_orderpriority FROM orders",
     }

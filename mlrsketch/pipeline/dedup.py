@@ -208,3 +208,86 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    band_bits: int = 8,
+    brute_force: bool = False,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    all pairs with cosine >= threshold, id_a < id_b.
+
+    Scale path (default): random-hyperplane LSH (Charikar 2002) bands —
+    two vectors are candidates iff they share a sign-pattern bucket in
+    ANY band; exact cosine verifies candidates. The self-join is on
+    (band, bucket), a uniform key, so the shuffle is balanced and the
+    quadratic blow-up is confined to bucket-local pairs. With
+    brute_force=True does the O(n^2) cross-join — the correctness
+    oracle at test scale.
+    """
+    import numpy as np
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+    norm = F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+    base = df.select(id_col, F.col(vec_col)).withColumn("__norm", norm)
+
+    if brute_force:
+        a = base.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            F.col("__norm").alias("__na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            F.col("__norm").alias("__nb"),
+        )
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        dim = len(df.select(vec_col).first()[0])
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_bands, band_bits, dim))
+        banded = base
+        for t in range(n_bands):
+            acc = F.lit(0).cast("long")
+            for bit in range(band_bits):
+                plane = F.array(*[F.lit(float(v)) for v in planes[t, bit]])
+                acc = acc.bitwiseOR(
+                    F.shiftleft((_dot(F.col(vec_col), plane) > 0).cast("long"), bit)
+                )
+            banded = banded.withColumn(f"__b{t}", acc)
+        buckets = banded.select(
+            id_col, vec_col, "__norm",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(t).alias("band"), F.col(f"__b{t}").alias("bucket"))
+                    for t in range(n_bands)
+                ])
+            ).alias("__bb"),
+        ).select(id_col, vec_col, "__norm", "__bb.band", "__bb.bucket")
+        a = buckets.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+            F.col("__norm").alias("__na"), "band", "bucket",
+        )
+        b = buckets.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+            F.col("__norm").alias("__nb"), "band", "bucket",
+        )
+        pairs = a.join(b, ["band", "bucket"]).filter(F.col("id_a") < F.col("id_b")).dropDuplicates(
+            ["id_a", "id_b"]
+        )
+
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

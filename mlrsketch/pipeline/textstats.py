@@ -81,3 +81,15 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fp") -> DataF
     Used as the exact-dedup key at any scale; 128 bits ⇒ collision
     probability negligible at 10^12 docs."""
     return df.withColumn(out, F.md5(F.col(text_col)))
+
+
+_BPE_ISH = r"[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text", out: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token count: alpha runs, digit runs, and individual
+    punctuation each count as one token (the pre-tokenization split most
+    BPE vocabularies start from). JVM regexp, zero shuffle."""
+    return df.withColumn(
+        out, F.size(F.regexp_extract_all(F.col(text_col), F.lit(_BPE_ISH), 0))
+    )

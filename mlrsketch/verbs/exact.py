@@ -101,10 +101,25 @@ def _acc(name: str, f: str, interpolated: bool = False) -> Column:
         return F.stddev_samp(F.col(f))
     if name == "meaneb":  # stats1_accumulators.go:618-705: var/n then sqrt
         return F.sqrt(F.var_samp(F.col(f)) / F.count(F.col(f)))
-    if name == "skewness":
-        return F.skewness(F.col(f))
-    if name == "kurtosis":
-        return F.kurtosis(F.col(f))
+    if name in ("skewness", "kurtosis"):
+        # Miller's exact finalization from raw power sums
+        # (pkg/bifs/stats.go:85-105 skewness, :121-147 kurtosis):
+        # population central moment over SAMPLE-variance denominator —
+        # different from both Spark's and DuckDB's builtins, so spelled
+        # out. Raw sums are trivially mergeable => partial agg applies.
+        x = F.col(f).cast("double")
+        n = F.count(x).cast("double")
+        s1, s2 = F.sum(x), F.sum(x * x)
+        s3, s4 = F.sum(x * x * x), F.sum(x * x * x * x)
+        mean = s1 / n
+        if name == "skewness":  # denom: SAMPLE variance^1.5 (stats.go:102)
+            svar = (s2 - n * mean * mean) / (n - 1)
+            num = (s3 - mean * (3.0 * s2 - 2.0 * n * mean * mean)) / n
+            return num / F.pow(svar, 1.5)
+        # kurtosis denom: POPULATION variance^2 (stats.go:141-143)
+        pvar = (s2 - n * mean * mean) / n
+        num = (s4 - mean * (4.0 * s3 - mean * (6.0 * s2 - 3.0 * n * mean * mean))) / n
+        return num / (pvar * pvar) - 3.0
     if name == "first":
         return F.first(F.col(f))
     if name == "last":
@@ -189,6 +204,20 @@ def stats1(
             else:
                 out_cols.append(pick(f, float(a[1:])).alias(f"{f}_{a}"))
     return grouped.select(*out_cols)
+
+
+def mad(df: DataFrame, value: str, by: Sequence[str] = ()) -> DataFrame:
+    """stats1 `mad` = MEAN absolute deviation from the mean
+    (stats1_accumulators.go:496-534 — Miller keeps all samples and does
+    two passes; here: a window mean + one grouped agg, no row retention).
+    """
+    by = _cols(by)
+    w = Window.partitionBy(*by) if by else Window.partitionBy()
+    centered = df.withColumn("__mean", F.avg(value).over(w))
+    grouped = centered.groupBy(*by) if by else centered.groupBy()
+    return grouped.agg(
+        F.avg(F.abs(F.col(value) - F.col("__mean"))).alias(f"{value}_mad")
+    )
 
 
 def mode_impl(df: DataFrame, value: str, by: Sequence[str], anti: bool = False) -> DataFrame:
@@ -375,16 +404,23 @@ def merge_fields(df: DataFrame, accs: Sequence[str], fields: Sequence[str], out_
     out = df
     for a in _cols(accs):
         name = f"{out_prefix}_{a}"
+        ssum = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+        ssum2 = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x * x)
+        cnt = F.size(nn)
         if a == "min":
             c = F.array_min(nn)
         elif a == "max":
             c = F.array_max(nn)
         elif a == "sum":
-            c = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+            c = ssum
         elif a == "mean":
-            c = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x) / F.size(nn)
+            c = ssum / cnt
         elif a == "count":
-            c = F.size(nn)
+            c = cnt
+        elif a == "var":  # sample variance from raw moments (n-1 denom)
+            c = (ssum2 - ssum * ssum / cnt) / (cnt - 1)
+        elif a == "stddev":
+            c = F.sqrt((ssum2 - ssum * ssum / cnt) / (cnt - 1))
         else:
             raise ValueError(f"merge-fields accumulator not supported: {a}")
         out = out.withColumn(name, c)
@@ -410,6 +446,32 @@ def stats2(df: DataFrame, x: str, y: str, stats: Sequence[str], by: Sequence[str
             m = F.covar_pop(x, y) / F.var_pop(x)
             aggs.append(m.alias(f"{x}_{y}_m"))
             aggs.append((F.avg(y) - m * F.avg(x)).alias(f"{x}_{y}_b"))
+        elif s == "linreg-pca":
+            # Total least squares via the principal eigenvector of the
+            # 2x2 SAMPLE covariance matrix (lib/stats.go:165-183 GetCovMatrix,
+            # :207-229 GetLinearRegressionPCA). Closed form for 2x2
+            # symmetric [[sxx,sxy],[sxy,syy]]:
+            #   lambda = ((sxx+syy) +- sqrt((sxx-syy)^2 + 4 sxy^2)) / 2
+            #   principal direction (sxy, l1 - sxx)  =>  m = (l1-sxx)/sxy
+            #   b = ybar - m*xbar; quality = 1 - |l2|/|l1|.
+            sxx, syy, sxy = F.var_samp(x), F.var_samp(y), F.covar_samp(x, y)
+            disc = F.sqrt((sxx - syy) * (sxx - syy) + 4 * sxy * sxy)
+            l1 = (sxx + syy + disc) / 2
+            l2 = (sxx + syy - disc) / 2
+            m = (l1 - sxx) / sxy
+            aggs.append(m.alias(f"{x}_{y}_pca_m"))
+            aggs.append((F.avg(y) - m * F.avg(x)).alias(f"{x}_{y}_pca_b"))
+            aggs.append(F.count(F.col(x)).alias(f"{x}_{y}_pca_n"))
+            aggs.append(
+                F.when(F.abs(l1) == 0, F.lit(0.0))
+                .otherwise(1.0 - F.abs(l2) / F.abs(l1))
+                .alias(f"{x}_{y}_pca_quality")
+            )
+        elif s == "covx":
+            # sample-covariance matrix (stats2_accumulators.go:78-81)
+            aggs.append(F.var_samp(x).alias(f"{x}_var"))
+            aggs.append(F.covar_samp(x, y).alias(f"{x}_{y}_cov"))
+            aggs.append(F.var_samp(y).alias(f"{y}_var"))
         else:
             raise ValueError(f"unknown stats2: {s}")
     if by:
@@ -488,21 +550,15 @@ def sub_field(df: DataFrame, field: str, pattern: str, replacement: str, all_mat
     """`mlr sub/gsub -f field pattern repl` (pkg/transformers/subs.go:26)."""
     if all_matches:
         return df.withColumn(field, F.regexp_replace(F.col(field), pattern, replacement))
-    # sub: first match only — regexp_replace with a compiled "once" trick
+    # sub: FIRST match only (subs.go:26 `sub` vs `gsub`). Spark's
+    # regexp_replace is global, so wrap: the (?s)(.*) tail makes the
+    # first match consume the rest of the string, leaving exactly one
+    # replacement site. Backrefs in `replacement` shift by one group
+    # ($1 = the original whole match).
     return df.withColumn(
         field,
-        F.concat(
-            F.regexp_replace(
-                F.substring_index(F.col(field), F.regexp_extract(F.col(field), pattern, 0), 1),
-                F.lit("$^"),
-                F.lit(""),
-            ),
-            F.regexp_replace(F.regexp_extract(F.col(field), pattern, 0), pattern, replacement),
-            F.expr(
-                f"substring({field}, length(substring_index({field}, "
-                f"regexp_extract({field}, '{pattern}', 0), 1)) + "
-                f"length(regexp_extract({field}, '{pattern}', 0)) + 1)"
-            ),
+        F.regexp_replace(
+            F.col(field), f"(?s)({pattern})(.*)", replacement + "$2"
         ),
     )
 
@@ -581,8 +637,9 @@ def decimate(df: DataFrame, n: int, order_by: Sequence[str], by: Sequence[str] =
 def sort(df: DataFrame, specs: Sequence[tuple[str, str]]) -> DataFrame:
     """`mlr sort -f/-r/-nf/-nr ...` (pkg/transformers/sort.go:69).
 
-    specs: (field, one of 'f'|'r'|'nf'|'nr') — lexical asc/desc,
-    numeric asc/desc. Miller: numeric sort puts non-numerics last.
+    specs: (field, one of 'f'|'r'|'nf'|'nr'|'c'|'cr'|'t'|'tr') —
+    lexical asc/desc, numeric asc/desc, case-folded, natural
+    (sort.go:57-66). Miller: numeric sort puts non-numerics last.
     Spark's sort is a distributed range-partitioned sort (spills),
     unlike Miller's in-memory sort (performance.md:27).
     """
@@ -597,9 +654,29 @@ def sort(df: DataFrame, specs: Sequence[tuple[str, str]]) -> DataFrame:
             order.append(c.cast("double").asc_nulls_last())
         elif how == "nr":
             order.append(c.cast("double").desc_nulls_last())
+        elif how == "c":
+            order.append(F.lower(c.cast("string")).asc())
+        elif how == "cr":
+            order.append(F.lower(c.cast("string")).desc())
+        elif how in ("t", "tr"):
+            k = _natural_sort_key(c.cast("string"))
+            order.append(k.asc() if how == "t" else k.desc())
         else:
             raise ValueError(how)
     return df.orderBy(*order)
+
+
+def _natural_sort_key(c: Column) -> Column:
+    """Natural-order sort key (`mlr sort -t`, sort.go:57-66): digit runs
+    compare numerically, text runs lexically. Built entirely from JVM
+    HOFs (split on digit/non-digit boundaries, left-pad digit runs to a
+    fixed width) — stays inside whole-stage codegen, no UDF."""
+    toks = F.split(c, r"(?<=\D)(?=\d)|(?<=\d)(?=\D)")
+    padded = F.transform(
+        toks,
+        lambda t: F.when(t.rlike("^[0-9]+$"), F.lpad(t, 20, "0")).otherwise(t),
+    )
+    return F.array_join(padded, "")
 
 
 def head(df: DataFrame, n: int, by: Sequence[str] = (), order_by: Sequence[str] = ()) -> DataFrame:
@@ -710,14 +787,23 @@ def step(
     for f in _cols(values):
         c = F.col(f)
         for s in _cols(steppers):
-            if s in ("shift", "shift_lag"):
-                e = F.lag(c, 1).over(base)
-            elif s == "shift_lead":
-                e = F.lead(c, 1).over(base)
-            elif s == "delta":  # step.go:639-645: first record gets 0
-                e = F.coalesce(c - F.lag(c, 1).over(base), F.lit(0))
-            elif s == "ratio":
-                e = c / F.lag(c, 1).over(base)
+            # parameterized steppers shift_lag_N / shift_lead_N / delta_N /
+            # ratio_N (step.go:679-701 registers the _n variants)
+            lag_n = 1
+            base_name = s
+            parts = s.rsplit("_", 1)
+            if len(parts) == 2 and parts[1].isdigit() and parts[0] in (
+                "shift_lag", "shift_lead", "delta", "ratio"
+            ):
+                base_name, lag_n = parts[0], int(parts[1])
+            if base_name in ("shift", "shift_lag"):
+                e = F.lag(c, lag_n).over(base)
+            elif base_name == "shift_lead":
+                e = F.lead(c, lag_n).over(base)
+            elif base_name == "delta":  # step.go:639-645: first record gets 0
+                e = F.coalesce(c - F.lag(c, lag_n).over(base), F.lit(0))
+            elif base_name == "ratio":
+                e = c / F.lag(c, lag_n).over(base)
             elif s == "rsum":
                 e = F.sum(c).over(run)
             elif s == "rprod":
@@ -840,3 +926,363 @@ def template(df: DataFrame, fields: Sequence[str], fill: str | None = None) -> D
         else:
             cols.append(F.lit(fill).alias(f))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# column profiling (SURVEY.md §2.5: summary / describe)
+# ---------------------------------------------------------------------------
+
+_NUMERIC_TYPES = ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+
+
+def summary(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """`mlr summary` (pkg/transformers/summary.go:77; stat list
+    summary.go:71): per-COLUMN profile. One output row per field with
+    field_type, count, null_count, distinct_count, sum/mean/min/max/
+    var/stddev/median for numeric fields, minlen/maxlen for all.
+
+    Plan shape: one grouped aggregation per column, unioned — each is a
+    single-shuffle partial/final hash agg over one column (column
+    pruning means each branch scans only its own column). Miller builds
+    the same profile in one streaming pass over a single process;
+    at cluster scale the per-column branches run as independent stages.
+    """
+    cols = _cols(columns) if columns else df.columns
+    dtypes = dict(df.dtypes)
+    parts = []
+    for name in cols:
+        t = dtypes[name]
+        is_num = any(t.startswith(nt) for nt in _NUMERIC_TYPES)
+        c = F.col(name)
+        s = c.cast("string")
+        d = c.cast("double") if is_num else F.lit(None).cast("double")
+        null_like = c.isNull() | (s == "")
+        aggs = [
+            F.count(F.lit(1)).alias("count"),
+            F.sum(null_like.cast("long")).alias("null_count"),
+            F.countDistinct(c).alias("distinct_count"),
+            F.sum(d).alias("sum"),
+            F.avg(d).alias("mean"),
+            F.min(d).alias("min"),
+            F.max(d).alias("max"),
+            F.var_samp(d).alias("var"),
+            F.stddev_samp(d).alias("stddev"),
+            (
+                F.get(
+                    F.array_sort(F.collect_list(d)),
+                    F.least(
+                        F.greatest(
+                            F.floor(F.lit(0.5) * F.count(d)).cast("int"), F.lit(0)
+                        ),
+                        F.count(d).cast("int") - 1,
+                    ),
+                )
+                if is_num
+                else F.lit(None).cast("double")
+            ).alias("median"),
+            F.min(F.length(s)).alias("minlen"),
+            F.max(F.length(s)).alias("maxlen"),
+        ]
+        parts.append(
+            df.select(c, s.alias("__s"), d.alias("__d"))
+            .agg(*aggs)
+            .select(
+                F.lit(name).alias("field_name"), F.lit(t).alias("field_type"), "*"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# time verbs (SURVEY.md §2.2: sec2gmt / sec2gmtdate / gmt2sec)
+# ---------------------------------------------------------------------------
+
+
+def sec2gmtdate(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr sec2gmtdate` (pkg/transformers/sec2gmtdate.go:17): epoch
+    seconds → 'YYYY-MM-DD'."""
+    return df.withColumns(
+        {f: F.date_format(F.to_timestamp(F.col(f)), "yyyy-MM-dd") for f in _cols(fields)}
+    )
+
+
+def gmt2sec(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """DSL `gmt2sec` (pkg/bifs/datetime.go): ISO-8601 → epoch seconds."""
+    return df.withColumns(
+        {f: F.unix_timestamp(F.col(f), "yyyy-MM-dd'T'HH:mm:ss'Z'") for f in _cols(fields)}
+    )
+
+
+# ---------------------------------------------------------------------------
+# key/value & nesting restructure (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def unspace(df: DataFrame, fill: str = "_", values_too: bool = True) -> DataFrame:
+    """`mlr unspace -f X` (pkg/transformers/unspace.go:21): replace
+    spaces in keys (column names) and optionally values."""
+    renames = {c: c.replace(" ", fill) for c in df.columns if " " in c}
+    out = df.withColumnsRenamed(renames) if renames else df
+    if values_too:
+        out = out.withColumns(
+            {
+                c: F.regexp_replace(F.col(c), " ", fill)
+                for c, t in out.dtypes
+                if t == "string"
+            }
+        )
+    return out
+
+
+def altkv(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr altkv` (pkg/transformers/altkv.go:18): alternating values
+    become key/value pairs — (v1,v2,v3,v4) → {v1:v2, v3:v4}. Emitted
+    exploded as (key, value) string rows (fixed-schema analogue of
+    Miller's dynamic record)."""
+    fields = _cols(fields)
+    ks = F.array(*[F.col(f).cast("string") for f in fields[0::2]])
+    vs = F.array(*[F.col(f).cast("string") for f in fields[1::2]])
+    return df.select(F.explode(F.map_from_arrays(ks, vs)).alias("key", "value"))
+
+
+def flatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
+    """`mlr flatten` (pkg/transformers/flatten.go:20; core
+    pkg/mlrval/mlrmap_flatten_unflatten.go): nested struct columns →
+    dotted top-level columns, recursively."""
+    out_cols: list[Column] = []
+
+    def walk(prefix: str, schema, path: str):
+        for field in schema.fields:
+            full = f"{path}.`{field.name}`" if path else f"`{field.name}`"
+            name = f"{prefix}{sep}{field.name}" if prefix else field.name
+            if field.dataType.typeName() == "struct":
+                walk(name, field.dataType, full)
+            else:
+                out_cols.append(F.col(full).alias(name))
+
+    walk("", df.schema, "")
+    return df.select(*out_cols)
+
+
+def unflatten_structs(df: DataFrame, sep: str = ".") -> DataFrame:
+    """`mlr unflatten` (pkg/transformers/unflatten.go:20): dotted column
+    names reassembled into struct columns (single level of nesting per
+    dotted prefix, applied recursively)."""
+    groups: dict[str, list[str]] = {}
+    plain: list[str] = []
+    for c in df.columns:
+        if sep in c:
+            groups.setdefault(c.split(sep, 1)[0], []).append(c)
+        else:
+            plain.append(c)
+    sel: list[Column] = [F.col(f"`{c}`") for c in plain]
+    for prefix, cols in groups.items():
+        sel.append(
+            F.struct(
+                *[F.col(f"`{c}`").alias(c.split(sep, 1)[1]) for c in cols]
+            ).alias(prefix)
+        )
+    return df.select(*sel)
+
+
+def json_stringify(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr json-stringify -f ...` (pkg/transformers/json_stringify.go:35)."""
+    return df.withColumns({f: F.to_json(F.col(f)) for f in _cols(fields)})
+
+
+def json_parse(df: DataFrame, field: str, schema: str) -> DataFrame:
+    """`mlr json-parse -f ...` (pkg/transformers/json_parse.go:29)."""
+    return df.withColumn(field, F.from_json(F.col(field), schema))
+
+
+def label(df: DataFrame, names: Sequence[str]) -> DataFrame:
+    """`mlr label a,b,c` (pkg/transformers/label.go:17): rename the
+    first n columns positionally."""
+    names = _cols(names)
+    return df.toDF(*names, *df.columns[len(names):])
+
+
+def group_by_stream(df: DataFrame, by: Sequence[str]) -> DataFrame:
+    """`mlr group-by` (pkg/transformers/group_by.go:17): reorder the
+    stream so same-group records are contiguous, WITHOUT aggregating.
+    Spark: hash-repartition on the keys + in-partition sort — the records
+    of one group land contiguous in one partition, no driver collect."""
+    by = _cols(by)
+    return df.repartition(*by).sortWithinPartitions(*by)
+
+
+def remove_empty_columns(df: DataFrame) -> DataFrame:
+    """`mlr remove-empty-columns` (remove_empty_columns.go:17): drop
+    columns that are empty/null in EVERY record. Two-pass: one tiny agg
+    row (max length per column) drives the projection."""
+    probe = df.agg(
+        *[
+            F.max(F.length(F.col(c).cast("string"))).alias(c)
+            for c in df.columns
+        ]
+    ).first()
+    keep = [c for c in df.columns if probe[c] is not None and probe[c] > 0]
+    return df.select(*keep)
+
+
+# ---------------------------------------------------------------------------
+# randomized verbs (SURVEY.md §2.7) — seeded, distributed
+# ---------------------------------------------------------------------------
+
+
+def shuffle_verb(df: DataFrame, seed: int = 42) -> DataFrame:
+    """`mlr shuffle` (pkg/transformers/shuffle.go:17): random
+    permutation — a seeded distributed sort on rand()."""
+    return df.orderBy(F.rand(seed))
+
+
+def bootstrap(df: DataFrame, seed: int = 42) -> DataFrame:
+    """`mlr bootstrap` (pkg/transformers/bootstrap.go:19): sample WITH
+    replacement, same expected size as the input — df.sample with
+    replacement (Poisson per-row multiplicity; the distributed analogue
+    of Miller's in-memory index draw)."""
+    return df.sample(withReplacement=True, fraction=1.0, seed=seed)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value: str,
+    by: Sequence[str] = (),
+    n_boot: int = 200,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 42,
+) -> DataFrame:
+    """`mlr bootstrap-ci` (pkg/transformers/bootstrap_ci.go:29):
+    bootstrap confidence interval for the per-group mean. Vectorized
+    resampling per group via applyInPandas (numpy draws an
+    (n_boot x n) index matrix in one shot — no Python loop per row)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    by = _cols(by)
+    by_fields = [df.schema[c] for c in by]
+    schema = StructType(
+        by_fields
+        + [
+            StructField(f"{value}_mean", DoubleType()),
+            StructField(f"{value}_ci_lo", DoubleType()),
+            StructField(f"{value}_ci_hi", DoubleType()),
+        ]
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf[value].to_numpy(dtype=np.float64)
+        x = x[~np.isnan(x)]
+        # group-content-derived seed: deterministic under any partitioning
+        gseed = (seed + len(x) + int(abs(float(x.sum())) * 1000) % 100003) % (2**31)
+        rng = np.random.default_rng(gseed)
+        idx = rng.integers(0, len(x), size=(n_boot, len(x)))
+        means = x[idx].mean(axis=1)
+        row = {c: pdf[c].iloc[0] for c in by}
+        row[f"{value}_mean"] = float(x.mean())
+        row[f"{value}_ci_lo"] = float(np.quantile(means, lo))
+        row[f"{value}_ci_hi"] = float(np.quantile(means, hi))
+        return pd.DataFrame([row])
+
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.applyInPandas(per_group, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# survival analysis (SURVEY.md §2.5: surv)
+# ---------------------------------------------------------------------------
+
+
+def surv(df: DataFrame, time_col: str, status_col: str, by: Sequence[str] = ()) -> DataFrame:
+    """`mlr surv -d t -s status` (pkg/transformers/surv.go:23):
+    Kaplan-Meier product-limit survival estimate. At each distinct event
+    time t_i: n_i = subjects still at risk, d_i = events at t_i,
+    S(t_i) = prod_{j<=i} (1 - d_j/n_j).
+
+    Expressed shuffle-lean: one grouped count per (time), a window
+    cumsum for n_at_risk, and the running product as exp(sum(log)) —
+    all Catalyst windows, no iteration.
+    """
+    by = _cols(by)
+    total_w = Window.partitionBy(*by) if by else Window.partitionBy()
+    ordw = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy(F.col(time_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy(F.col(time_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    per_t = (
+        df.groupBy(*by, time_col)
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col(status_col).cast("long")).alias("d"),
+        )
+    )
+    per_t = per_t.withColumn("n_total_all", F.sum("n_total").over(total_w))
+    per_t = per_t.withColumn(
+        "n_risk", F.col("n_total_all") - F.coalesce(F.sum("n_total").over(prev), F.lit(0))
+    )
+    surv_col = F.exp(
+        F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(ordw)
+    )
+    return (
+        per_t.withColumn("survival", surv_col)
+        .select(*by, F.col(time_col), "n_risk", F.col("d").alias("n_events"), "survival")
+        .orderBy(*by, time_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-window stats1 (`stats1 -w n`, stats1.go:31,483-553)
+# ---------------------------------------------------------------------------
+
+_WIN_ACCS = {
+    "count": F.count,
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "var": F.var_samp,
+    "stddev": F.stddev_samp,
+}
+
+
+def stats1_windowed(
+    df: DataFrame,
+    accs: Sequence[str],
+    values: Sequence[str],
+    w: int,
+    order_by: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """`mlr stats1 -w n` (stats1.go:31,483-553): trailing window of n
+    records per group, one output per input record. All accumulators
+    share one Window frame — Catalyst plans a single WindowExec."""
+    by = _cols(by)
+    frame = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy(*[F.col(c) for c in _cols(order_by)])
+        .rowsBetween(-(w - 1), 0)
+    )
+    out = df
+    for f in _cols(values):
+        for a in _cols(accs):
+            if a not in _WIN_ACCS:
+                raise ValueError(f"stats1 -w accumulator not supported: {a}")
+            out = out.withColumn(f"{f}_{a}_{w}", _WIN_ACCS[a](F.col(f)).over(frame))
+    return out
+
+
+def count_distinct_n(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr count-distinct -n` (uniq.go:18-25): just the number of
+    distinct field-value combinations."""
+    return df.select(*_cols(fields)).distinct().agg(F.count("*").alias("count"))
