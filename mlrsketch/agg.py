@@ -75,17 +75,18 @@ def _group_key_tuple(key) -> tuple:
     return key if isinstance(key, tuple) else (key,)
 
 
-def sketch_aggregate(
+def partial_states(
     df: DataFrame,
     of: str,
     spec: SketchSpec,
     by: Sequence[str] = (),
-    out_schema: StructType | str = "",
     salted: bool = False,
     n_salts: int = 64,
 ) -> DataFrame:
-    """Run the two-level partial/final sketch plan; returns the finalized
-    DataFrame with the group keys + whatever `spec.finalize` emits."""
+    """Stage 1 only: per-(input partition x group) serialized sketch
+    states as (by..., __sketch_state:binary) rows. Used standalone by
+    the streaming foreachBatch sink and the checkpoint layer; composed
+    with the final merge by `sketch_aggregate`."""
     by = list(by)
     prepared = spec.prepare(df, of).select(*by, *spec.internal_cols)
     if salted:
@@ -122,7 +123,22 @@ def sketch_aggregate(
             ]
             yield pd.DataFrame(rows, columns=by + [STATE_COL])
 
-    partials = prepared.mapInPandas(partial, schema=state_schema)
+    return prepared.mapInPandas(partial, schema=state_schema)
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    of: str,
+    spec: SketchSpec,
+    by: Sequence[str] = (),
+    out_schema: StructType | str = "",
+    salted: bool = False,
+    n_salts: int = 64,
+) -> DataFrame:
+    """Run the two-level partial/final sketch plan; returns the finalized
+    DataFrame with the group keys + whatever `spec.finalize` emits."""
+    by = list(by)
+    partials = partial_states(df, of, spec, by=by, salted=salted, n_salts=n_salts)
 
     deser = spec.deserialize
     finalize = spec.finalize

@@ -1,0 +1,198 @@
+"""Structured Streaming surface for mlrsketch.
+
+Miller has no event-time semantics — all its windows are record-count
+based over arrival order (reference: /root/reference/docs/src/
+streaming-and-memory.md:77-190; the `step`/`stats1 -w` verbs). This
+module is therefore a pure Spark-first extension, per SURVEY.md §2.6:
+time windows over `warc_ts` (or any event-time column) with watermarks
+for late data, and the library's mergeable sketch states running as
+custom stateful streaming operators.
+
+Three layers:
+
+- stream_stats1: Miller `stats1` over tumbling/sliding event-time
+  windows — built-in aggregates only, so Spark's incremental state
+  store handles partial aggregation per micro-batch (the streaming
+  analogue of our batch partial/final split).
+- stream_count_distinct_hll: `count-distinct` as a CUSTOM STATEFUL
+  operator via applyInPandasWithState — the group's HLL sketch IS the
+  state (serialized bytes), updated per micro-batch with the same
+  vectorized core as the batch path, emitting a running estimate.
+  Because HLL merge is associative and commutative, late/out-of-order
+  data needs no special-casing: updates commute.
+- sketch_foreach_batch: micro-batch → partial sketch states appended
+  to a parquet state directory (same layout as mlrsketch.checkpoint),
+  merged on read. This is the resumable-run path: the sink directory
+  plus the streaming checkpoint give exactly-once state accumulation.
+
+Scale notes: state per group is the sketch size (KB), not the data;
+watermark bounds the number of live windows; shuffle is on
+(window, *by) which Spark hash-partitions across executors.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from mlrsketch.sketches import HyperLogLog
+
+_STATS1_STREAM_ACCS = {
+    "count": F.count,
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def stream_stats1(
+    sdf: DataFrame,
+    accs: Sequence[str],
+    values: Sequence[str],
+    time_col: str,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    by: Sequence[str] = (),
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed `stats1` over an event-time stream.
+
+    Returns a streaming DataFrame with (window_start, window_end, by...,
+    {field}_{acc}...). Late rows beyond `watermark` are dropped by the
+    engine; everything else is incrementally aggregated in the state
+    store (sum/count/min/max are all mergeable, so Spark keeps O(1)
+    state per window x group).
+    """
+    by = list(by)
+    win = (
+        F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    )
+    aggs = []
+    for f in values:
+        for a in accs:
+            if a not in _STATS1_STREAM_ACCS:
+                raise ValueError(
+                    f"streaming stats1 supports {sorted(_STATS1_STREAM_ACCS)}, got {a}"
+                )
+            aggs.append(_STATS1_STREAM_ACCS[a](F.col(f)).alias(f"{f}_{a}"))
+    return (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(win.alias("window"), *by)
+        .agg(*aggs)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *by,
+            *[f"{f}_{a}" for f in values for a in accs],
+        )
+    )
+
+
+def stream_count_distinct_hll(
+    sdf: DataFrame,
+    of: str,
+    by: Sequence[str],
+    p: int = 12,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """`count-distinct -f of -g by` as a custom stateful streaming
+    operator (applyInPandasWithState).
+
+    State per group = one serialized HLL (2^p bytes). Each micro-batch
+    hashes its rows JVM-side (xxhash64, same as the batch path), the
+    Python side unions them into the state sketch, and the operator
+    emits the group's running (estimate, error_bound). Updates commute,
+    so out-of-order arrival changes nothing — the defining property
+    that makes sketches the right streaming state.
+
+    Output mode must be "update".
+    """
+    by = list(by)
+    import numpy as np
+
+    by_fields = [sdf.schema[c] for c in by]
+    out_schema = StructType(
+        by_fields
+        + [
+            StructField("distinct_count_est", DoubleType()),
+            StructField("error_bound", DoubleType()),
+            StructField("n_batches", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n_batches", LongType())]
+    )
+
+    prepared = sdf.withColumn("__h", F.xxhash64(F.col(of).cast("string"))).select(
+        *by, "__h"
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, n_batches = state.get
+            hll = HyperLogLog.deserialize(bytes(blob))
+        else:
+            hll, n_batches = HyperLogLog(p=p), 0
+        for pdf in pdfs:
+            hll.update_hashes(pdf["__h"].to_numpy(dtype=np.int64))
+        n_batches += 1
+        state.update((hll.serialize(), n_batches))
+        row = dict(zip(by, key))
+        row["distinct_count_est"] = hll.estimate()
+        row["error_bound"] = hll.error_bound()
+        row["n_batches"] = n_batches
+        yield pd.DataFrame([row])
+
+    return prepared.groupBy(*by).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
+def sketch_foreach_batch(
+    query_df_fn,
+    state_dir: str,
+):
+    """Build a foreachBatch sink that appends each micro-batch's partial
+    sketch-state rows (as produced by mlrsketch.agg partials or any
+    DataFrame with a binary state column) to `state_dir` parquet,
+    partitioned by batch id. Combined with the stream's
+    checkpointLocation this gives resumable, exactly-once state
+    accumulation: replaying a batch overwrites its own partition.
+
+    query_df_fn: micro-batch DataFrame -> state DataFrame to persist.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = query_df_fn(batch_df)
+        out.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"batch_id={batch_id}")
+        )
+
+    return sink
+
+
+def read_merged_states(spark, state_dir: str, deserialize, state_col: str = "__sketch_state"):
+    """Merge all persisted partial states under `state_dir` into one
+    sketch (driver-side; states are KB each)."""
+    rows = spark.read.parquet(state_dir).select(state_col).collect()
+    merged = None
+    for r in rows:
+        sk = deserialize(bytes(r[state_col]))
+        merged = sk if merged is None else merged.merge(sk)
+    return merged
