@@ -817,6 +817,17 @@ def q_bootstrap_ci(spark, sf):
     )
 
 
+def q_sketch_profile(spark, sf):
+    # fused one-pass multi-sketch (HLL + KLL + CMS in one scan) per lang
+    d = _t(spark, sf, "documents")
+    return sv.sketch_profile(d, url_col="doc_id", text_col="text", by=["lang"], p=12)
+
+
+def q_token_top_k(spark, sf):
+    # CMS heavy hitters fed from the text column without exploding rows
+    return sv.token_top_k(_t(spark, sf, "documents"), "text", k=10)
+
+
 def q_image_features(spark, sf):
     from mlrsketch.pipeline import multimodal
 
@@ -919,6 +930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap": q_bootstrap,
         "bootstrap_ci": q_bootstrap_ci,
         "image_features": q_image_features,
+        "sketch_profile": q_sketch_profile,
+        "token_top_k": q_token_top_k,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,
         "tdigest_quantiles": q_tdigest_quantiles,
         "kll_quantiles": q_kll_quantiles,

@@ -143,6 +143,39 @@ def sketch_aggregate(
     deser = spec.deserialize
     finalize = spec.finalize
 
+    if not by:
+        # GLOBAL aggregate: the grouped plan would shuffle the KB-scale
+        # states to one reducer through a full exchange + a final stage
+        # of shuffle.partitions mostly-empty python tasks — measured
+        # ~3s of fixed cost per job regardless of core count, which
+        # caps N-vs-4N scaling efficiency. treeAggregate shape instead:
+        # a NARROW coalesce + in-partition merge collapses the states
+        # to <= 8 rows, the driver merges those (sub-ms; states are
+        # KB), and the one-row result becomes a local DataFrame.
+        def merge_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            merged = None
+            for pdf in batches:
+                for blob in pdf[STATE_COL]:
+                    sk = deser(bytes(blob))
+                    merged = sk if merged is None else merged.merge(sk)
+            if merged is not None:
+                yield pd.DataFrame({STATE_COL: [merged.serialize()]})
+
+        state_schema = StructType([StructField(STATE_COL, BinaryType(), False)])
+        # repartition, NOT coalesce: coalesce fuses into the parent stage
+        # and would collapse the partial computation itself to 8 tasks.
+        # The round-robin shuffle moves only KB-scale states.
+        reduced = partials.repartition(8).mapInPandas(merge_partition, schema=state_schema)
+        rows = reduced.collect()
+        spark = df.sparkSession
+        if not rows:
+            return spark.createDataFrame([], schema=out_schema)
+        merged = None
+        for r in rows:
+            sk = deser(bytes(r[STATE_COL]))
+            merged = sk if merged is None else merged.merge(sk)
+        return spark.createDataFrame(finalize(merged), schema=out_schema)
+
     def final(pdf: pd.DataFrame) -> pd.DataFrame:
         merged = None
         for blob in pdf[STATE_COL]:
@@ -153,5 +186,4 @@ def sketch_aggregate(
             out.insert(0, c, pdf[c].iloc[0]) if c not in out.columns else None
         return out[ [c for c in by] + [c for c in out.columns if c not in by] ]
 
-    grouped = partials.groupBy(*by) if by else partials.groupBy()
-    return grouped.applyInPandas(final, schema=out_schema)
+    return partials.groupBy(*by).applyInPandas(final, schema=out_schema)

@@ -114,9 +114,16 @@ def write_pages(spark: SparkSession, n_rows: int, path: str, partitions: int | N
     generate_pages(spark, n_rows, partitions).write.mode("overwrite").parquet(path)
 
 
-def load_or_create_pages(spark: SparkSession, n_rows: int, path: str) -> DataFrame:
+def load_or_create_pages(
+    spark: SparkSession, n_rows: int, path: str, partitions: int | None = None
+) -> DataFrame:
+    """Cached deterministic pages parquet. `partitions` pins the FILE
+    layout of the cache (default 64): the on-disk split count must not
+    depend on the parallelism of whichever session happened to create
+    the cache, or a later wider session is capped below its core count
+    by a coarse file layout."""
     import os
 
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_pages(spark, n_rows, path)
+        write_pages(spark, n_rows, path, partitions=partitions or 64)
     return spark.read.parquet(path)

@@ -35,6 +35,7 @@ def get_spark(
     app: str = "mlrsketch",
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or reuse) a local SparkSession with scale-appropriate conf."""
     if cores is None:
@@ -56,6 +57,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

@@ -102,7 +102,12 @@ class CountMinSketch:
 
 
 class TopKSketch:
-    """CMS + bounded candidate set for heavy hitters (`most-frequent`)."""
+    """CMS + bounded candidate set for heavy hitters (`most-frequent`).
+
+    Candidates carry their 64-bit hash (value -> [count, hash]) so the
+    hot path (trim/re-score every batch) is pure numpy over stored
+    hashes — strings are hashed exactly once, and on the executor that
+    hash arrives precomputed from JVM-side xxhash64 (update_hashed)."""
 
     __slots__ = ("cms", "capacity", "candidates")
 
@@ -112,32 +117,51 @@ class TopKSketch:
         width: int = 8192,
         capacity: int = 1024,
         cms: CountMinSketch | None = None,
-        candidates: dict[str, int] | None = None,
+        candidates: dict[str, list[int]] | None = None,
     ):
         self.cms = cms or CountMinSketch(depth, width)
         self.capacity = capacity
-        # item -> exact-within-candidate count floor (for diagnostics);
+        # item -> [exact-within-candidate count floor, uint64 hash];
         # ranking always uses CMS estimates after merge.
-        self.candidates: dict[str, int] = candidates or {}
+        self.candidates: dict[str, list[int]] = candidates or {}
 
     def update_values(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
-        """Ingest a pre-aggregated batch: distinct string values + counts."""
+        """Ingest a pre-aggregated batch: distinct string values + counts
+        (driver/test path — hashes computed here)."""
+        self.update_hashed(values, hash_strings(list(values)), counts)
+
+    def update_hashed(
+        self, values, hashes: np.ndarray, counts: np.ndarray | None = None
+    ) -> None:
+        """Ingest a pre-aggregated batch with precomputed 64-bit hashes
+        (the executor path: hashes come from JVM-side xxhash64)."""
         if len(values) == 0:
             return
         if counts is None:
             counts = np.ones(len(values), dtype=np.int64)
-        hashes = hash_strings(list(values))
-        self.cms.update_hashes(hashes, counts)
-        for v, c in zip(values, counts):
-            key = v if isinstance(v, str) else str(v)
-            self.candidates[key] = self.candidates.get(key, 0) + int(c)
+        hu = to_u64(np.asarray(hashes))
+        self.cms.update_hashes(hu, counts)
+        cands = self.candidates
+        for v, c, h in zip(values, counts.tolist(), hu.tolist()):
+            cur = cands.get(v)
+            if cur is None:
+                cands[v] = [c, h]
+            else:
+                cur[0] += c
         self._trim()
+
+    def _cand_hashes(self) -> np.ndarray:
+        return np.fromiter(
+            (ch[1] for ch in self.candidates.values()),
+            dtype=np.uint64,
+            count=len(self.candidates),
+        )
 
     def _trim(self) -> None:
         if len(self.candidates) <= self.capacity:
             return
         items = list(self.candidates.keys())
-        ests = self.cms.estimate_hashes(hash_strings(items))
+        ests = self.cms.estimate_hashes(self._cand_hashes())
         order = np.argsort(-ests, kind="stable")[: self.capacity]
         keep = {items[i] for i in order}
         self.candidates = {k: v for k, v in self.candidates.items() if k in keep}
@@ -147,21 +171,26 @@ class TopKSketch:
         if not self.candidates:
             return []
         items = list(self.candidates.keys())
-        ests = self.cms.estimate_hashes(hash_strings(items))
+        ests = self.cms.estimate_hashes(self._cand_hashes())
         ranked = sorted(zip(items, ests.tolist()), key=lambda t: (-t[1], t[0]))
         return ranked[:k]
 
     def merge(self, other: "TopKSketch") -> "TopKSketch":
         self.cms.merge(other.cms)
-        for k, v in other.candidates.items():
-            self.candidates[k] = self.candidates.get(k, 0) + v
+        for k, ch in other.candidates.items():
+            cur = self.candidates.get(k)
+            if cur is None:
+                self.candidates[k] = list(ch)
+            else:
+                cur[0] += ch[0]
         self._trim()
         return self
 
     def serialize(self) -> bytes:
         cms_bytes = self.cms.serialize()
         cand_blob = "\x00".join(
-            f"{k}\x01{v}" for k, v in sorted(self.candidates.items())
+            f"{k}\x01{cnt}\x01{h}"
+            for k, (cnt, h) in sorted(self.candidates.items())
         ).encode("utf-8")
         return (
             _TK_MAGIC
@@ -180,7 +209,7 @@ class TopKSketch:
         cand_blob = data[off + cms_len : off + cms_len + cand_len].decode("utf-8")
         candidates = {}
         if cand_blob:
-            for pair in cand_blob.split("\x00"):
-                k, v = pair.split("\x01")
-                candidates[k] = int(v)
+            for triple in cand_blob.split("\x00"):
+                k, cnt, h = triple.split("\x01")
+                candidates[k] = [int(cnt), int(h)]
         return cls(capacity=capacity, cms=cms, candidates=candidates)

@@ -36,23 +36,25 @@ def to_u64(h: np.ndarray) -> np.ndarray:
 def hash_strings(values, seed: int = 0) -> np.ndarray:
     """Hash an iterable of python strings/bytes to uint64 (test/driver path).
 
-    Uses Python's pyhash via numpy vectorization fallback: FNV-1a 64-bit,
-    implemented over the concatenated byte buffer for speed. Only used
-    off the executor hot path; executors hash JVM-side.
+    blake2b (hashlib, C implementation) truncated to 8 bytes — stable
+    across processes and platforms, ~0.5us/string. Only used off the
+    executor hot path; executors hash JVM-side (F.xxhash64) and the
+    sketches carry those hashes (update_hashed paths) so this is never
+    called per-row inside a Spark job.
     """
+    import hashlib
+
+    key = seed.to_bytes(8, "little") if seed else b""
     out = np.empty(len(values), dtype=np.uint64)
-    prime = _U64(0x100000001B3)
     for i, v in enumerate(values):
         if isinstance(v, str):
             v = v.encode("utf-8")
         elif not isinstance(v, (bytes, bytearray)):
             v = str(v).encode("utf-8")
-        h = _U64(0xCBF29CE484222325) ^ _U64(seed & 0xFFFFFFFFFFFFFFFF)
-        with np.errstate(over="ignore"):
-            for b in v:
-                h = ((h ^ _U64(b)) * prime) & _MASK
-        out[i] = h
-    return splitmix64(out)
+        out[i] = int.from_bytes(
+            hashlib.blake2b(v, digest_size=8, key=key).digest(), "little"
+        )
+    return out
 
 
 def kirsch_mitzenmacher(h: np.ndarray, k: int, modulus: int) -> np.ndarray:
