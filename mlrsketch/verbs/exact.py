@@ -1286,3 +1286,74 @@ def count_distinct_n(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """`mlr count-distinct -n` (uniq.go:18-25): just the number of
     distinct field-value combinations."""
     return df.select(*_cols(fields)).distinct().agg(F.count("*").alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# small remaining verbs (SURVEY.md §2.1/2.2 completeness)
+# ---------------------------------------------------------------------------
+
+
+def tee(df: DataFrame, path: str, fmt: str = "parquet") -> DataFrame:
+    """`mlr tee file` (pkg/transformers/tee.go:20): copy the stream to a
+    sink and pass it through. Spark: persist once so the side write and
+    the downstream plan share the scan, write, return the df."""
+    df = df.persist()
+    df.write.mode("overwrite").format(fmt).save(path)
+    return df
+
+
+def nothing(df: DataFrame) -> DataFrame:
+    """`mlr nothing` (pkg/transformers/nothing.go:16): consume the
+    stream, emit no records (side-effects only)."""
+    return df.limit(0)
+
+
+def ssub_field(df: DataFrame, field: str, literal: str, replacement: str) -> DataFrame:
+    """`mlr ssub` (pkg/transformers/subs.go:26): LITERAL (non-regex)
+    first-occurrence replacement. F.replace is literal but global;
+    Miller ssub replaces only the first occurrence — split once on the
+    literal and rejoin."""
+    c = F.col(field)
+    pos = F.instr(c, literal)
+    return df.withColumn(
+        field,
+        F.when(
+            pos > 0,
+            F.concat(
+                F.substring(c, 1, pos - 1),
+                F.lit(replacement),
+                F.substring(c, pos + len(literal), F.length(c)),
+            ),
+        ).otherwise(c),
+    )
+
+
+def latin1_to_utf8(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr latin1-to-utf8` (latin1_to_utf8.go:18): reinterpret
+    latin-1 bytes as UTF-8 text."""
+    return df.withColumns(
+        {f: F.decode(F.encode(F.col(f), "ISO-8859-1"), "UTF-8") for f in _cols(fields)}
+    )
+
+
+def utf8_to_latin1(df: DataFrame, fields: Sequence[str]) -> DataFrame:
+    """`mlr utf8-to-latin1` (utf8_to_latin1.go:18)."""
+    return df.withColumns(
+        {f: F.decode(F.encode(F.col(f), "UTF-8"), "ISO-8859-1") for f in _cols(fields)}
+    )
+
+
+def histogram_auto(df: DataFrame, value: str, nbins: int) -> DataFrame:
+    """`mlr histogram --auto` (histogram.go:19-25): lo/hi from the data.
+    Miller holds all values; here a first tiny min/max aggregate sizes
+    the bins, then the binned count runs as usual (two scans, bounded
+    memory — the 100 TB-safe variant of Miller's retain-all)."""
+    row = df.agg(
+        F.min(F.col(value).cast("double")).alias("lo"),
+        F.max(F.col(value).cast("double")).alias("hi"),
+    ).first()
+    lo, hi = row["lo"], row["hi"]
+    if lo is None:
+        return histogram(df, value, 0.0, 1.0, nbins)
+    hi = hi + (hi - lo) * 1e-9 + 1e-12  # right-open top bin still catches max
+    return histogram(df, value, lo, hi, nbins)
