@@ -817,6 +817,28 @@ def q_bootstrap_ci(spark, sf):
     )
 
 
+def q_logireg(spark, sf):
+    # stats2 -a logireg: y = 1{event_type='purchase'} ~ sigmoid(m*value+b)
+    e = _t(spark, sf, "events").select(
+        "value", (F.col("event_type") == "purchase").cast("double").alias("is_p")
+    )
+    r = ev.logireg(e, "value", "is_p")
+    return r.select(
+        F.round("value_is_p_m", 6).alias("m"),
+        F.round("value_is_p_b", 6).alias("b"),
+        "value_is_p_n",
+    )
+
+
+def q_frame_sample(spark, sf):
+    from mlrsketch.pipeline import multimodal
+
+    d = multimodal.attach_fake_payload(
+        _t(spark, sf, "documents").limit(50), from_col="text"
+    )
+    return multimodal.frame_sample(d, every_nth=4)
+
+
 def q_sketch_profile(spark, sf):
     # fused one-pass multi-sketch (HLL + KLL + CMS in one scan) per lang
     d = _t(spark, sf, "documents")
@@ -930,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap": q_bootstrap,
         "bootstrap_ci": q_bootstrap_ci,
         "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "logireg": q_logireg,
         "sketch_profile": q_sketch_profile,
         "token_top_k": q_token_top_k,
         "hll_distinct_per_lang": q_hll_distinct_per_lang,

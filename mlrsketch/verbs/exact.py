@@ -1357,3 +1357,71 @@ def histogram_auto(df: DataFrame, value: str, nbins: int) -> DataFrame:
         return histogram(df, value, 0.0, 1.0, nbins)
     hi = hi + (hi - lo) * 1e-9 + 1e-12  # right-open top bin still catches max
     return histogram(df, value, lo, hi, nbins)
+
+
+def logireg(df: DataFrame, x: str, y: str, by: Sequence[str] = (),
+            tol: float = 1e-9, maxits: int = 100) -> DataFrame:
+    """`mlr stats2 -a logireg -f x,y` (pkg/transformers/utils/
+    stats2_accumulators.go:63-66; solver pkg/lib/mlrmath.go:324-420):
+    per-group 1-D logistic regression y ~ sigmoid(m*x + b), fit by
+    Newton-Raphson on the log-likelihood with Miller's exact seeds
+    (m0=-0.001, b0=0.002) and stopping rule.
+
+    Iterative => no closed moments, so this runs as a vectorized
+    numpy Newton loop per group via applyInPandas (the per-iteration
+    reductions are O(n) numpy sums; ~10 iterations typical). Groups fit
+    independently in parallel; at 100 TB scale fit per group, not one
+    global fit over 10^12 rows (subsample first if you need that).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    by = _cols(by)
+    by_fields = [df.schema[c] for c in by]
+    schema = StructType(
+        by_fields
+        + [
+            StructField(f"{x}_{y}_m", DoubleType()),
+            StructField(f"{x}_{y}_b", DoubleType()),
+            StructField(f"{x}_{y}_n", LongType()),
+        ]
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x].to_numpy(dtype=np.float64)
+        ys = pdf[y].to_numpy(dtype=np.float64)
+        ok = ~(np.isnan(xs) | np.isnan(ys))
+        xs, ys = xs[ok], ys[ok]
+        m0, b0 = -0.001, 0.002
+        m, b = m0, b0
+        with np.errstate(over="ignore"):
+            ell0 = None
+            for _ in range(maxits):
+                p = 1.0 / (1.0 + np.exp(-m0 * xs - b0))
+                q = 1.0 - p
+                dldm = float(np.sum(xs * (ys - p)))
+                dldb = float(np.sum(ys - p))
+                pq = p * q
+                ha = -float(np.sum(xs * xs * pq))
+                hb = -float(np.sum(xs * pq))
+                hd = -float(np.sum(pq))
+                ell0 = float(np.sum(np.log(np.maximum(q, 1e-300)) + ys * (m0 * xs + b0)))
+                D = ha * hd - hb * hb
+                m = m0 - (hd * dldm - hb * dldb) / D
+                b = b0 - (-hb * dldm + ha * dldb) / D
+                qn = 1.0 / (1.0 + np.exp(m * xs + b))
+                ell = float(np.sum(np.log(np.maximum(qn, 1e-300)) + ys * (m0 * xs + b0)))
+                dell = max(ell, ell0)
+                err = abs((ell - ell0) / dell) if dell != 0.0 else 0.0
+                m0, b0 = m, b
+                if err < tol:
+                    break
+        row = {c: pdf[c].iloc[0] for c in by}
+        row[f"{x}_{y}_m"] = m
+        row[f"{x}_{y}_b"] = b
+        row[f"{x}_{y}_n"] = int(len(xs))
+        return pd.DataFrame([row])
+
+    grouped = df.groupBy(*by) if by else df.groupBy()
+    return grouped.applyInPandas(fit, schema=schema)

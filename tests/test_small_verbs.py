@@ -59,3 +59,63 @@ def test_step_rprod_matches_cumprod(spark):
     exp = np.cumprod(vals)
     for g, e in zip(got, exp):
         assert abs(g["v_rprod"] - e) < 1e-9
+
+
+def test_logireg_recovers_known_params(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    m_true, b_true = 1.8, -0.7
+    xs = rng.normal(0, 2, 4000)
+    p = 1.0 / (1.0 + np.exp(-(m_true * xs + b_true)))
+    ys = (rng.random(4000) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in zip(xs, ys)], ["x", "y"]
+    )
+    r = ev.logireg(df, "x", "y").first()
+    assert abs(r["x_y_m"] - m_true) < 0.2, r["x_y_m"]
+    assert abs(r["x_y_b"] - b_true) < 0.2, r["x_y_b"]
+    assert r["x_y_n"] == 4000
+
+
+def test_step_ewma_closed_form_matches_pandas(spark):
+    import pandas as pd
+
+    vals = [10.0, 12.0, 9.0, 15.0, 14.0, 8.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "v"])
+    got = [
+        r["v_ewma_0_3"]
+        for r in ev.step(df, [], ["v"], order_by=["i"], ewma_alphas=[0.3])
+        .orderBy("i")
+        .collect()
+    ]
+    exp = pd.Series(vals).ewm(alpha=0.3, adjust=False).mean().tolist()
+    for g, e in zip(got, exp):
+        assert abs(g - e) < 1e-9
+
+
+def test_unspace_keys_and_values(spark):
+    df = spark.createDataFrame([("a b", "x y")], ["col one", "v"])
+    out = ev.unspace(df)
+    assert out.columns == ["col_one", "v"]
+    assert out.first()["col_one"] == "a_b"
+
+
+def test_skip_trivial_records(spark):
+    df = spark.createDataFrame(
+        [(None, None), (1, "a"), (None, "b")],
+        "i int, s string",
+    )
+    assert ev.skip_trivial_records(df).count() == 2
+
+
+def test_split_write_by_group(spark, tmp_path):
+    import os
+
+    df = spark.createDataFrame([(i, "g" + str(i % 3)) for i in range(30)], ["i", "g"])
+    path = str(tmp_path / "split_out")
+    ev.split_write(df, path, by=["g"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("g=")
+    ) == ["g=g0", "g=g1", "g=g2"]
+    assert spark.read.parquet(path).count() == 30
