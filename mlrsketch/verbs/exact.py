@@ -305,8 +305,21 @@ def top(
     order = [F.col(value).asc() if use_min else F.col(value).desc()] + [
         F.col(c).asc() for c in _cols(tiebreak)
     ]
-    w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
-    ranked = df.withColumn("top_idx", F.row_number().over(w)).filter(F.col("top_idx") <= n)
+    if not by:
+        # global top-n: orderBy+limit plans as TakeOrdered (per-partition
+        # top-n + driver merge of n·partitions rows) — NOT a global
+        # single-partition window sort. The row_number window then runs
+        # over just n rows.
+        ranked = (
+            df.orderBy(*order)
+            .limit(n)
+            .withColumn("top_idx", F.row_number().over(Window.orderBy(*order)))
+        )
+    else:
+        w = Window.partitionBy(*by).orderBy(*order)
+        ranked = df.withColumn("top_idx", F.row_number().over(w)).filter(
+            F.col("top_idx") <= n
+        )
     if show_full_records:
         return ranked
     return ranked.select(*by, "top_idx", F.col(value).alias(f"{value}_top"))
@@ -352,8 +365,15 @@ def fraction(
     records; fraction.go:19-22).
     """
     by = _cols(by)
-    w_all = Window.partitionBy(*by) if by else Window.partitionBy()
-    denom = F.sum(value).over(w_all)
+    if by:
+        denom = F.sum(value).over(Window.partitionBy(*by))
+    else:
+        # ungrouped: an empty-partition Window funnels EVERY row through
+        # one task. The global sum is a scalar — aggregate it (partial +
+        # final, fully parallel) and broadcast-cross-join the one row.
+        total = df.agg(F.sum(value).alias("__total"))
+        df = df.crossJoin(F.broadcast(total))
+        denom = F.col("__total")
     if cumulative:
         w_cum = (
             (Window.partitionBy(*by) if by else Window.partitionBy())
@@ -361,8 +381,10 @@ def fraction(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         num = F.sum(value).over(w_cum)
-        return df.withColumn(f"{value}_cumulative_fraction", num / denom)
-    return df.withColumn(f"{value}_fraction", F.col(value) / denom)
+        out = df.withColumn(f"{value}_cumulative_fraction", num / denom)
+    else:
+        out = df.withColumn(f"{value}_fraction", F.col(value) / denom)
+    return out.drop("__total") if not by else out
 
 
 def histogram(
@@ -492,12 +514,53 @@ def cut(df: DataFrame, fields: Sequence[str], complement: bool = False) -> DataF
     return df.select(*fields)
 
 
+def global_row_number(df: DataFrame, order_by: Sequence[str], out: str = "n") -> DataFrame:
+    """Distributed 1-up row number in a global ``order_by`` order.
+
+    A bare ``Window.orderBy`` funnels EVERY row through one task — fatal
+    at 100 TB. Classic two-pass instead: range-partition on the order
+    keys (so partition p holds a contiguous key range), number rows
+    within each partition, then add each partition's start offset
+    (per-partition counts are a tiny collected map, broadcast back).
+    One range-exchange, no single-task stage.
+    """
+    order_by = _cols(order_by)
+    ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    # materialize partition assignment before reuse in two subplans
+    ordered = ordered.persist()
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
+    return (
+        ordered.withColumn(
+            out, F.row_number().over(w_in) + F.coalesce(off[F.col("__pid")], F.lit(0))
+        )
+        .drop("__pid")
+    )
+
+
 def cat_numbered(df: DataFrame, by: Sequence[str] = (), order_by: Sequence[str] = ()) -> DataFrame:
     """`mlr cat -n [-g ...]` (pkg/transformers/cat.go:23): prepend 1-up
-    counter, optionally per group, in ``order_by`` order."""
+    counter, optionally per group, in ``order_by`` order. Grouped:
+    one hash-partitioned window. Ungrouped: distributed two-pass
+    global_row_number (no single-task window)."""
     by = _cols(by)
-    w = Window.partitionBy(*by) if by else Window.partitionBy()
-    w = w.orderBy(*[F.col(c) for c in _cols(order_by)])
+    if not by:
+        num = global_row_number(df, _cols(order_by), out="n")
+        return num.select("n", *df.columns)
+    w = Window.partitionBy(*by).orderBy(*[F.col(c) for c in _cols(order_by)])
     return df.select(F.row_number().over(w).alias("n"), "*")
 
 
@@ -618,10 +681,16 @@ def repeat(df: DataFrame, n_field_or_const: str | int) -> DataFrame:
 
 def decimate(df: DataFrame, n: int, order_by: Sequence[str], by: Sequence[str] = ()) -> DataFrame:
     """`mlr decimate -n N` (pkg/transformers/decimate.go:21): keep every
-    Nth record (the Nth, 2Nth, ... in order)."""
-    w = (Window.partitionBy(*_cols(by)) if by else Window.partitionBy()).orderBy(
-        *[F.col(c) for c in _cols(order_by)]
-    )
+    Nth record (the Nth, 2Nth, ... in order). Ungrouped path numbers
+    rows with the distributed two-pass global_row_number."""
+    by = _cols(by)
+    if not by:
+        return (
+            global_row_number(df, _cols(order_by), out="__rn")
+            .filter(F.col("__rn") % n == 0)
+            .drop("__rn")
+        )
+    w = Window.partitionBy(*by).orderBy(*[F.col(c) for c in _cols(order_by)])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") % n == 0)

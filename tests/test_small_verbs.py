@@ -119,3 +119,14 @@ def test_split_write_by_group(spark, tmp_path):
         d for d in os.listdir(path) if d.startswith("g=")
     ) == ["g=g0", "g=g1", "g=g2"]
     assert spark.read.parquet(path).count() == 30
+
+
+def test_global_row_number_distributed(spark):
+    # range-partitioned two-pass numbering == single-window numbering
+    df = spark.range(0, 5000).withColumn("k", (F.col("id") * 37) % 5000).repartition(16)
+    got = {
+        r["k"]: r["n"]
+        for r in ev.global_row_number(df.select("k"), ["k"]).collect()
+    }
+    assert len(got) == 5000
+    assert all(got[k] == k + 1 for k in range(0, 5000, 613))
