@@ -761,10 +761,13 @@ def head(df: DataFrame, n: int, by: Sequence[str] = (), order_by: Sequence[str] 
 
 
 def tail(df: DataFrame, n: int, by: Sequence[str] = (), order_by: Sequence[str] = ()) -> DataFrame:
-    """`mlr tail -n N [-g ...]` (pkg/transformers/tail.go:20)."""
-    w = (Window.partitionBy(*_cols(by)) if by else Window.partitionBy()).orderBy(
-        *[F.col(c).desc() for c in _cols(order_by)]
-    )
+    """`mlr tail -n N [-g ...]` (pkg/transformers/tail.go:20). Ungrouped:
+    last-n == top-n in reversed order, planned as TakeOrdered (no
+    single-partition window)."""
+    by = _cols(by)
+    if not by:
+        return df.orderBy(*[F.col(c).desc() for c in _cols(order_by)]).limit(n)
+    w = Window.partitionBy(*by).orderBy(*[F.col(c).desc() for c in _cols(order_by)])
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= n)
@@ -781,9 +784,19 @@ def tac(df: DataFrame, order_by: Sequence[str]) -> DataFrame:
 def sample(df: DataFrame, k: int, by: Sequence[str] = (), seed: int = 42) -> DataFrame:
     """`mlr sample -k K [-g ...]` (pkg/transformers/sample.go:30):
     exact-k per-group reservoir sample. Distributed equivalent: seeded
-    rand() ranking window — one shuffle, deterministic given the seed.
+    rand() ranking — grouped: one-shuffle window; ungrouped: top-k on
+    the random key, planned as TakeOrdered (the distributed reservoir).
+    Deterministic given the seed and input partitioning.
     """
-    w = (Window.partitionBy(*_cols(by)) if by else Window.partitionBy()).orderBy(F.rand(seed))
+    by = _cols(by)
+    if not by:
+        return (
+            df.withColumn("__r", F.rand(seed))
+            .orderBy("__r")
+            .limit(k)
+            .drop("__r")
+        )
+    w = Window.partitionBy(*by).orderBy(F.rand(seed))
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 
