@@ -388,17 +388,27 @@ def fraction(
 
 
 def histogram(
-    df: DataFrame, value: str, lo: float, hi: float, nbins: int
+    df: DataFrame, value: str, lo: float, hi: float, nbins: int,
+    include_hi: bool = False,
 ) -> DataFrame:
     """`mlr histogram -f v --lo --hi --nbins`
     (pkg/transformers/histogram.go:28). Fixed-width bins; values outside
     [lo, hi) are dropped (histogram.go semantics). Emits bin_lo, bin_hi,
     count for every bin including empty ones (Miller emits all bins).
+    ``include_hi`` sends values == hi into the top bin (the --auto mode,
+    where hi is the data max — clamping, never width-padding, so bin
+    boundaries stay exact for integer data).
     """
     width = (hi - lo) / nbins
+    upper = F.col(value) <= hi if include_hi else F.col(value) < hi
     binned = (
-        df.filter((F.col(value) >= lo) & (F.col(value) < hi))
-        .withColumn("__bin", F.floor((F.col(value) - lo) / width).cast("int"))
+        df.filter((F.col(value) >= lo) & upper)
+        .withColumn(
+            "__bin",
+            F.least(
+                F.floor((F.col(value) - lo) / width).cast("int"), F.lit(nbins - 1)
+            ),
+        )
         .groupBy("__bin")
         .agg(F.count("*").alias("count"))
     )
@@ -1437,8 +1447,9 @@ def histogram_auto(df: DataFrame, value: str, nbins: int) -> DataFrame:
     lo, hi = row["lo"], row["hi"]
     if lo is None:
         return histogram(df, value, 0.0, 1.0, nbins)
-    hi = hi + (hi - lo) * 1e-9 + 1e-12  # right-open top bin still catches max
-    return histogram(df, value, lo, hi, nbins)
+    if hi == lo:
+        hi = lo + 1.0
+    return histogram(df, value, lo, hi, nbins, include_hi=True)
 
 
 def logireg(df: DataFrame, x: str, y: str, by: Sequence[str] = (),
