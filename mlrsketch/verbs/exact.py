@@ -689,23 +689,24 @@ def repeat(df: DataFrame, n_field_or_const: str | int) -> DataFrame:
     )
 
 
-def decimate(df: DataFrame, n: int, order_by: Sequence[str], by: Sequence[str] = ()) -> DataFrame:
-    """`mlr decimate -n N` (pkg/transformers/decimate.go:21): keep every
-    Nth record (the Nth, 2Nth, ... in order). Ungrouped path numbers
-    rows with the distributed two-pass global_row_number."""
+def decimate(
+    df: DataFrame, n: int, order_by: Sequence[str], by: Sequence[str] = (),
+    keep_first: bool = False,
+) -> DataFrame:
+    """`mlr decimate -n N [-b|-e]` (pkg/transformers/decimate.go:21):
+    keep one record per block of N — the last (default / -e) or the
+    first (-b). Ungrouped path numbers rows with the distributed
+    two-pass global_row_number."""
     by = _cols(by)
+    keep = (F.col("__rn") % n == 1) if keep_first else (F.col("__rn") % n == 0)
     if not by:
         return (
             global_row_number(df, _cols(order_by), out="__rn")
-            .filter(F.col("__rn") % n == 0)
+            .filter(keep)
             .drop("__rn")
         )
     w = Window.partitionBy(*by).orderBy(*[F.col(c) for c in _cols(order_by)])
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") % n == 0)
-        .drop("__rn")
-    )
+    return df.withColumn("__rn", F.row_number().over(w)).filter(keep).drop("__rn")
 
 
 # ---------------------------------------------------------------------------
@@ -959,9 +960,11 @@ def rank(df: DataFrame, value: str, by: Sequence[str] = (), descending: bool = F
 
 def nest_explode_values(df: DataFrame, field: str, sep: str = ";") -> DataFrame:
     """`mlr nest --explode --values --across-records -f field --nested-fs sep`
-    (pkg/transformers/nest.go:34): one output record per separated value.
+    (pkg/transformers/nest.go:34): one output record per separated value;
+    records WITHOUT the field pass through unchanged (golden
+    verb-nest/evar-0001) — hence explode_outer, not explode.
     This is the tokenizer primitive for heavy-hitter token queries."""
-    return df.withColumn(field, F.explode(F.split(F.col(field), sep)))
+    return df.withColumn(field, F.explode_outer(F.split(F.col(field), sep)))
 
 
 def nest_implode_values(df: DataFrame, field: str, by: Sequence[str], sep: str = ";") -> DataFrame:

@@ -119,15 +119,18 @@ def _infer(v: str):
             return v
 
 
-def to_df(spark, records: list[dict]):
-    """Union-of-keys schema (het records -> nulls), __ord = stream order."""
+def to_df(spark, records: list[dict], infer: bool = True):
+    """Union-of-keys schema (het records -> nulls), __ord = stream order.
+    infer=False keeps every value a raw string (Miller VOID "" stays "",
+    absent stays null) — needed by void-sensitive verbs (fill-empty)."""
     keys: list[str] = []
     for r in records:
         for k in r:
             if k not in keys:
                 keys.append(k)
+    conv = _infer if infer else (lambda v: v)
     rows = [
-        {**{k: _infer(r.get(k)) for k in keys}, "__ord": i}
+        {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
         for i, r in enumerate(records)
     ]
     return spark.createDataFrame(rows)
@@ -518,3 +521,60 @@ def test_histogram_0003_auto(spark):
         .orderBy("bin_lo")
     )
     assert_matches(got, parse_pprint_out("verb-histogram/0003"), ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# wave 3
+# ---------------------------------------------------------------------------
+
+
+def parse_pprint_in(path: str) -> list[dict]:
+    with open(os.path.join(REF, "input", path)) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    header = lines[0].split()
+    return [dict(zip(header, ln.split())) for ln in lines[1:]]
+
+
+def test_nest_evar_0001_explode_values_het(spark):
+    # records without the field pass through unchanged (explode_outer)
+    df = to_df(spark, parse_dkvp("nest-explode.dkvp"), infer=False)
+    got = (
+        ev.nest_explode_values(df, "x", sep=";")
+        .orderBy("__ord")
+        .drop("__ord")
+    )
+    assert_matches(collect_dicts(got), parse_dkvp_out("verb-nest/evar-0001"))
+
+
+def test_reshape_0001_0002_wide_to_long(spark):
+    df = to_df(spark, parse_pprint_in("reshape-wide.tbl")).drop("__ord")
+    got = ev.reshape_wide_to_long(df, ["X", "Y", "Z"], "item", "price")
+    assert_matches(collect_dicts(got), parse_pprint_out("verb-reshape/0001"))
+    # -i X,Z: non-listed measure columns (Y) ride along as id columns
+    got2 = ev.reshape_wide_to_long(df, ["X", "Z"], "item", "price")
+    assert_matches(collect_dicts(got2), parse_pprint_out("verb-reshape/0002"))
+
+
+def test_repeat_0001_0002(spark):
+    df = to_df(spark, parse_dkvp("repeat-input.dat"), infer=False)
+    got = ev.repeat(df.drop("__ord"), 5)
+    assert_matches(collect_dicts(got), parse_dkvp_out("verb-repeat/0001"))
+    got2 = ev.repeat(df.drop("__ord"), "a")
+    assert_matches(collect_dicts(got2), parse_dkvp_out("verb-repeat/0002"))
+
+
+def test_fill_empty_0001_0002(spark):
+    df = to_df(spark, parse_csv("fill-down.csv"), infer=False).drop("__ord")
+    assert_matches(
+        collect_dicts(ev.fill_empty(df)), parse_csv_out("verb-fill-empty/0001")
+    )
+    assert_matches(
+        collect_dicts(ev.fill_empty(df, fill="FOO")),
+        parse_csv_out("verb-fill-empty/0002"),
+    )
+
+
+def test_decimate_0002_keep_first(spark):
+    df = to_df(spark, parse_dkvp("abixy"))
+    got = ev.decimate(df, 4, order_by=["__ord"], keep_first=True).orderBy("__ord").drop("__ord")
+    assert_matches(collect_dicts(got), parse_dkvp_out("verb-decimate/0002"), ordered=True)
