@@ -636,21 +636,40 @@ def sub_field(df: DataFrame, field: str, pattern: str, replacement: str, all_mat
     )
 
 
-def case_fields(df: DataFrame, fields: Sequence[str], mode: str = "upper") -> DataFrame:
-    """`mlr case -u/-l/-t -f ...` (pkg/transformers/case.go:29)."""
+def case_fields(
+    df: DataFrame, fields: Sequence[str], mode: str = "upper", which: str = "values"
+) -> DataFrame:
+    """`mlr case -u/-l/-t [-k|-v] -f ...` (pkg/transformers/case.go:29).
+    Default (no -k/-v) cases BOTH keys and values (golden
+    verb-case/0001); numeric values are untouched (casing a number is a
+    no-op on its string form here since [A-Z] never appears)."""
+    py_fn = {"upper": str.upper, "lower": str.lower, "title": str.title}[mode]
     fn = {"upper": F.upper, "lower": F.lower, "title": F.initcap}[mode]
-    return df.withColumns({f: fn(F.col(f)) for f in _cols(fields)})
+    fields = _cols(fields)
+    out = df
+    if which in ("values", "both"):
+        str_fields = [f for f in fields if dict(df.dtypes).get(f) == "string"]
+        out = out.withColumns({f: fn(F.col(f)) for f in str_fields})
+    if which in ("keys", "both"):
+        out = out.withColumnsRenamed({f: py_fn(f) for f in fields})
+    return out
 
 
 def sec2gmt(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """`mlr sec2gmt` (pkg/transformers/sec2gmt.go:30): epoch seconds →
-    ISO-8601 'YYYY-MM-DDTHH:MM:SSZ'."""
-    return df.withColumns(
-        {
-            f: F.date_format(F.to_timestamp(F.col(f)), "yyyy-MM-dd'T'HH:mm:ss'Z'")
-            for f in _cols(fields)
-        }
-    )
+    ISO-8601 'YYYY-MM-DDTHH:MM:SSZ'. Non-numeric values pass through
+    unchanged (golden verb-sec2gmt/0001: `sec2gmt a,t` leaves a='pan'
+    alone); fractional seconds truncate."""
+    def conv(f: str) -> Column:
+        num = F.col(f).try_cast("double")  # ANSI-safe: non-numeric -> null
+        return F.when(
+            num.isNotNull(),
+            F.date_format(
+                F.timestamp_seconds(F.floor(num)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
+            ),
+        ).otherwise(F.col(f).cast("string"))
+
+    return df.withColumns({f: conv(f) for f in _cols(fields)})
 
 
 def format_values(df: DataFrame, fmt: str = "%.6f", fields: Sequence[str] | None = None) -> DataFrame:

@@ -578,3 +578,53 @@ def test_decimate_0002_keep_first(spark):
     df = to_df(spark, parse_dkvp("abixy"))
     got = ev.decimate(df, 4, order_by=["__ord"], keep_first=True).orderBy("__ord").drop("__ord")
     assert_matches(collect_dicts(got), parse_dkvp_out("verb-decimate/0002"), ordered=True)
+
+
+# ---------------------------------------------------------------------------
+# wave 4
+# ---------------------------------------------------------------------------
+
+
+def test_sec2gmt_0001_nonnumeric_passthrough(spark):
+    # put '$t = $i + 0.123456789' then sec2gmt a,t — 'pan' stays as-is,
+    # fractional seconds truncate
+    df = to_df(spark, parse_dkvp("s.dkvp")).drop("__ord")
+    df = df.withColumn("t", F.col("i") + 0.123456789)
+    got = ev.sec2gmt(df, ["a", "t"])
+    assert_matches(collect_dicts(got), parse_pprint_out("verb-sec2gmt/0001"))
+
+
+def test_case_0001_0002(spark):
+    df = to_df(spark, parse_dkvp("abixy")).drop("__ord")
+    all_fields = df.columns
+    got_both = ev.case_fields(df, all_fields, "upper", which="both")
+    assert_matches(collect_dicts(got_both), parse_dkvp_out("verb-case/0001"))
+    got_keys = ev.case_fields(df, all_fields, "upper", which="keys")
+    assert_matches(collect_dicts(got_keys), parse_dkvp_out("verb-case/0002"))
+
+
+def test_sub_gsub_ssub_f(spark):
+    df = to_df(spark, parse_csv("example.csv"), infer=False).drop("__ord")
+    fields = ["color", "shape", "index"]
+    g = df
+    for f_ in fields:
+        g = ev.sub_field(g, f_, "l", "X", all_matches=False)
+    assert_matches(collect_dicts(g), parse_pprint_out("verb-sub-gsub-ssub/sub-f"))
+    g = df
+    for f_ in fields:
+        g = ev.sub_field(g, f_, "l", "X", all_matches=True)
+    assert_matches(collect_dicts(g), parse_pprint_out("verb-sub-gsub-ssub/gsub-f"))
+    g = df
+    for f_ in fields:
+        g = ev.ssub_field(g, f_, "l", "X")
+    assert_matches(collect_dicts(g), parse_pprint_out("verb-sub-gsub-ssub/ssub-f"))
+
+
+def test_altkv_0001(spark):
+    # input: one record of positional values a..f -> {a:b, c:d, e:f}
+    rec = {str(i + 1): v for i, v in enumerate("abcdef")}
+    df = to_df(spark, [rec]).drop("__ord")
+    pairs = collect_dicts(ev.altkv(df, [str(i) for i in range(1, 7)]))
+    got = {p["key"]: p["value"] for p in pairs}
+    exp = parse_dkvp_out("verb-altkv/0001")[0]
+    assert got == exp
