@@ -799,6 +799,15 @@ def q_ann_lsh(spark, sf):
     return similarity.lsh_topk(emb, qvec, k=10)
 
 
+def q_ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    indexed, cent = similarity.ivf_index(emb, k=8, sample_n=500)
+    return similarity.ivf_topk(indexed, cent, qvec, k=10, nprobe=8)
+
+
 def q_bloom_dedup(spark, sf):
     d = _t(spark, sf, "documents")
     seen = sv.build_bloom(d.filter(F.col("lang") == "en"), "text", n_bits=1 << 20)
@@ -948,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sketch / non-SQL-expressible (rows-only checks)
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "bloom_dedup": q_bloom_dedup,
         "bootstrap": q_bootstrap,
         "bootstrap_ci": q_bootstrap_ci,
@@ -1517,6 +1527,13 @@ def oracle_sql() -> dict[str, str]:
             FROM v a, v b
             WHERE a.vec_id < b.vec_id
               AND list_dot_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.45
+        """,
+        "ann_ivf": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], qv), 6) AS cosine
+            FROM embeddings, q
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
+            LIMIT 10
         """,
         "shuffle": "SELECT o_orderkey, o_totalprice FROM orders",
         "group_by_stream": "SELECT o_orderkey, o_orderpriority FROM orders",

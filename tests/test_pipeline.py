@@ -122,3 +122,23 @@ def test_quality_score_range(spark, docs):
     out = textstats.quality_score(docs)
     bad = out.filter((F.col("quality_score") < 0) | (F.col("quality_score") > 1)).count()
     assert bad == 0
+
+
+def test_ivf_topk_recall(spark):
+    from pyspark.sql import functions as F
+
+    from mlrsketch.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    query = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, query, k=10).collect()}
+
+    indexed, cent = similarity.ivf_index(emb, k=8, sample_n=500, seed=42)
+    # nprobe = all buckets must reproduce brute force exactly
+    allp = {r["vec_id"] for r in similarity.ivf_topk(indexed, cent, query, k=10, nprobe=8).collect()}
+    assert allp == exact
+    # nprobe=3 of 8 buckets: decent recall at ~3/8 of the scan
+    part = {r["vec_id"] for r in similarity.ivf_topk(indexed, cent, query, k=10, nprobe=3).collect()}
+    assert len(part & exact) >= 6, (part, exact)
