@@ -292,6 +292,7 @@ def top(
     use_min: bool = False,
     show_full_records: bool = False,
     tiebreak: Sequence[str] = (),
+    pad: bool = False,
 ) -> DataFrame:
     """`mlr top -f v -n N -g g [--min] [-a]` (pkg/transformers/top.go:29;
     sorted-insert keeper utils/top_keeper.go:68-94).
@@ -322,7 +323,16 @@ def top(
         )
     if show_full_records:
         return ranked
-    return ranked.select(*by, "top_idx", F.col(value).alias(f"{value}_top"))
+    out = ranked.select(*by, "top_idx", F.col(value).alias(f"{value}_top"))
+    if by and pad:
+        # Miller emits exactly n rows per group, void-padded when the
+        # group has fewer candidates (golden verb-top/0002)
+        idxs = df.sparkSession.range(1, n + 1).select(
+            F.col("id").cast("int").alias("top_idx")
+        )
+        full = out.select(*by).distinct().crossJoin(F.broadcast(idxs))
+        out = full.join(out, [*by, "top_idx"], "left")
+    return out
 
 
 def most_frequent(
@@ -356,8 +366,10 @@ def fraction(
     by: Sequence[str] = (),
     cumulative: bool = False,
     order_by: Sequence[str] = (),
+    percent: bool = False,
 ) -> DataFrame:
-    """`mlr fraction -f v [-g g] [-c]` (pkg/transformers/fraction.go:25).
+    """`mlr fraction -f v [-g g] [-c] [-p]` (pkg/transformers/fraction.go:25).
+    -p emits {v}_percent = 100x the fraction (golden verb-fraction/0004).
 
     value / sum(value) per group; -c makes it cumulative in stream
     order (here: explicit ``order_by``). Window over the full group —
@@ -374,6 +386,8 @@ def fraction(
         total = df.agg(F.sum(value).alias("__total"))
         df = df.crossJoin(F.broadcast(total))
         denom = F.col("__total")
+    scale = F.lit(100.0) if percent else F.lit(1.0)
+    suffix = "percent" if percent else "fraction"
     if cumulative:
         w_cum = (
             (Window.partitionBy(*by) if by else Window.partitionBy())
@@ -381,9 +395,9 @@ def fraction(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         num = F.sum(value).over(w_cum)
-        out = df.withColumn(f"{value}_cumulative_fraction", num / denom)
+        out = df.withColumn(f"{value}_cumulative_{suffix}", scale * num / denom)
     else:
-        out = df.withColumn(f"{value}_fraction", F.col(value) / denom)
+        out = df.withColumn(f"{value}_{suffix}", scale * F.col(value) / denom)
     return out.drop("__total") if not by else out
 
 
@@ -439,6 +453,33 @@ def merge_fields(df: DataFrame, accs: Sequence[str], fields: Sequence[str], out_
         ssum = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
         ssum2 = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x * x)
         cnt = F.size(nn)
+        pct = _pct_needs(a)
+        if pct is not None:
+            # horizontal Miller percentile: sorted row values, index
+            # int(p/100*n) clamped (percentiles.go:193-208); median/iqr/
+            # fences share the same picks
+            srt = F.array_sort(nn)
+
+            def pick(p: float) -> Column:
+                idx = F.least(
+                    F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)),
+                    cnt - 1,
+                )
+                return F.get(srt, idx)
+
+            if a == "median":
+                c = pick(50.0)
+            elif a == "iqr":
+                c = pick(75.0) - pick(25.0)
+            elif a in _FENCE_K:
+                k2 = _FENCE_K[a]
+                c = (pick(25.0) if k2 < 0 else pick(75.0)) + F.lit(k2) * (
+                    pick(75.0) - pick(25.0)
+                )
+            else:
+                c = pick(float(a[1:]))
+            out = out.withColumn(f"{out_prefix}_{a}", c)
+            continue
         if a == "min":
             c = F.array_min(nn)
         elif a == "max":
@@ -655,19 +696,20 @@ def case_fields(
     return out
 
 
-def sec2gmt(df: DataFrame, fields: Sequence[str]) -> DataFrame:
-    """`mlr sec2gmt` (pkg/transformers/sec2gmt.go:30): epoch seconds →
-    ISO-8601 'YYYY-MM-DDTHH:MM:SSZ'. Non-numeric values pass through
-    unchanged (golden verb-sec2gmt/0001: `sec2gmt a,t` leaves a='pan'
-    alone); fractional seconds truncate."""
+def sec2gmt(df: DataFrame, fields: Sequence[str], decimals: int = 0) -> DataFrame:
+    """`mlr sec2gmt [-1|-2|...]` (pkg/transformers/sec2gmt.go:30): epoch
+    seconds → ISO-8601 'YYYY-MM-DDTHH:MM:SSZ'. Non-numeric values pass
+    through unchanged (golden verb-sec2gmt/0001); fractional seconds
+    truncate to `decimals` digits (golden verb-sec2gmt/0002 for -1)."""
     def conv(f: str) -> Column:
         num = F.col(f).try_cast("double")  # ANSI-safe: non-numeric -> null
-        return F.when(
-            num.isNotNull(),
-            F.date_format(
-                F.timestamp_seconds(F.floor(num)), "yyyy-MM-dd'T'HH:mm:ss'Z'"
-            ),
-        ).otherwise(F.col(f).cast("string"))
+        base = F.date_format(F.timestamp_seconds(F.floor(num)), "yyyy-MM-dd'T'HH:mm:ss")
+        if decimals > 0:
+            frac = F.floor((num - F.floor(num)) * (10 ** decimals)).cast("long")
+            iso = F.concat(base, F.lit("."), F.lpad(frac.cast("string"), decimals, "0"), F.lit("Z"))
+        else:
+            iso = F.concat(base, F.lit("Z"))
+        return F.when(num.isNotNull(), iso).otherwise(F.col(f).cast("string"))
 
     return df.withColumns({f: conv(f) for f in _cols(fields)})
 
@@ -1011,11 +1053,11 @@ def reshape_wide_to_long(
     )
 
 
-def seqgen(spark, start: int, stop: int, step_n: int = 1) -> DataFrame:
-    """`mlr seqgen --start --stop --step` (pkg/transformers/seqgen.go:23).
-    Miller's stop is inclusive."""
+def seqgen(spark, start: int, stop: int, step_n: int = 1, field: str = "i") -> DataFrame:
+    """`mlr seqgen --start --stop --step [-f name]`
+    (pkg/transformers/seqgen.go:23). Miller's stop is inclusive."""
     return spark.range(start, stop + (1 if step_n > 0 else -1), step_n).select(
-        F.col("id").alias("i")
+        F.col("id").alias(field)
     )
 
 

@@ -628,3 +628,72 @@ def test_altkv_0001(spark):
     got = {p["key"]: p["value"] for p in pairs}
     exp = parse_dkvp_out("verb-altkv/0001")[0]
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# wave 5
+# ---------------------------------------------------------------------------
+
+
+def test_sort_0006_numeric(spark):
+    df = to_df(spark, parse_dkvp("s.dkvp")).drop("__ord")
+    got = ev.sort(df, [("i", "nf")])
+    assert_matches(collect_dicts(got), parse_pprint_out("verb-sort/0006"), ordered=True)
+
+
+def test_fraction_0004_percent(spark):
+    df = to_df(spark, parse_dkvp("abixy-het"))
+    got = ev.fraction(df, "x", percent=True)
+    got = ev.fraction(got, "y", percent=True)
+    assert_matches(
+        collect_dicts(got.orderBy("__ord").drop("__ord")),
+        parse_xtab_out("verb-fraction/0004"),
+        ordered=True,
+    )
+
+
+def test_fill_down_0002_absent_only(spark):
+    # -a fills only ABSENT values; CSV empty strings (VOID) stay empty
+    df = to_df(spark, parse_csv("fill-down.csv"), infer=False)
+    got = (
+        ev.fill_down(df, ["a", "b", "c"], order_by=["__ord"])
+        .orderBy("__ord")
+        .drop("__ord")
+    )
+    assert_matches(collect_dicts(got), parse_csv_out("verb-fill-down/0002"), ordered=True)
+
+
+def test_template_0001(spark):
+    df = to_df(spark, parse_dkvp("abixy")).drop("__ord")
+    got = ev.template(df, ["x", "a", "b"])
+    assert_matches(collect_dicts(got), parse_pprint_out("verb-template/0001"))
+
+
+def test_merge_fields_name_0001_percentiles(spark):
+    # head -n 2 then merge-fields -k -a p0,min,p29,max,p100,sum,count -f x,y -o xy
+    df = to_df(spark, parse_dkvp("abixy"))
+    two = ev.head(df, 2, order_by=["__ord"]).drop("__ord")
+    got = ev.merge_fields(two, ["p0", "min", "p29", "max", "p100", "sum", "count"], ["x", "y"], "xy")
+    assert_matches(collect_dicts(got), parse_xtab_out("verb-merge-fields/name-0001"))
+
+
+def test_seqgen_0003_field_name(spark):
+    got = ev.seqgen(spark, 1, 1, 1, field="a")
+    assert_matches(collect_dicts(got), parse_dkvp_out("verb-seqgen/0003"))
+
+
+def test_sec2gmt_0002_one_decimal(spark):
+    df = to_df(spark, parse_dkvp("s.dkvp")).drop("__ord")
+    df = df.withColumn("t", F.col("i") + 0.123456789)
+    got = ev.sec2gmt(df, ["a", "t"], decimals=1)
+    assert_matches(collect_dicts(got), parse_pprint_out("verb-sec2gmt/0002"))
+
+
+def test_top_0002_grouped_lashed_padded(spark):
+    df = to_df(spark, parse_dkvp("abixy-het")).filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull()
+    )
+    tx = ev.top(df, "x", n=2, by=["a"], pad=True)
+    ty = ev.top(df, "y", n=2, by=["a"], pad=True)
+    got = collect_dicts(tx.join(ty, ["a", "top_idx"]))
+    assert_matches(got, parse_dkvp_out("verb-top/0002"))
