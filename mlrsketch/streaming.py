@@ -164,6 +164,62 @@ def stream_count_distinct_hll(
     )
 
 
+def stream_quantiles_kll(
+    sdf: DataFrame,
+    of: str,
+    by: Sequence[str],
+    qs: Sequence[float] = (0.5, 0.9, 0.99),
+    k: int = 200,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """`stats1 -a p50,p90,...` as a custom stateful streaming operator:
+    the group's KLL sketch is the state, updated per micro-batch,
+    emitting running quantile estimates. Same mergeable-state shape as
+    stream_count_distinct_hll; output mode "update"."""
+    import numpy as np
+
+    from mlrsketch.sketches import KLL
+
+    by = list(by)
+    by_fields = [sdf.schema[c] for c in by]
+    qcols = [f"p{str(q * 100).rstrip('0').rstrip('.').replace('.', '_')}" for q in qs]
+    out_schema = StructType(
+        by_fields
+        + [StructField(c, DoubleType()) for c in qcols]
+        + [
+            StructField("rank_error_bound", DoubleType()),
+            StructField("n_batches", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n_batches", LongType())]
+    )
+    prepared = sdf.withColumn("__v", F.col(of).cast("double")).select(*by, "__v")
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            blob, n_batches = state.get
+            sk = KLL.deserialize(bytes(blob))
+        else:
+            sk, n_batches = KLL(k=k), 0
+        for pdf in pdfs:
+            sk.update_batch(pdf["__v"].to_numpy(dtype=np.float64))
+        n_batches += 1
+        state.update((sk.serialize(), n_batches))
+        row = dict(zip(by, key))
+        for q, c in zip(qs, qcols):
+            row[c] = sk.quantile(q)
+        row["rank_error_bound"] = sk.error_bound()
+        row["n_batches"] = n_batches
+        yield pd.DataFrame([row])
+
+    return prepared.groupBy(*by).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )
+
+
 def sketch_foreach_batch(
     query_df_fn,
     state_dir: str,

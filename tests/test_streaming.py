@@ -139,3 +139,31 @@ def test_foreach_batch_state_sink_resumable(spark, stream_src, tmp_path):
     q2.awaitTermination(120)
     merged2 = st.read_merged_states(spark, state_dir, HyperLogLog.deserialize)
     assert merged2.estimate() == merged.estimate()
+
+
+def test_stream_kll_stateful_matches_exact(spark, stream_src):
+    path, schema = stream_src
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 2).parquet(path)
+    out = st.stream_quantiles_kll(sdf, of="value", by=["event_type"], qs=(0.5, 0.9))
+    q = (
+        out.writeStream.format("memory").queryName("t_kll").outputMode("update")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from t_kll").collect()
+    best = {}
+    for r in rows:
+        cur = best.get(r["event_type"])
+        if cur is None or r["n_batches"] > cur["n_batches"]:
+            best[r["event_type"]] = r.asDict()
+
+    batch = spark.read.parquet(path)
+    for etype, got in best.items():
+        grp = batch.filter(F.col("event_type") == etype)
+        n = grp.count()
+        for q_, col in ((0.5, "p50"), (0.9, "p90")):
+            est = got[col]
+            rank = grp.filter(F.col("value") <= est).count() / n
+            assert abs(rank - q_) <= 3 * got["rank_error_bound"] + 2.0 / n, (
+                etype, col, est, rank,
+            )
