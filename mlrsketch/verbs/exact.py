@@ -616,8 +616,14 @@ def cat_numbered(df: DataFrame, by: Sequence[str] = (), order_by: Sequence[str] 
 
 
 def rename_fields(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
-    """`mlr rename old,new,...` (pkg/transformers/rename.go:29)."""
-    return df.withColumnsRenamed(mapping)
+    """`mlr rename old,new,...` (pkg/transformers/rename.go:29).
+    Renaming onto an EXISTING field replaces it — the prior field is
+    dropped (golden verb-rename/0004: `rename a,b` discards old b)."""
+    collisions = [
+        new for old, new in mapping.items()
+        if new in df.columns and new not in mapping
+    ]
+    return df.drop(*collisions).withColumnsRenamed(mapping)
 
 
 def reorder(df: DataFrame, front: Sequence[str] = (), back: Sequence[str] = ()) -> DataFrame:
@@ -1078,7 +1084,12 @@ def template(df: DataFrame, fields: Sequence[str], fill: str | None = None) -> D
     cols = []
     for f in _cols(fields):
         if f in df.columns:
-            cols.append(F.col(f))
+            if fill is None:
+                cols.append(F.col(f))
+            else:
+                # --fill-with also fills per-record ABSENT cells (nulls
+                # under the fixed schema) — golden verb-template/0003
+                cols.append(F.coalesce(F.col(f).cast("string"), F.lit(fill)).alias(f))
         else:
             cols.append(F.lit(fill).alias(f))
     return df.select(*cols)
@@ -1256,9 +1267,11 @@ def json_parse(df: DataFrame, field: str, schema: str) -> DataFrame:
 
 def label(df: DataFrame, names: Sequence[str]) -> DataFrame:
     """`mlr label a,b,c` (pkg/transformers/label.go:17): rename the
-    first n columns positionally."""
+    first n columns positionally; a LATER original column whose name
+    collides with a new label is dropped (golden verb-label/0004)."""
     names = _cols(names)
-    return df.toDF(*names, *df.columns[len(names):])
+    tail_cols = [c for c in df.columns[len(names):] if c not in names]
+    return df.select(*df.columns[: len(names)], *tail_cols).toDF(*names, *tail_cols)
 
 
 def group_by_stream(df: DataFrame, by: Sequence[str]) -> DataFrame:

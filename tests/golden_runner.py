@@ -1,0 +1,600 @@
+"""Mini mlr-CLI interpreter over mlrsketch: auto-replays reference
+golden cases (test/cases/verb-*/NNNN: cmd + expout) whose command line
+is fully parseable into our verb calls. Anything with an unsupported
+verb/flag raises Unsupported and the case is skipped (and counted) —
+so every case that RUNS is a hard assertion of parity.
+
+Supported surface: format flags (--opprint/--oxtab/--ocsv/--csv/
+--csvlite/--c2p/--icsv/--from/-n), multi-file implicit union, `then`
+chains, and ~30 verbs mapped onto mlrsketch.verbs.exact.
+"""
+
+from __future__ import annotations
+
+import os
+import shlex
+
+from pyspark.sql import functions as F
+
+from mlrsketch.verbs import exact as ev
+
+REF = "/root/reference/test"
+
+
+class Unsupported(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# input / output parsing (same formats as test_golden_reference)
+# ---------------------------------------------------------------------------
+
+
+def _read_records(path: str, icsv: bool) -> list[dict]:
+    full = path if os.path.isabs(path) else os.path.join("/root/reference", path)
+    with open(full) as f:
+        text = f.read()
+    lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+    if icsv:
+        header = lines[0].split(",")
+        return [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+    recs = []
+    for ln in lines:
+        rec = {}
+        for pair in ln.split(","):
+            k, _, v = pair.partition("=")
+            rec[k] = v
+        recs.append(rec)
+    return recs
+
+
+def parse_out(text: str, fmt: str) -> list[dict]:
+    lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+    if not lines:
+        return []
+    if fmt == "pprint":
+        header = lines[0].split()
+        return [dict(zip(header, ln.split())) for ln in lines[1:]]
+    if fmt == "csv":
+        header = lines[0].split(",")
+        return [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+    if fmt == "xtab":
+        recs, cur = [], {}
+        for ln in text.splitlines():
+            if not ln.strip():
+                if cur:
+                    recs.append(cur)
+                    cur = {}
+                continue
+            k, _, v = ln.partition(" ")
+            cur[k] = v.strip()
+        if cur:
+            recs.append(cur)
+        return recs
+    # dkvp
+    recs = []
+    for ln in lines:
+        rec = {}
+        for pair in ln.split(","):
+            k, _, v = pair.partition("=")
+            rec[k] = v
+        recs.append(rec)
+    return recs
+
+
+# ---------------------------------------------------------------------------
+# verb executors: (df, argv) -> df  (argv = this verb's args only)
+# ---------------------------------------------------------------------------
+
+
+def _flags(argv: list[str], known: dict[str, int]):
+    """Parse argv into {flag: value(s)} + positionals; raise on unknown -flags."""
+    out: dict[str, object] = {}
+    pos: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a in known:
+            nvals = known[a]
+            if nvals == 0:
+                out[a] = True
+                i += 1
+            else:
+                out[a] = argv[i + 1]
+                i += 2
+        elif a.startswith("-"):
+            raise Unsupported(f"flag {a}")
+        else:
+            pos.append(a)
+            i += 1
+    return out, pos
+
+
+def _csl(s: str) -> list[str]:
+    return s.split(",")
+
+
+def v_cat(df, argv):
+    fl, pos = _flags(argv, {"-n": 0, "-N": 1, "-g": 1})
+    if pos or "-N" in fl:
+        raise Unsupported("cat positional/-N")
+    if not fl.get("-n"):
+        return df
+    if "-g" not in fl:
+        return ev.cat_numbered(df, order_by=["__ord"])
+    # Miller: records missing ANY group key share ONE counter bucket
+    # (golden verb-cat/0007)
+    by = _csl(fl["-g"])
+    if any(b not in df.columns for b in by):
+        key = F.lit("__missing__")
+    else:
+        present = None
+        for b in by:
+            c = F.col(b).isNotNull()
+            present = c if present is None else (present & c)
+        key = F.when(present, F.concat_ws("\x1f", *[F.col(b) for b in by])).otherwise(
+            F.lit("__missing__")
+        )
+    return ev.cat_numbered(df.withColumn("__grp", key), by=["__grp"], order_by=["__ord"]).drop("__grp")
+
+
+def _drop_missing_keys(df, by):
+    for b in by:
+        if b not in df.columns:
+            return df.limit(0)
+        df = df.filter(F.col(b).isNotNull())
+    return df
+
+
+def v_head(df, argv):
+    fl, _ = _flags(argv, {"-n": 1, "-g": 1})
+    n = int(fl.get("-n", 10))
+    if n < 0:
+        raise Unsupported("negative -n")
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    return ev.head(_drop_missing_keys(df, by), n, by=by, order_by=["__ord"])
+
+
+def v_tail(df, argv):
+    fl, _ = _flags(argv, {"-n": 1, "-g": 1})
+    raw = str(fl.get("-n", 10))
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    d = _drop_missing_keys(df, by)
+    if raw.startswith("+"):
+        # tail -n +K: emit from the Kth record onward (per group)
+        k = int(raw[1:])
+        from pyspark.sql import Window as W
+        w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord")
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") >= k)
+            .drop("__rn")
+        )
+    n = int(raw)
+    if n < 0:
+        raise Unsupported("negative -n")
+    return ev.tail(d, n, by=by, order_by=["__ord"])
+
+
+def v_cut(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-x": 0, "-o": 0})
+    fields = [f for f in _csl(fl["-f"]) if f in df.columns or fl.get("-x")]
+    if fl.get("-x"):
+        return ev.cut(df.drop("__ord"), _csl(fl["-f"]), complement=True)
+    keep = [f for f in df.columns if f in _csl(fl["-f"])] if not fl.get("-o") else [
+        f for f in _csl(fl["-f"]) if f in df.columns
+    ]
+    return df.select(*keep) if keep else df.select(*fields)
+
+
+def v_sort(df, argv):
+    specs = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        how = {"-f": "f", "-r": "r", "-nf": "nf", "-nr": "nr", "-c": "c", "-cr": "cr",
+               "-t": "t", "-tr": "tr"}.get(a)
+        if how is None:
+            raise Unsupported(f"sort flag {a}")
+        for f_ in _csl(argv[i + 1]):
+            if f_ not in df.columns:
+                raise Unsupported("sort on absent field")
+            specs.append((f_, how))
+        i += 2
+    return ev.sort(df.drop("__ord"), specs)
+
+
+def v_uniq(df, argv):
+    fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0})
+    by = _csl(fl.get("-g") or fl.get("-f") or "")
+    if fl.get("-a"):
+        raise Unsupported("uniq -a")
+    if not by or by == [""]:
+        raise Unsupported("uniq without -g/-f")
+    d = df
+    for b in by:
+        if b not in d.columns:
+            raise Unsupported("uniq on absent field")
+        d = d.filter(F.col(b).isNotNull())
+    if fl.get("-n"):
+        return ev.uniq_distinct_count(d, by)
+    return ev.uniq(d, by, show_counts=bool(fl.get("-c")))
+
+
+def v_count(df, argv):
+    fl, _ = _flags(argv, {"-g": 1, "-o": 1})
+    out = ev.count_records(df, by=_csl(fl["-g"]) if "-g" in fl else ())
+    if "-o" in fl:
+        out = out.withColumnRenamed("count", fl["-o"])
+    return out
+
+
+def v_count_distinct(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-u": 0, "-n": 0})
+    fields = _csl(fl["-f"])
+    if any(f_ not in df.columns for f_ in fields):
+        raise Unsupported("count-distinct absent field")
+    if fl.get("-n"):
+        return ev.count_distinct_n(df, fields)
+    return ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
+
+
+_STATS1_OK = {
+    "mean", "sum", "count", "min", "max", "var", "stddev", "meaneb", "skewness",
+    "kurtosis", "median", "mode", "antimode", "mad", "null_count", "distinct_count",
+    "minlen", "maxlen", "first", "last", "iqr", "lof", "lif", "uif", "uof",
+}
+
+
+def v_stats1(df, argv):
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1})
+    accs, values = _csl(fl["-a"]), _csl(fl["-f"])
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    df = _drop_missing_keys(df, by)
+    if any(v not in df.columns for v in values):
+        raise Unsupported("stats1 absent value field")
+    for a in accs:
+        if a not in _STATS1_OK and not (a.startswith("p") and a[1:].replace(".", "").isdigit()):
+            raise Unsupported(f"stats1 acc {a}")
+    plain = [a for a in accs if a not in ("mode", "antimode", "mad")]
+    out = ev.stats1(df, plain, values, by=by) if plain else None
+    extras = {}
+    for a in accs:
+        if a in ("mode", "antimode"):
+            for f_ in values:
+                m = ev.mode_impl(df, f_, by=by, anti=(a == "antimode"))
+                extras[f"{f_}_{a}"] = m
+        elif a == "mad":
+            for f_ in values:
+                extras[f"{f_}_mad"] = ev.mad(df, f_, by=by)
+    for name, mdf in extras.items():
+        out = mdf if out is None else (out.join(mdf, by) if by else out.crossJoin(mdf))
+    # restore Miller's column order f x acc
+    cols = by + [f"{f_}_{a}" for f_ in values for a in accs]
+    return out.select(*[c for c in cols if c in out.columns])
+
+
+def v_fraction(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-g": 1, "-p": 0, "-c": 0})
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    if fl.get("-c"):
+        raise Unsupported("fraction -c (stream-order cumulative)")
+    d, passthrough = df, None
+    if by:
+        if any(b not in d.columns for b in by):
+            raise Unsupported("fraction group key absent from schema")
+        cond = None
+        for b in by:
+            c = F.col(b).isNotNull()
+            cond = c if cond is None else (cond & c)
+        passthrough = d.filter(~cond)
+        d = d.filter(cond)
+    for f_ in _csl(fl["-f"]):
+        d = ev.fraction(d, f_, by=by, percent=bool(fl.get("-p")))
+    if passthrough is not None:
+        d = d.unionByName(passthrough, allowMissingColumns=True)
+    return d
+
+
+def v_top(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-n": 1, "-g": 1, "--min": 0, "-a": 0})
+    if fl.get("-a"):
+        raise Unsupported("top -a")
+    n = int(fl.get("-n", 1))
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    fields = _csl(fl["-f"])
+    d = df
+    for f_ in fields:  # lashed: all fields present
+        if f_ not in d.columns:
+            raise Unsupported("top absent field")
+        d = d.filter(F.col(f_).isNotNull())
+    for b in by:
+        d = d.filter(F.col(b).isNotNull())
+    out = None
+    for f_ in fields:
+        t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=bool(by))
+        out = t if out is None else out.join(t, [*by, "top_idx"])
+    return out
+
+
+def v_most_frequent(df, argv, descending=True):
+    fl, _ = _flags(argv, {"-f": 1, "-b": 1})
+    fields = _csl(fl["-f"])
+    if any(f_ not in df.columns for f_ in fields):
+        raise Unsupported("most-frequent absent field")
+    return ev.most_frequent(df, fields, n=int(fl.get("-b", 10)), descending=descending)
+
+
+def v_decimate(df, argv):
+    fl, _ = _flags(argv, {"-n": 1, "-b": 0, "-e": 0, "-g": 1})
+    return ev.decimate(
+        df, int(fl.get("-n", 10)), order_by=["__ord"],
+        by=_csl(fl["-g"]) if "-g" in fl else (), keep_first=bool(fl.get("-b")),
+    )
+
+
+def v_fill_down(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-a": 0, "--all": 0, "--only-if-blank": 0})
+    if fl.get("--only-if-blank"):
+        raise Unsupported("fill-down --only-if-blank")
+    fields = df.columns if fl.get("--all") else _csl(fl["-f"])
+    fields = [f_ for f_ in fields if f_ != "__ord" and f_ in df.columns]
+    if not fl.get("-a"):
+        # default fills absent OR void (golden verb-fill-down/0001);
+        # -a restricts to absent-only (0002)
+        df = df.withColumns(
+            {f_: F.when(F.col(f_).cast("string") == "", None).otherwise(F.col(f_)) for f_ in fields}
+        )
+    return ev.fill_down(df, fields, order_by=["__ord"])
+
+
+def v_fill_empty(df, argv):
+    fl, _ = _flags(argv, {"-v": 1, "-S": 0, "--only-if-all-blank": 0})
+    if fl.get("--only-if-all-blank"):
+        raise Unsupported(" --only-if-all-blank")
+    return ev.fill_empty(df, fill=str(fl.get("-v", "N/A")))
+
+
+def v_grep(df, argv):
+    fl, pos = _flags(argv, {"-v": 0, "-i": 0, "-a": 0, "-o": 0})
+    if len(pos) != 1 or fl.get("-a") or fl.get("-o"):
+        raise Unsupported("grep form")
+    pat = pos[0]
+    cols = [c for c in df.columns if c != "__ord"]
+    ser = F.concat_ws(",", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in cols])
+    cond = ser.rlike(f"(?i){pat}" if fl.get("-i") else pat)
+    return df.filter(~cond if fl.get("-v") else cond)
+
+
+def v_rename(df, argv):
+    fl, pos = _flags(argv, {"-r": 0, "-g": 0})
+    if fl:
+        raise Unsupported("rename -r/-g")
+    parts = _csl(pos[0])
+    mapping = {parts[i]: parts[i + 1] for i in range(0, len(parts), 2) if parts[i] in df.columns}
+    return ev.rename_fields(df, mapping)
+
+
+def v_label(df, argv):
+    _, pos = _flags(argv, {})
+    names = _csl(pos[0])
+    d = df.drop("__ord")
+    return ev.label(d, names[: len(d.columns)])
+
+
+def v_reorder(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-e": 0})
+    fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
+    if not fields:
+        return df  # nothing to move: pure pass-through
+    return ev.reorder(df, back=fields) if fl.get("-e") else ev.reorder(df, front=fields)
+
+
+def v_template(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "--fill-with": 1})
+    return ev.template(df, _csl(fl["-f"]), fill=fl.get("--fill-with"))
+
+
+def v_regularize(df, argv):
+    return df  # fixed schema: no-op
+
+
+def v_sec2gmt(df, argv):
+    fl, pos = _flags(argv, {"-1": 0, "-2": 0, "-3": 0, "-6": 0, "-9": 0, "--millis": 0})
+    dec = next((int(k[1:]) for k in ("-1", "-2", "-3", "-6", "-9") if fl.get(k)), 0)
+    if fl.get("--millis"):
+        raise Unsupported("sec2gmt --millis")
+    return ev.sec2gmt(df, [f_ for f_ in _csl(pos[0]) if f_ in df.columns], decimals=dec)
+
+
+def v_sec2gmtdate(df, argv):
+    _, pos = _flags(argv, {})
+    return ev.sec2gmtdate(df, [f_ for f_ in _csl(pos[0]) if f_ in df.columns])
+
+
+def v_repeat(df, argv):
+    fl, _ = _flags(argv, {"-n": 1, "-f": 1})
+    d = df.drop("__ord")
+    if "-f" in fl:
+        fld = fl["-f"]
+        if fld not in d.columns:
+            raise Unsupported("repeat absent field")
+        return ev.repeat(d.withColumn(fld, F.col(fld).try_cast("int")).filter(F.col(fld).isNotNull()).withColumn(fld, F.col(fld).cast("string")), fld)
+    return ev.repeat(d, int(fl["-n"]))
+
+
+def v_count_similar(df, argv):
+    fl, _ = _flags(argv, {"-g": 1, "-o": 1})
+    out = ev.count_similar(df, _csl(fl["-g"]))
+    if "-o" in fl:
+        out = out.withColumnRenamed("count", fl["-o"])
+    return out
+
+
+def v_nothing(df, argv):
+    return ev.nothing(df)
+
+
+def v_tac(df, argv):
+    return ev.tac(df, order_by=["__ord"])
+
+
+def v_gsub(df, argv, first_only=False, literal=False):
+    fl, pos = _flags(argv, {"-f": 1, "-a": 0})
+    if len(pos) != 2:
+        raise Unsupported("sub form")
+    pat, rep = pos
+    if "\\" in rep or "$" in rep:
+        raise Unsupported("sub backrefs")
+    fields = df.columns if fl.get("-a") else _csl(fl["-f"])
+    d = df
+    for f_ in fields:
+        if f_ == "__ord" or f_ not in d.columns:
+            continue
+        if dict(d.dtypes).get(f_) != "string":
+            continue
+        if literal:
+            d = ev.ssub_field(d, f_, pat, rep)
+        else:
+            d = ev.sub_field(d, f_, pat, rep, all_matches=not first_only)
+    return d
+
+
+def v_case(df, argv):
+    fl, _ = _flags(argv, {"-u": 0, "-l": 0, "-t": 0, "-k": 0, "-v": 0, "-f": 1})
+    mode = "upper" if fl.get("-u") else "lower" if fl.get("-l") else "title" if fl.get("-t") else None
+    if mode is None:
+        raise Unsupported("case mode")
+    which = "keys" if fl.get("-k") else "values" if fl.get("-v") else "both"
+    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if c != "__ord"]
+    return ev.case_fields(df, fields, mode, which=which)
+
+
+def v_having_fields(df, argv):
+    fl, _ = _flags(argv, {"--at-least": 1, "--all-defined": 1})
+    fields = _csl(fl.get("--at-least") or fl.get("--all-defined") or "")
+    if not fields or any(f_ not in df.columns for f_ in fields):
+        # requesting a field no record has => empty result
+        return df.limit(0)
+    return ev.having_fields_all_defined(df, fields)
+
+
+def v_seqgen(spark, argv):
+    fl, _ = _flags(argv, {"--start": 1, "--stop": 1, "--step": 1, "-f": 1})
+    step = int(fl.get("--step", 1))
+    start, stop = int(fl["--start"]), int(fl["--stop"])
+    if step > 0 and stop < start or step < 0 and stop > start or step == 0:
+        raise Unsupported("seqgen degenerate")
+    return ev.seqgen(spark, start, stop, step, field=fl.get("-f", "i"))
+
+
+VERBS = {
+    "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut, "sort": v_sort,
+    "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
+    "stats1": v_stats1, "fraction": v_fraction, "top": v_top,
+    "most-frequent": lambda df, a: v_most_frequent(df, a, True),
+    "least-frequent": lambda df, a: v_most_frequent(df, a, False),
+    "decimate": v_decimate, "fill-down": v_fill_down, "fill-empty": v_fill_empty,
+    "grep": v_grep, "rename": v_rename, "label": v_label, "reorder": v_reorder,
+    "template": v_template, "regularize": v_regularize, "sec2gmt": v_sec2gmt,
+    "sec2gmtdate": v_sec2gmtdate, "repeat": v_repeat,
+    "count-similar": v_count_similar, "nothing": v_nothing, "tac": v_tac,
+    "gsub": lambda df, a: v_gsub(df, a, first_only=False),
+    "sub": lambda df, a: v_gsub(df, a, first_only=True),
+    "ssub": lambda df, a: v_gsub(df, a, literal=True),
+    "case": v_case, "having-fields": v_having_fields,
+}
+
+_FMT_FLAGS = {
+    # (input_format_or_None, output_format_or_None) — output-only flags
+    # must NOT touch the input side
+    "--opprint": (None, "pprint"), "--oxtab": (None, "xtab"),
+    "--ocsv": (None, "csv"), "--icsv": ("csv", None), "--csv": ("csv", "csv"),
+    "--csvlite": ("csv", "csv"), "--c2p": ("csv", "pprint"), "--pprint": ("pprint", "pprint"),
+}
+
+
+def run_case(spark, case_dir: str, to_df):
+    """Execute one golden case; returns (got_records, exp_records).
+    Raises Unsupported for anything outside the interpreter's surface."""
+    with open(os.path.join(case_dir, "cmd")) as f:
+        cmd = f.read().strip()
+    if os.path.exists(os.path.join(case_dir, "env")) or "${CASEDIR}" in cmd or "should-fail" in os.listdir(case_dir):
+        raise Unsupported("env/casedir/should-fail")
+    argv = shlex.split(cmd)
+    if argv[0] != "mlr":
+        raise Unsupported("not mlr")
+    argv = argv[1:]
+
+    ifmt, ofmt = "dkvp", "dkvp"
+    files: list[str] = []
+    i = 0
+    no_input = False
+    while i < len(argv):
+        a = argv[i]
+        if a in _FMT_FLAGS:
+            fi, fo = _FMT_FLAGS[a]
+            ifmt, ofmt = fi or ifmt, fo or ofmt
+            i += 1
+        elif a == "--from":
+            files.append(argv[i + 1])
+            i += 2
+        elif a == "-n":
+            no_input = True
+            i += 1
+        elif a.startswith("--"):
+            raise Unsupported(f"global flag {a}")
+        else:
+            break
+        continue
+    if ifmt == "pprint":
+        raise Unsupported("pprint input")
+    rest = argv[i:]
+
+    # split on `then`
+    chains: list[list[str]] = [[]]
+    for a in rest:
+        if a == "then":
+            chains.append([])
+        else:
+            chains[-1].append(a)
+
+    # trailing positional file paths on the LAST verb
+    last = chains[-1]
+    while last and not last[-1].startswith("-") and (
+        os.path.exists(os.path.join("/root/reference", last[-1]))
+    ):
+        files.insert(0, last.pop()) if False else files.append(last.pop())
+    files_in_order = [f_ for f_ in argv[i:] if f_ in files]  # preserve cmd order
+    files = files_in_order or files
+
+    if not files and not no_input and chains[0][0] != "seqgen":
+        raise Unsupported("no input file resolved")
+
+    spark_df = None
+    if files:
+        recs: list[dict] = []
+        for f_ in files:
+            recs.extend(_read_records(f_, icsv=(ifmt == "csv")))
+        spark_df = to_df(spark, recs, infer=(ifmt != "csv"))
+
+    for chain in chains:
+        if not chain:
+            raise Unsupported("empty verb")
+        verb, vargv = chain[0], chain[1:]
+        if verb == "seqgen":
+            spark_df = v_seqgen(spark, vargv).withColumn("__ord", F.monotonically_increasing_id())
+            continue
+        if verb not in VERBS:
+            raise Unsupported(f"verb {verb}")
+        if spark_df is None:
+            raise Unsupported("verb without input")
+        spark_df = VERBS[verb](spark_df, vargv)
+
+    got = [
+        {k: v for k, v in r.asDict().items() if k != "__ord"}
+        for r in spark_df.collect()
+    ]
+    with open(os.path.join(case_dir, "expout")) as f:
+        exp = parse_out(f.read(), ofmt)
+    return got, exp

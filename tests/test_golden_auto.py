@@ -1,0 +1,57 @@
+"""Auto-replay of the reference's golden corpus through the mini
+mlr-CLI interpreter (tests/golden_runner.py).
+
+Every verb-*/NNNN case whose command line the interpreter fully parses
+is executed against our verbs and compared to the checked-in expout at
+print precision. Unsupported verbs/flags are skipped and counted; a
+pass-count floor guards against silent interpreter regressions that
+would skip everything."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+from golden_runner import Unsupported, run_case  # noqa: E402
+from test_golden_reference import assert_matches, to_df  # noqa: E402
+
+REF = "/root/reference/test/cases"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+MIN_PASS = 180
+
+
+def test_auto_replay_reference_golden_corpus(spark):
+    cases = sorted(
+        p for p in glob.glob(f"{REF}/verb-*/*/") if os.path.exists(p + "cmd")
+    )
+    assert cases, "no cases found"
+    passed, skipped, failures = 0, 0, []
+    for c in cases:
+        try:
+            got, exp = run_case(spark, c.rstrip("/"), to_df)
+        except Unsupported:
+            skipped += 1
+            continue
+        except Exception as e:  # noqa: BLE001 — interpreter bug, count it
+            failures.append((c, f"RUNTIME {type(e).__name__}: {e}"))
+            continue
+        try:
+            assert_matches(got, exp)
+            passed += 1
+        except AssertionError as e:
+            failures.append((c, str(e)[:300]))
+
+    assert not failures, (
+        f"{len(failures)} golden mismatches (passed {passed}):\n"
+        + "\n".join(f"{c}: {m}" for c, m in failures[:10])
+    )
+    assert passed >= MIN_PASS, f"only {passed} cases ran (floor {MIN_PASS})"

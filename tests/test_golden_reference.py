@@ -122,7 +122,19 @@ def _infer(v: str):
 def to_df(spark, records: list[dict], infer: bool = True):
     """Union-of-keys schema (het records -> nulls), __ord = stream order.
     infer=False keeps every value a raw string (Miller VOID "" stays "",
-    absent stays null) — needed by void-sensitive verbs (fill-empty)."""
+    absent stays null) — needed by void-sensitive verbs (fill-empty).
+
+    Column types are resolved per-key like Miller's scan inference
+    (int unless any float appears; strings dominate): avoids Spark's
+    createDataFrame choking on int/float mixes or all-null columns."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
     keys: list[str] = []
     for r in records:
         for k in r:
@@ -133,7 +145,24 @@ def to_df(spark, records: list[dict], infer: bool = True):
         {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
         for i, r in enumerate(records)
     ]
-    return spark.createDataFrame(rows)
+    fields = []
+    for k in keys:
+        vals = [r[k] for r in rows if r[k] is not None]
+        if not vals or any(isinstance(v, str) for v in vals):
+            t = StringType()
+            for r in rows:
+                if r[k] is not None:
+                    r[k] = str(r[k])
+        elif any(isinstance(v, float) for v in vals):
+            t = DoubleType()
+            for r in rows:
+                if r[k] is not None:
+                    r[k] = float(r[k])
+        else:
+            t = LongType()
+        fields.append(StructField(k, t))
+    fields.append(StructField("__ord", LongType()))
+    return spark.createDataFrame(rows, schema=StructType(fields))
 
 
 # ---------------------------------------------------------------------------
