@@ -388,6 +388,7 @@ def fraction(
         denom = F.col("__total")
     scale = F.lit(100.0) if percent else F.lit(1.0)
     suffix = "percent" if percent else "fraction"
+    present = F.col(value).isNotNull()  # absent value => absent output field
     if cumulative:
         w_cum = (
             (Window.partitionBy(*by) if by else Window.partitionBy())
@@ -395,9 +396,13 @@ def fraction(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         num = F.sum(value).over(w_cum)
-        out = df.withColumn(f"{value}_cumulative_{suffix}", scale * num / denom)
+        out = df.withColumn(
+            f"{value}_cumulative_{suffix}", F.when(present, scale * num / denom)
+        )
     else:
-        out = df.withColumn(f"{value}_{suffix}", scale * F.col(value) / denom)
+        out = df.withColumn(
+            f"{value}_{suffix}", F.when(present, scale * F.col(value) / denom)
+        )
     return out.drop("__total") if not by else out
 
 

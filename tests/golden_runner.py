@@ -53,8 +53,16 @@ def parse_out(text: str, fmt: str) -> list[dict]:
     if not lines:
         return []
     if fmt == "pprint":
-        header = lines[0].split()
-        return [dict(zip(header, ln.split())) for ln in lines[1:]]
+        # heterogeneous output prints MULTIPLE tables separated by blank
+        # lines, each with its own header
+        recs = []
+        for chunk in text.split("\n\n"):
+            clines = [ln for ln in chunk.splitlines() if ln.strip()]
+            if not clines:
+                continue
+            header = clines[0].split()
+            recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
+        return recs
     if fmt == "csv":
         header = lines[0].split(",")
         return [dict(zip(header, ln.split(","))) for ln in lines[1:]]
@@ -277,8 +285,6 @@ def v_stats1(df, argv):
 def v_fraction(df, argv):
     fl, _ = _flags(argv, {"-f": 1, "-g": 1, "-p": 0, "-c": 0})
     by = _csl(fl["-g"]) if "-g" in fl else []
-    if fl.get("-c"):
-        raise Unsupported("fraction -c (stream-order cumulative)")
     d, passthrough = df, None
     if by:
         if any(b not in d.columns for b in by):
@@ -290,7 +296,8 @@ def v_fraction(df, argv):
         passthrough = d.filter(~cond)
         d = d.filter(cond)
     for f_ in _csl(fl["-f"]):
-        d = ev.fraction(d, f_, by=by, percent=bool(fl.get("-p")))
+        d = ev.fraction(d, f_, by=by, percent=bool(fl.get("-p")),
+                        cumulative=bool(fl.get("-c")), order_by=["__ord"])
     if passthrough is not None:
         d = d.unionByName(passthrough, allowMissingColumns=True)
     return d
@@ -488,6 +495,236 @@ def v_seqgen(spark, argv):
     return ev.seqgen(spark, start, stop, step, field=fl.get("-f", "i"))
 
 
+def v_join(spark, right, argv, to_df, ifmt):
+    """`mlr join -f LEFT -j out [-l lk] [-r rk] [--np|--ul|--ur] [-s|-u]`
+    (join.go:24-31 emit-flag matrix). The join field is renamed to the
+    -j output name on EVERY emitted record, paired or not (golden
+    verb-join/0009); records missing the key never pair and flow to the
+    unpaired side."""
+    fl, pos = _flags(argv, {
+        "-f": 1, "-j": 1, "-l": 1, "-r": 1, "-s": 0, "-u": 0,
+        "--np": 0, "--ul": 0, "--ur": 0, "-i": 1, "--lp": 1, "--rp": 1,
+    })
+    if pos or "--lp" in fl or "--rp" in fl:
+        raise Unsupported("join prefixes/positional")
+    lfmt = fl.get("-i", "dkvp" if ifmt == "dkvp" else "csv")
+    if lfmt not in ("dkvp", "csv", "csvlite"):
+        raise Unsupported(f"join -i {lfmt}")
+    j = _csl(fl["-j"]) if "-j" in fl else None
+    lk = _csl(fl["-l"]) if "-l" in fl else j
+    rk = _csl(fl["-r"]) if "-r" in fl else j
+    if j is None:
+        j = lk or rk
+    if not (j and lk and rk) or len({len(j), len(lk), len(rk)}) != 1:
+        raise Unsupported("join key spec")
+
+    lrecs = _read_records(fl["-f"], icsv=(lfmt != "dkvp"))
+    left = to_df(spark, lrecs, infer=(lfmt == "dkvp")) if lrecs else None
+
+    emit_paired = not fl.get("--np")
+    emit_ul, emit_ur = bool(fl.get("--ul")), bool(fl.get("--ur"))
+
+    def prep(df, keys):
+        """Rename key cols to the output names; return (all, nonnull)."""
+        if df is None or any(k not in df.columns for k in keys):
+            return None, None
+        allr = df.withColumnsRenamed(dict(zip(keys, j))).drop("__ord")
+        nn = allr
+        for k in j:
+            nn = nn.filter(F.col(k).isNotNull())
+        return allr, nn
+
+    l_all, l_nn = prep(left, lk)
+    r_all, r_nn = prep(right, rk)
+
+    parts = []
+    if emit_paired and l_nn is not None and r_nn is not None:
+        lcols = [c for c in l_nn.columns if c not in j]
+        rcols = [c for c in r_nn.columns if c not in j]
+        if set(lcols) & set(rcols):
+            raise Unsupported("join non-key column collision")
+        parts.append(l_nn.join(r_nn, on=j, how="inner"))
+    if emit_ul:
+        if l_all is None and left is not None:
+            parts.append(left.drop("__ord"))  # key absent from schema: all unpaired
+        elif l_all is not None:
+            if r_nn is not None:
+                parts.append(
+                    l_all.join(r_nn.select(*j).distinct(), on=j, how="left_anti")
+                )
+            else:
+                parts.append(l_all)
+    if emit_ur:
+        if r_all is None and right is not None:
+            parts.append(right.drop("__ord"))
+        elif r_all is not None:
+            if l_nn is not None:
+                parts.append(
+                    r_all.join(l_nn.select(*j).distinct(), on=j, how="left_anti")
+                )
+            else:
+                parts.append(r_all)
+
+    parts = [p for p in parts if p is not None]
+    if not parts:
+        raise Unsupported("join emits nothing computable")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
+_STEPPERS_OK = {"shift", "shift_lag", "shift_lead", "delta", "ratio", "rsum",
+                "rprod", "counter", "from-first"}
+
+
+def v_step(df, argv):
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-d": 1})
+    steppers = [s for s in _csl(fl["-a"]) if s != "ewma"]
+    has_ewma = "ewma" in _csl(fl["-a"])
+    for s in steppers:
+        base = s.rsplit("_", 1)
+        if s not in _STEPPERS_OK and not (
+            len(base) == 2 and base[1].isdigit() and base[0] in
+            ("shift_lag", "shift_lead", "delta", "ratio")
+        ):
+            raise Unsupported(f"stepper {s}")
+    alphas = [float(a) for a in _csl(fl["-d"])] if "-d" in fl else []
+    if has_ewma and not alphas:
+        raise Unsupported("ewma without -d")
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    values = _csl(fl["-f"])
+    if any(v not in df.columns for v in values):
+        raise Unsupported("step absent field")
+    dtypes = dict(df.dtypes)
+    numeric_needed = [s for s in steppers if s not in ("shift", "shift_lag", "shift_lead", "counter")] or has_ewma
+    if numeric_needed and any(dtypes[v] == "string" for v in values):
+        raise Unsupported("step arithmetic on string field")
+    passthrough = None
+    if by:
+        if any(b not in df.columns for b in by):
+            raise Unsupported("step group key absent")
+        cond = None
+        for b in by:
+            c = F.col(b).isNotNull()
+            cond = c if cond is None else (cond & c)
+        passthrough = df.filter(~cond)
+        df = df.filter(cond)
+    out = ev.step(df, steppers, values, order_by=["__ord"], by=by,
+                  ewma_alphas=alphas if has_ewma else [])
+    if passthrough is not None:
+        out = out.unionByName(passthrough, allowMissingColumns=True)
+    # Miller names ewma columns {f}_ewma_{alpha-literal}
+    for f_ in values:
+        for a in alphas if has_ewma else []:
+            ours = f"{f_}_ewma_" + ("%g" % a).replace(".", "_")
+            out = out.withColumnRenamed(ours, f"{f_}_ewma_" + "%g" % a)
+    return out
+
+
+_STATS2_NAME = {
+    "corr": [("corr", "{x}_{y}_corr")],
+    "cov": [("cov", "{x}_{y}_cov")],
+    "r2": [("r2", "{x}_{y}_r2")],
+}
+
+
+def v_stats2(df, argv):
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-v": 0})
+    accs = _csl(fl["-a"])
+    fields = _csl(fl["-f"])
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    if len(fields) % 2 or fl.get("-v"):
+        raise Unsupported("stats2 field pairing/-v")
+    for a in accs:
+        if a not in ("corr", "cov", "r2", "linreg-ols", "linreg-pca"):
+            raise Unsupported(f"stats2 acc {a}")
+    df = _drop_missing_keys(df, by)
+    out = None
+    for i2 in range(0, len(fields), 2):
+        x, y = fields[i2], fields[i2 + 1]
+        if x not in df.columns or y not in df.columns:
+            raise Unsupported("stats2 absent field")
+        # no row filter: Spark's corr/covar ignore null pairs, and a
+        # group whose pairs are all-null still emits a (void) record
+        s = ev.stats2(df, x, y, accs, by=by)
+        ren = {}
+        if "linreg-ols" in accs:
+            ren[f"{x}_{y}_m"] = f"{x}_{y}_ols_m"
+            ren[f"{x}_{y}_b"] = f"{x}_{y}_ols_b"
+        s = s.withColumnsRenamed(ren)
+        if "linreg-ols" in accs:
+            pair = F.sum(
+                F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), 1).otherwise(0)
+            ).alias(f"{x}_{y}_ols_n")
+            n = df.groupBy(*by).agg(pair) if by else df.agg(pair)
+            s = s.join(n, by) if by else s.crossJoin(n)
+        out = s if out is None else (out.join(s, by) if by else out.crossJoin(s))
+    return out
+
+
+def v_merge_fields(df, argv):
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-o": 1, "-k": 0})
+    accs = _csl(fl["-a"])
+    ok = {"min", "max", "sum", "mean", "count", "var", "stddev", "median",
+          "iqr", "lof", "lif", "uif", "uof"}
+    for a in accs:
+        if a not in ok and not (a.startswith("p") and a[1:].replace(".", "").isdigit()):
+            raise Unsupported(f"merge-fields acc {a}")
+    fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
+    if not fields:
+        raise Unsupported("merge-fields no fields")
+    out = ev.merge_fields(df, accs, fields, fl.get("-o", "out"))
+    if not fl.get("-k"):
+        out = out.drop(*fields)
+    return out
+
+
+def v_unsparsify(df, argv):
+    fl, _ = _flags(argv, {"--fill-with": 1})
+    fill = fl.get("--fill-with")
+    if fill is None:
+        return df  # union schema already holds all keys; absent==void in compare
+    cols = [c for c in df.columns if c != "__ord"]
+    return df.withColumns(
+        {c: F.coalesce(F.col(c).cast("string"), F.lit(fill)) for c in cols}
+    )
+
+
+def v_histogram(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "--lo": 1, "--hi": 1, "--nbins": 1, "-o": 1, "--auto": 0})
+    fields = _csl(fl["-f"])
+    nbins = int(fl["--nbins"])
+    prefix = fl.get("-o", "")
+    out = None
+    if fl.get("--auto"):
+        # Miller --auto sizes bins from the joint min/max over ALL
+        # requested fields (one shared bin table in the output)
+        aggs = []
+        for f_ in fields:
+            if f_ not in df.columns:
+                raise Unsupported("histogram absent field")
+            aggs += [F.min(F.col(f_).cast("double")), F.max(F.col(f_).cast("double"))]
+        row = df.agg(*aggs).first()
+        lo = min(v for v in row[0::2] if v is not None)
+        hi = max(v for v in row[1::2] if v is not None)
+    for f_ in fields:
+        if f_ not in df.columns:
+            raise Unsupported("histogram absent field")
+        if fl.get("--auto"):
+            h = ev.histogram(df, f_, lo, hi, nbins, include_hi=True)
+        else:
+            h = ev.histogram(df, f_, float(fl["--lo"]), float(fl["--hi"]), nbins)
+        h = h.select(
+            F.round("bin_lo", 9).alias("bin_lo"), F.round("bin_hi", 9).alias("bin_hi"),
+            F.col("count").alias(f"{prefix}{f_}_count"),
+        )
+        out = h if out is None else out.join(h, ["bin_lo", "bin_hi"])
+    if prefix:
+        out = out.withColumnsRenamed({"bin_lo": f"{prefix}bin_lo", "bin_hi": f"{prefix}bin_hi"})
+    return out
+
+
 VERBS = {
     "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut, "sort": v_sort,
     "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
@@ -503,6 +740,8 @@ VERBS = {
     "sub": lambda df, a: v_gsub(df, a, first_only=True),
     "ssub": lambda df, a: v_gsub(df, a, literal=True),
     "case": v_case, "having-fields": v_having_fields,
+    "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
+    "unsparsify": v_unsparsify, "histogram": v_histogram,
 }
 
 _FMT_FLAGS = {
@@ -511,12 +750,15 @@ _FMT_FLAGS = {
     "--opprint": (None, "pprint"), "--oxtab": (None, "xtab"),
     "--ocsv": (None, "csv"), "--icsv": ("csv", None), "--csv": ("csv", "csv"),
     "--csvlite": ("csv", "csv"), "--c2p": ("csv", "pprint"), "--pprint": ("pprint", "pprint"),
+    "--dkvp": ("dkvp", "dkvp"), "--idkvp": ("dkvp", None), "--odkvp": (None, "dkvp"),
+    "--icsvlite": ("csv", None), "--ocsvlite": (None, "csv"),
 }
 
 
 def run_case(spark, case_dir: str, to_df):
     """Execute one golden case; returns (got_records, exp_records).
     Raises Unsupported for anything outside the interpreter's surface."""
+    run_case.__globals__["_TO_DF"] = to_df
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     if os.path.exists(os.path.join(case_dir, "env")) or "${CASEDIR}" in cmd or "should-fail" in os.listdir(case_dir):
@@ -559,12 +801,21 @@ def run_case(spark, case_dir: str, to_df):
         else:
             chains[-1].append(a)
 
-    # trailing positional file paths on the LAST verb
+    # trailing positional file paths on the LAST verb — but not a path
+    # that is the VALUE of a value-taking flag (e.g. `join -f left.dkvp`)
+    _VALUE_FLAGS = {
+        "-f", "-j", "-l", "-r", "-i", "-o", "-v", "-n", "-g", "-a", "-d", "-b",
+        "--lo", "--hi", "--nbins", "--start", "--stop", "--step", "--fill-with",
+        "--lp", "--rp", "--at-least", "--all-defined",
+    }
     last = chains[-1]
-    while last and not last[-1].startswith("-") and (
-        os.path.exists(os.path.join("/root/reference", last[-1]))
+    while (
+        last
+        and not last[-1].startswith("-")
+        and os.path.exists(os.path.join("/root/reference", last[-1]))
+        and not (len(last) >= 2 and last[-2] in _VALUE_FLAGS)
     ):
-        files.insert(0, last.pop()) if False else files.append(last.pop())
+        files.append(last.pop())
     files_in_order = [f_ for f_ in argv[i:] if f_ in files]  # preserve cmd order
     files = files_in_order or files
 
@@ -584,6 +835,10 @@ def run_case(spark, case_dir: str, to_df):
         verb, vargv = chain[0], chain[1:]
         if verb == "seqgen":
             spark_df = v_seqgen(spark, vargv).withColumn("__ord", F.monotonically_increasing_id())
+            continue
+        if verb == "join":
+            spark_df = v_join(spark, spark_df, vargv, to_df, ifmt)
+            spark_df = spark_df.withColumn("__ord", F.monotonically_increasing_id())
             continue
         if verb not in VERBS:
             raise Unsupported(f"verb {verb}")

@@ -78,9 +78,14 @@ def parse_xtab_out(case: str) -> list[dict]:
 
 
 def parse_pprint_out(case: str) -> list[dict]:
-    lines = [ln for ln in _expout(case).splitlines() if ln.strip()]
-    header = lines[0].split()
-    return [dict(zip(header, ln.split())) for ln in lines[1:]]
+    recs = []
+    for chunk in _expout(case).split("\n\n"):
+        clines = [ln for ln in chunk.splitlines() if ln.strip()]
+        if not clines:
+            continue
+        header = clines[0].split()
+        recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
+    return recs
 
 
 def parse_dkvp_out(case: str) -> list[dict]:
@@ -204,7 +209,8 @@ def assert_matches(got: list[dict], exp: list[dict], ordered: bool = False):
             out = sorted(
                 out,
                 key=lambda rec: tuple(
-                    (k, round(v, 5) if isinstance(v, float) else v) for k, v in rec
+                    (k, f"{round(v, 5):020.5f}" if isinstance(v, float) else str(v))
+                    for k, v in rec
                 ),
             )
         return out
