@@ -47,23 +47,34 @@ def test_auto_replay_reference_golden_corpus(spark):
     )
     assert cases, "no cases found"
     passed, skipped, failures = 0, 0, []
-    for c in cases:
+
+    def one(c):
         if any(k in c for k in KNOWN_DIVERGENCES):
-            skipped += 1
-            continue
+            return "skip", None
         try:
             got, exp = run_case(spark, c.rstrip("/"), to_df)
         except Unsupported:
-            skipped += 1
-            continue
+            return "skip", None
         except Exception as e:  # noqa: BLE001 — interpreter bug, count it
-            failures.append((c, f"RUNTIME {type(e).__name__}: {e}"))
-            continue
+            return "fail", f"RUNTIME {type(e).__name__}: {e}"
         try:
             assert_matches(got, exp)
-            passed += 1
+            return "pass", None
         except AssertionError as e:
-            failures.append((c, str(e)[:300]))
+            return "fail", str(e)[:300]
+
+    # Spark actions are thread-safe; 8-way case concurrency cuts the
+    # ~700-job wall time ~4x
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as pool:
+        for c, (status, msg) in zip(cases, pool.map(one, cases)):
+            if status == "pass":
+                passed += 1
+            elif status == "skip":
+                skipped += 1
+            else:
+                failures.append((c, msg))
 
     assert not failures, (
         f"{len(failures)} golden mismatches (passed {passed}):\n"
