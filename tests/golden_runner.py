@@ -30,10 +30,25 @@ class Unsupported(Exception):
 # ---------------------------------------------------------------------------
 
 
-def _read_records(path: str, icsv: bool) -> list[dict]:
+def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
     full = path if os.path.isabs(path) else os.path.join("/root/reference", path)
     with open(full) as f:
         text = f.read()
+    if jsonin:
+        import json as _json
+
+        try:
+            data = _json.loads(text)
+        except ValueError as e:
+            raise Unsupported(f"json input parse: {e}")
+        if not isinstance(data, list):
+            data = [data]
+        for r in data:
+            if not isinstance(r, dict) or any(
+                isinstance(v, (dict, list)) for v in r.values()
+            ):
+                raise Unsupported("nested json input")
+        return [{k: str(v) if v is not None else None for k, v in r.items()} for r in data]
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     if icsv:
         header = lines[0].split(",")
@@ -49,6 +64,18 @@ def _read_records(path: str, icsv: bool) -> list[dict]:
 
 
 def parse_out(text: str, fmt: str) -> list[dict]:
+    if fmt == "json":
+        import json as _json
+
+        data = _json.loads(text) if text.strip() else []
+        if not isinstance(data, list):
+            data = [data]
+        for r in data:
+            if not isinstance(r, dict) or any(
+                isinstance(v, (dict, list)) for v in r.values()
+            ):
+                raise Unsupported("nested json output")
+        return data
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     if not lines:
         return []
@@ -64,8 +91,16 @@ def parse_out(text: str, fmt: str) -> list[dict]:
             recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
         return recs
     if fmt == "csv":
-        header = lines[0].split(",")
-        return [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+        # csvlite emits a fresh header block after a blank line when the
+        # record schema changes (het output)
+        recs = []
+        for chunk in text.split("\n\n"):
+            clines = [ln for ln in chunk.splitlines() if ln.strip()]
+            if not clines:
+                continue
+            header = clines[0].split(",")
+            recs.extend(dict(zip(header, ln.split(","))) for ln in clines[1:])
+        return recs
     if fmt == "xtab":
         recs, cur = [], {}
         for ln in text.splitlines():
@@ -725,23 +760,188 @@ def v_histogram(df, argv):
     return out
 
 
+def v_passthrough(df, argv):
+    if argv:
+        raise Unsupported("passthrough verb with args")
+    return df
+
+
+def v_sparsify(df, argv):
+    _flags(argv, {})
+    return df  # empty values are dropped by the record compare anyway
+
+
+def _regexes(parts):
+    """Miller -r field patterns: bare, "quoted", /slashed/, with optional
+    trailing i for case-insensitivity."""
+    import re
+
+    out = []
+    for raw in parts:
+        flags = 0
+        if raw.endswith("i") and len(raw) > 2 and raw[0] in "\"/" and raw[-2] == raw[0]:
+            raw, flags = raw[1:-2], re.IGNORECASE
+        elif len(raw) > 1 and raw[0] in "\"/" and raw[-1] == raw[0]:
+            raw = raw[1:-1]
+        out.append(re.compile(raw, flags))
+    return out
+
+
+def v_cut_regex(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-r": 0, "-x": 0, "-o": 0})
+    if not fl.get("-r"):
+        return v_cut(df, argv)
+    pats = _regexes(_csl(fl["-f"]))
+    cols = [c for c in df.columns if c != "__ord"]
+    hit = [c for c in cols if any(p.search(c) for p in pats)]
+    keep = [c for c in cols if (c in hit) != bool(fl.get("-x"))]
+    return df.select(*keep) if keep else df.limit(0).select(*cols)
+
+
+def v_rename_regex(df, argv):
+    fl, pos = _flags(argv, {"-r": 0, "-g": 0})
+    if not fl.get("-r"):
+        return v_rename(df, argv)
+    parts = _csl(pos[0])
+    mapping = {}
+    for i2 in range(0, len(parts), 2):
+        pat = _regexes([parts[i2]])[0]
+        rep = parts[i2 + 1].replace("\\1", "\\g<1>").replace("\\2", "\\g<2>")
+        for c in df.columns:
+            if c == "__ord" or c in mapping:
+                continue
+            if pat.search(c):
+                count = 0 if fl.get("-g") else 1
+                new = pat.sub(rep, c, count=count)
+                if new != c:
+                    mapping[c] = new
+    # record-wise rename: several sources mapping to one target merge
+    # exactly when at most ONE source is present per record (coalesce);
+    # with >=2 co-present sources Miller's outcome depends on each
+    # record's own key order, which the fixed schema can't represent
+    targets: dict[str, list[str]] = {}
+    for c in df.columns:
+        if c in mapping:
+            targets.setdefault(mapping[c], []).append(c)
+    for t, srcs in targets.items():
+        if len(srcs) > 1:
+            present = None
+            for s in srcs:
+                p = F.col(s).isNotNull().cast("int")
+                present = p if present is None else (present + p)
+            if df.filter(present >= 2).limit(1).count() > 0:
+                raise Unsupported("rename collision with co-present sources")
+    sel = []
+    emitted = set()
+    for c in df.columns:
+        if c == "__ord":
+            sel.append(F.col("__ord"))
+        elif c in mapping:
+            t = mapping[c]
+            if t in emitted:
+                continue
+            srcs = targets[t]
+            col = F.coalesce(*[F.col(s) for s in reversed(srcs)]) if len(srcs) > 1 else F.col(c)
+            sel.append(col.alias(t))
+            emitted.add(t)
+        elif c in targets:
+            continue  # pre-existing field replaced by a rename
+        else:
+            sel.append(F.col(c))
+    return df.select(*sel)
+
+
+def v_having_fields_full(df, argv):
+    fl, _ = _flags(argv, {"--at-least": 1, "--all-defined": 1, "--which-are": 1,
+                          "--at-most": 1, "--any-defined": 1})
+    cols = [c for c in df.columns if c != "__ord"]
+    if fl.get("--which-are"):
+        want = set(_csl(fl["--which-are"]))
+        cond = F.lit(True)
+        for c in cols:
+            has = F.col(c).isNotNull()
+            cond = cond & (has if c in want else ~has)
+        missing = want - set(cols)
+        return df.limit(0) if missing else df.filter(cond)
+    if fl.get("--any-defined"):
+        fields = [f_ for f_ in _csl(fl["--any-defined"]) if f_ in cols]
+        if not fields:
+            return df.limit(0)
+        cond = F.lit(False)
+        for f_ in fields:
+            cond = cond | F.col(f_).isNotNull()
+        return df.filter(cond)
+    if fl.get("--at-most"):
+        allowed = set(_csl(fl["--at-most"]))
+        cond = F.lit(True)
+        for c in cols:
+            if c not in allowed:
+                cond = cond & F.col(c).isNull()
+        return df.filter(cond)
+    return v_having_fields(df, argv)
+
+
+_NEST_SEPS = {"pipe": "|", "semicolon": ";", "comma": ",", ";": ";", "|": "|", ",": ","}
+
+
+def v_nest(df, argv):
+    fl, _ = _flags(argv, {
+        "--explode": 0, "--implode": 0, "--values": 0, "--pairs": 0,
+        "--across-records": 0, "--across-fields": 0, "-f": 1,
+        "--nested-fs": 1, "--nested-ps": 1, "--evar": 1, "--ivar": 1,
+    })
+    if fl.get("--pairs") or fl.get("--across-fields"):
+        raise Unsupported("nest pairs/across-fields")
+    if "--evar" in fl or "--ivar" in fl:
+        sep = _NEST_SEPS.get(fl.get("--evar") or fl.get("--ivar"))
+        explode = "--evar" in fl
+    else:
+        sep = _NEST_SEPS.get(fl.get("--nested-fs", ";"))
+        explode = bool(fl.get("--explode"))
+        if not explode and not fl.get("--implode"):
+            raise Unsupported("nest mode")
+    field = fl["-f"]
+    if sep is None or field not in df.columns:
+        raise Unsupported("nest sep/field")
+    if explode:
+        return ev.nest_explode_values(df, field, sep=("\\|" if sep == "|" else sep))
+    others = [c for c in df.columns if c not in (field, "__ord")]
+    grouped = df.groupBy(*others).agg(
+        F.min("__ord").alias("__ord"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("__ord").alias("o"), F.col(field).cast("string").alias("v"))
+                    )
+                ),
+                lambda s: s.v,
+            ),
+            sep,
+        ).alias(field),
+    )
+    return grouped
+
+
 VERBS = {
-    "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut, "sort": v_sort,
+    "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut_regex, "sort": v_sort,
     "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
     "stats1": v_stats1, "fraction": v_fraction, "top": v_top,
     "most-frequent": lambda df, a: v_most_frequent(df, a, True),
     "least-frequent": lambda df, a: v_most_frequent(df, a, False),
     "decimate": v_decimate, "fill-down": v_fill_down, "fill-empty": v_fill_empty,
-    "grep": v_grep, "rename": v_rename, "label": v_label, "reorder": v_reorder,
+    "grep": v_grep, "rename": v_rename_regex, "label": v_label, "reorder": v_reorder,
     "template": v_template, "regularize": v_regularize, "sec2gmt": v_sec2gmt,
     "sec2gmtdate": v_sec2gmtdate, "repeat": v_repeat,
     "count-similar": v_count_similar, "nothing": v_nothing, "tac": v_tac,
     "gsub": lambda df, a: v_gsub(df, a, first_only=False),
     "sub": lambda df, a: v_gsub(df, a, first_only=True),
     "ssub": lambda df, a: v_gsub(df, a, literal=True),
-    "case": v_case, "having-fields": v_having_fields,
+    "case": v_case, "having-fields": v_having_fields_full,
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
+    "sort-within-records": v_passthrough, "gap": v_passthrough,
+    "regularize": v_regularize, "sparsify": v_sparsify, "nest": v_nest,
 }
 
 _FMT_FLAGS = {
@@ -752,6 +952,8 @@ _FMT_FLAGS = {
     "--csvlite": ("csv", "csv"), "--c2p": ("csv", "pprint"), "--pprint": ("pprint", "pprint"),
     "--dkvp": ("dkvp", "dkvp"), "--idkvp": ("dkvp", None), "--odkvp": (None, "dkvp"),
     "--icsvlite": ("csv", None), "--ocsvlite": (None, "csv"),
+    "--ojson": (None, "json"), "--ijson": ("json", None), "--json": ("json", "json"),
+    "--ojsonl": (None, "jsonl"), "--c2j": ("csv", "json"),
 }
 
 
@@ -791,6 +993,8 @@ def run_case(spark, case_dir: str, to_df):
         continue
     if ifmt == "pprint":
         raise Unsupported("pprint input")
+    if ofmt == "jsonl":
+        raise Unsupported("jsonl output")
     rest = argv[i:]
 
     # split on `then`
@@ -812,7 +1016,7 @@ def run_case(spark, case_dir: str, to_df):
     while (
         last
         and not last[-1].startswith("-")
-        and os.path.exists(os.path.join("/root/reference", last[-1]))
+        and os.path.isfile(os.path.join("/root/reference", last[-1]))
         and not (len(last) >= 2 and last[-2] in _VALUE_FLAGS)
     ):
         files.append(last.pop())
@@ -826,7 +1030,11 @@ def run_case(spark, case_dir: str, to_df):
     if files:
         recs: list[dict] = []
         for f_ in files:
-            recs.extend(_read_records(f_, icsv=(ifmt == "csv")))
+            recs.extend(
+                _read_records(f_, icsv=(ifmt == "csv"), jsonin=(ifmt == "json"))
+            )
+        if not recs:
+            raise Unsupported("empty input")
         spark_df = to_df(spark, recs, infer=(ifmt != "csv"))
 
     for chain in chains:
@@ -850,6 +1058,12 @@ def run_case(spark, case_dir: str, to_df):
         {k: v for k, v in r.asDict().items() if k != "__ord"}
         for r in spark_df.collect()
     ]
+    # Tabular writers skip records with NO KEYS at all. Under the fixed
+    # schema an all-null row is keyless only if the last verb can remove
+    # keys from a record (cut); verbs like template keep the keys with
+    # void values (pprint renders dashes) and the record survives.
+    if ofmt != "json" and chains[-1] and chains[-1][0] == "cut":
+        got = [r for r in got if any(v is not None and v != "" for v in r.values())]
     with open(os.path.join(case_dir, "expout")) as f:
         exp = parse_out(f.read(), ofmt)
     return got, exp
