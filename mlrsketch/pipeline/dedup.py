@@ -87,7 +87,9 @@ def minhash_lsh_pairs(
     jaccard_est) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n)
+    # the signature feeds BOTH sides of the self-join: persist it or the
+    # shingle+hash aggregation runs twice (measured 2x on the bench)
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n).persist()
     # band hash = xxhash64 over the band's signature columns directly
     # (multi-column JVM hash; no string concat, no array element_at).
     banded = sig.select(

@@ -782,6 +782,66 @@ def v_histogram(df, argv):
     return out
 
 
+import re as _re
+
+_PUT_ASSIGN = _re.compile(r"^\$([A-Za-z_][\w]*)\s*=\s*(.+)$")
+_PUT_BINOP = _re.compile(
+    r"^\$([A-Za-z_][\w]*)\s*([+\-*/])\s*(-?\d+(?:\.\d+)?)$"
+)
+_PUT_FUNC = _re.compile(
+    r"^(truncate|toupper|tolower|strlen|abs|ceiling|floor|round)\s*\(\s*\$([A-Za-z_][\w]*)\s*(?:,\s*(-?\d+)\s*)?\)$"
+)
+
+
+def v_put(df, argv):
+    """Micro-`put`: single assignments of the forms
+    $y = $x <op> literal   |   $y = func($x[, n])
+    — enough for the corpus's truncate/arithmetic cases. Anything else
+    is Unsupported (the full DSL's role is played by Column exprs)."""
+    fl, pos = _flags(argv, {"-q": 0, "-S": 0})
+    if fl or len(pos) != 1:
+        raise Unsupported("put flags")
+    body = pos[0].strip().rstrip(";")
+    if ";" in body or "\n" in body:
+        raise Unsupported("multi-statement put")
+    m = _PUT_ASSIGN.match(body)
+    if not m:
+        raise Unsupported("put form")
+    target, expr = m.group(1), m.group(2).strip()
+    b = _PUT_BINOP.match(expr)
+    if b:
+        src, op, lit = b.group(1), b.group(2), float(b.group(3))
+        if src not in df.columns:
+            raise Unsupported("put absent field")
+        c = F.col(src)
+        col = {"+": c + lit, "-": c - lit, "*": c * lit, "/": c / lit}[op]
+        return df.withColumn(target, col)
+    fm = _PUT_FUNC.match(expr)
+    if fm:
+        fn, src, n = fm.group(1), fm.group(2), fm.group(3)
+        if src not in df.columns:
+            raise Unsupported("put absent field")
+        c = F.col(src)
+        if fn == "truncate":
+            col = F.substring(c.cast("string"), 1, int(n))
+        elif fn == "toupper":
+            col = F.upper(c.cast("string"))
+        elif fn == "tolower":
+            col = F.lower(c.cast("string"))
+        elif fn == "strlen":
+            col = F.length(c.cast("string"))
+        elif fn == "abs":
+            col = F.abs(c)
+        elif fn == "ceiling":
+            col = F.ceil(c)
+        elif fn == "floor":
+            col = F.floor(c)
+        else:
+            col = F.round(c)
+        return df.withColumn(target, col)
+    raise Unsupported("put expr")
+
+
 def v_passthrough(df, argv):
     if argv:
         raise Unsupported("passthrough verb with args")
@@ -973,7 +1033,7 @@ VERBS = {
     "unsparsify": v_unsparsify, "histogram": v_histogram,
     "sort-within-records": v_passthrough, "gap": v_passthrough,
     "skip-trivial-records": v_skip_trivial,
-    "latin1-to-utf8": v_passthrough,
+    "latin1-to-utf8": v_passthrough, "put": v_put,
     # utf8-to-latin1 emits Miller's (error) value for unencodable text —
     # error-as-value (MT_ERROR) isn't modeled here
 
