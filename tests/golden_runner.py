@@ -53,6 +53,15 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
             ):
                 raise Unsupported("nested json input")
         return [{k: str(v) if v is not None else None for k, v in r.items()} for r in data]
+    if icsv == "pprint":
+        recs = []
+        for chunk in text.split("\n\n"):
+            clines = [ln for ln in chunk.splitlines() if ln.strip()]
+            if not clines:
+                continue
+            header = clines[0].split()
+            recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
+        return recs
     if icsv == "xtab":
         recs, cur = [], {}
         for ln in text.splitlines():
@@ -455,8 +464,17 @@ def v_reorder(df, argv):
 
 
 def v_template(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "--fill-with": 1})
-    return ev.template(df, _csl(fl["-f"]), fill=fl.get("--fill-with"))
+    fl, _ = _flags(argv, {"-f": 1, "--fill-with": 1, "-t": 1})
+    if "-t" in fl:
+        hdr = _read_records(fl["-t"], icsv=True)
+        fields = list(hdr[0].keys()) if hdr else []
+        if not fields:
+            full = os.path.join("/root/reference", fl["-t"])
+            with open(full) as fh:
+                fields = fh.readline().strip().split(",")
+    else:
+        fields = _csl(fl["-f"])
+    return ev.template(df, fields, fill=fl.get("--fill-with"))
 
 
 def v_regularize(df, argv):
@@ -562,8 +580,10 @@ def v_join(spark, right, argv, to_df, ifmt):
         "-f": 1, "-j": 1, "-l": 1, "-r": 1, "-s": 0, "-u": 0,
         "--np": 0, "--ul": 0, "--ur": 0, "-i": 1, "--lp": 1, "--rp": 1,
     })
-    if pos or "--lp" in fl or "--rp" in fl:
-        raise Unsupported("join prefixes/positional")
+    if pos:
+        raise Unsupported("join positional")
+    lp, rp = fl.get("--lp", "left_"), fl.get("--rp", "right_")
+    use_prefixes = "--lp" in fl or "--rp" in fl
     lfmt = fl.get("-i", "dkvp" if ifmt == "dkvp" else "csv")
     if lfmt not in ("dkvp", "csv", "csvlite"):
         raise Unsupported(f"join -i {lfmt}")
@@ -598,8 +618,12 @@ def v_join(spark, right, argv, to_df, ifmt):
     if emit_paired and l_nn is not None and r_nn is not None:
         lcols = [c for c in l_nn.columns if c not in j]
         rcols = [c for c in r_nn.columns if c not in j]
-        if set(lcols) & set(rcols):
+        collide = set(lcols) & set(rcols)
+        if collide and not use_prefixes:
             raise Unsupported("join non-key column collision")
+        if collide:
+            l_nn = l_nn.withColumnsRenamed({c: lp + c for c in collide})
+            r_nn = r_nn.withColumnsRenamed({c: rp + c for c in collide})
         parts.append(l_nn.join(r_nn, on=j, how="inner"))
     if emit_ul:
         if l_all is None and left is not None:
@@ -1014,6 +1038,33 @@ def v_nest(df, argv):
     return grouped
 
 
+def v_reshape(df, argv):
+    fl, _ = _flags(argv, {"-i": 1, "-o": 1, "-r": 1, "-s": 1})
+    if "-s" in fl:
+        key, val = _csl(fl["-s"])
+        if key not in df.columns or val not in df.columns:
+            raise Unsupported("reshape -s absent fields")
+        ids = [c for c in df.columns if c not in (key, val, "__ord")]
+        return ev.reshape_long_to_wide(df.drop("__ord"), key, val, ids)
+    if "-r" in fl:
+        pats = _regexes(_csl(fl["-r"]))
+        measures = [c for c in df.columns if c != "__ord" and any(p.search(c) for p in pats)]
+    else:
+        measures = [m for m in _csl(fl["-i"]) if m in df.columns]
+    if not measures or "-o" not in fl:
+        raise Unsupported("reshape fields")
+    key_name, val_name = _csl(fl["-o"])
+    any_measure = None
+    for m in measures:
+        c = F.col(m).isNotNull()
+        any_measure = c if any_measure is None else (any_measure | c)
+    melted = ev.reshape_wide_to_long(
+        df.filter(any_measure).drop("__ord"), measures, key_name, val_name
+    ).filter(F.col(val_name).isNotNull())
+    passthrough = df.filter(~any_measure).drop("__ord").drop(*measures)
+    return melted.unionByName(passthrough, allowMissingColumns=True)
+
+
 VERBS = {
     "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut_regex, "sort": v_sort,
     "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
@@ -1033,7 +1084,7 @@ VERBS = {
     "unsparsify": v_unsparsify, "histogram": v_histogram,
     "sort-within-records": v_passthrough, "gap": v_passthrough,
     "skip-trivial-records": v_skip_trivial,
-    "latin1-to-utf8": v_passthrough, "put": v_put,
+    "latin1-to-utf8": v_passthrough, "put": v_put, "reshape": v_reshape,
     # utf8-to-latin1 emits Miller's (error) value for unencodable text —
     # error-as-value (MT_ERROR) isn't modeled here
 
@@ -1091,8 +1142,7 @@ def run_case(spark, case_dir: str, to_df):
         else:
             break
         continue
-    if ifmt == "pprint":
-        raise Unsupported("pprint input")
+
     if ofmt == "jsonl":
         raise Unsupported("jsonl output")
     rest = argv[i:]
@@ -1109,10 +1159,11 @@ def run_case(spark, case_dir: str, to_df):
     # that is the VALUE of a value-taking flag (e.g. `join -f left.dkvp`)
     _VALUE_FLAGS = {
         "-f", "-j", "-l", "-r", "-i", "-o", "-v", "-n", "-g", "-a", "-d", "-b",
-        "--lo", "--hi", "--nbins", "--start", "--stop", "--step", "--fill-with",
+        "--lo", "--hi", "--nbins", "--start", "--stop", "--step", "--fill-with", "-t", "-s",
         "--lp", "--rp", "--at-least", "--all-defined",
     }
     last = chains[-1]
+    popped: list[str] = []
     while (
         last
         and not last[-1].startswith("-")
@@ -1122,9 +1173,10 @@ def run_case(spark, case_dir: str, to_df):
         )
         and not (len(last) >= 2 and last[-2] in _VALUE_FLAGS)
     ):
-        files.append(last.pop())
-    files_in_order = [f_ for f_ in argv[i:] if f_ in files]  # preserve cmd order
-    files = files_in_order or files
+        popped.append(last.pop())
+    # --from files first (cmd order), then trailing positionals (popping
+    # walked right-to-left, so reverse to restore cmd order)
+    files = files + list(reversed(popped))
 
     if not files and not no_input and chains[0][0] != "seqgen":
         raise Unsupported("no input file resolved")
@@ -1136,7 +1188,7 @@ def run_case(spark, case_dir: str, to_df):
             recs.extend(
                 _read_records(
                     f_,
-                    icsv=("xtab" if ifmt == "xtab" else ifmt == "csv"),
+                    icsv=(ifmt if ifmt in ("xtab", "pprint") else ifmt == "csv"),
                     jsonin=(ifmt == "json"),
                 )
             )
