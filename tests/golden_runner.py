@@ -43,8 +43,20 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
 
         try:
             data = _json.loads(text)
-        except ValueError as e:
-            raise Unsupported(f"json input parse: {e}")
+        except ValueError:
+            # Miller also accepts concatenated objects: {..}\n{..}
+            dec = _json.JSONDecoder()
+            data, idx = [], 0
+            s = text.strip()
+            try:
+                while idx < len(s):
+                    obj, end = dec.raw_decode(s, idx)
+                    data.append(obj)
+                    idx = end
+                    while idx < len(s) and s[idx] in " \t\r\n,":
+                        idx += 1
+            except ValueError as e:
+                raise Unsupported(f"json input parse: {e}")
         if not isinstance(data, list):
             data = [data]
         for r in data:
@@ -279,7 +291,7 @@ def v_sort(df, argv):
 
 
 def v_uniq(df, argv):
-    fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0})
+    fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0, "-o": 1})
     by = _csl(fl.get("-g") or fl.get("-f") or "")
     if fl.get("-a"):
         raise Unsupported("uniq -a")
@@ -292,7 +304,10 @@ def v_uniq(df, argv):
         d = d.filter(F.col(b).isNotNull())
     if fl.get("-n"):
         return ev.uniq_distinct_count(d, by)
-    return ev.uniq(d, by, show_counts=bool(fl.get("-c")))
+    out = ev.uniq(d, by, show_counts=bool(fl.get("-c")))
+    if fl.get("-c") and "-o" in fl:
+        out = out.withColumnRenamed("count", fl["-o"])
+    return out
 
 
 def v_count(df, argv):
@@ -321,7 +336,7 @@ _STATS1_OK = {
 
 
 def v_stats1(df, argv):
-    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1})
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-i": 0})
     accs, values = _csl(fl["-a"]), _csl(fl["-f"])
     by = _csl(fl["-g"]) if "-g" in fl else []
     df = _drop_missing_keys(df, by)
@@ -331,7 +346,11 @@ def v_stats1(df, argv):
         if a not in _STATS1_OK and not (a.startswith("p") and a[1:].replace(".", "").isdigit()):
             raise Unsupported(f"stats1 acc {a}")
     plain = [a for a in accs if a not in ("mode", "antimode", "mad")]
-    out = ev.stats1(df, plain, values, by=by) if plain else None
+    out = (
+        ev.stats1(df, plain, values, by=by, interpolated=bool(fl.get("-i")))
+        if plain
+        else None
+    )
     extras = {}
     for a in accs:
         if a in ("mode", "antimode"):
