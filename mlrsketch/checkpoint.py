@@ -81,6 +81,128 @@ def completed_units(spark: SparkSession, ckpt_dir: str, job_id: str) -> dict[str
     return {r["unit_id"]: r["input_fingerprint"] for r in rows}
 
 
+def run_resumable_sketch_spec(
+    spark: SparkSession,
+    table_path: str,
+    job_id: str,
+    ckpt_dir: str,
+    of: str,
+    spec,  # mlrsketch.agg.SketchSpec
+):
+    """Compute-or-resume a global sketch over a parquet table — ALL
+    pending units in ONE Spark job.
+
+    The serial variant (`run_resumable_sketch`) launches one job per
+    pending file: at 100k files that is a driver scheduling loop with
+    the cluster mostly idle. Here every pending file is read in a single
+    `spark.read.parquet(*files)` scan, rows are tagged with their source
+    file (`input_file_name`), partial states build per (task x unit) in
+    one `mapInPandas` pass, merge per unit in one small shuffle of
+    KB-scale states, and the per-unit rows land in the checkpoint dir in
+    one append. Wall time is governed by the scan, not the unit count.
+
+    Returns (merged_sketch, n_units_recomputed).
+    """
+    import numpy as np  # noqa: F401 (callers' update fns expect numpy present)
+
+    from mlrsketch.agg import STATE_COL
+
+    units = list_units(spark, table_path)
+    done = completed_units(spark, ckpt_dir, job_id)
+    pending = [(u, fp) for u, fp in units if done.get(u) != fp]
+    if pending:
+        t0 = time.monotonic()
+        by_base = {os.path.basename(u): (u, fp) for u, fp in pending}
+        tagged = spark.read.parquet(*[u for u, _ in pending]).withColumn(
+            "__unit", F.element_at(F.split(F.input_file_name(), "/"), -1)
+        )
+        prepared = spec.prepare(tagged, of).select("__unit", *spec.internal_cols)
+        make, update, internal = spec.make, spec.update, spec.internal_cols
+        part_schema = StructType(
+            [
+                StructField("__unit", StringType(), False),
+                StructField(STATE_COL, BinaryType(), False),
+                StructField("rows_in", LongType(), False),
+            ]
+        )
+
+        def partial(batches):
+            sketches: dict[str, object] = {}
+            rows_in: dict[str, int] = {}
+            for pdf in batches:
+                for unit, idx in pdf.groupby("__unit", sort=False).indices.items():
+                    sk = sketches.get(unit)
+                    if sk is None:
+                        sk = sketches[unit] = make()
+                    update(sk, pdf.iloc[idx][list(internal)])
+                    rows_in[unit] = rows_in.get(unit, 0) + len(idx)
+            if sketches:
+                yield pd.DataFrame(
+                    [
+                        {"__unit": u, STATE_COL: sk.serialize(), "rows_in": rows_in[u]}
+                        for u, sk in sketches.items()
+                    ]
+                )
+
+        deser = spec.deserialize
+
+        def merge_unit(pdf: pd.DataFrame) -> pd.DataFrame:
+            merged = None
+            for blob in pdf[STATE_COL]:
+                sk = deser(bytes(blob))
+                merged = sk if merged is None else merged.merge(sk)
+            return pd.DataFrame(
+                [
+                    {
+                        "__unit": pdf["__unit"].iloc[0],
+                        STATE_COL: merged.serialize(),
+                        "rows_in": int(pdf["rows_in"].sum()),
+                    }
+                ]
+            )
+
+        per_unit = (
+            prepared.mapInPandas(partial, schema=part_schema)
+            .groupBy("__unit")
+            .applyInPandas(merge_unit, schema=part_schema)
+            .collect()
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        out = pd.DataFrame(
+            [
+                {
+                    "job_id": job_id,
+                    "unit_id": by_base[r["__unit"]][0],
+                    "input_fingerprint": by_base[r["__unit"]][1],
+                    "extractor_version": EXTRACTOR_VERSION,
+                    "rows_in": r["rows_in"],
+                    "wall_ms": wall_ms,
+                    "state": bytes(r[STATE_COL]),
+                }
+                for r in per_unit
+            ]
+        )
+        spark.createDataFrame(out, schema=CHECKPOINT_SCHEMA).write.mode(
+            "append"
+        ).parquet(ckpt_dir)
+
+    merged = _merge_checkpointed(spark, ckpt_dir, job_id, spec.deserialize)
+    return merged, len(pending)
+
+
+def _merge_checkpointed(spark, ckpt_dir, job_id, deserialize):
+    ckpt = spark.read.parquet(ckpt_dir).filter(
+        (F.col("job_id") == job_id) & (F.col("extractor_version") == EXTRACTOR_VERSION)
+    )
+    # latest state per unit (re-runs may append duplicates)
+    latest = ckpt.groupBy("unit_id").agg(F.max_by("state", "wall_ms").alias("state"))
+    merged = None
+    for r in latest.collect():
+        sk = deserialize(bytes(r["state"]))
+        merged = sk if merged is None else merged.merge(sk)
+    return merged
+
+
 def run_resumable_sketch(
     spark: SparkSession,
     table_path: str,
@@ -94,6 +216,12 @@ def run_resumable_sketch(
     Returns (merged_sketch, n_units_recomputed). Each unit is one
     parquet file; per-unit states land in ckpt_dir as they finish, so a
     killed job resumes from the last completed unit.
+
+    NOTE: this variant runs ONE SPARK JOB PER PENDING UNIT, serially on
+    the driver — it exists for build_state callbacks that need an
+    arbitrary per-unit DataFrame plan. For SketchSpec-shaped sketches
+    use `run_resumable_sketch_spec`, which recomputes every pending unit
+    in a single job.
     """
     units = list_units(spark, table_path)
     done = completed_units(spark, ckpt_dir, job_id)
@@ -123,13 +251,4 @@ def run_resumable_sketch(
         )
         recomputed += 1
 
-    ckpt = spark.read.parquet(ckpt_dir).filter(
-        (F.col("job_id") == job_id) & (F.col("extractor_version") == EXTRACTOR_VERSION)
-    )
-    # latest state per unit (re-runs may append duplicates)
-    latest = ckpt.groupBy("unit_id").agg(F.max_by("state", "wall_ms").alias("state"))
-    merged = None
-    for r in latest.collect():
-        sk = deserialize(bytes(r["state"]))
-        merged = sk if merged is None else merged.merge(sk)
-    return merged, recomputed
+    return _merge_checkpointed(spark, ckpt_dir, job_id, deserialize), recomputed

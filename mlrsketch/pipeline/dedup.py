@@ -87,9 +87,14 @@ def minhash_lsh_pairs(
     jaccard_est) with id_a < id_b.
     """
     rows_per_band = n_hashes // bands
-    # the signature feeds BOTH sides of the self-join: persist it or the
-    # shingle+hash aggregation runs twice (measured 2x on the bench)
-    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n).persist()
+    # The signature feeds BOTH sides of the self-join: materialize it or
+    # the shingle+hash aggregation runs twice (measured 2x on the bench).
+    # localCheckpoint rather than persist so the blocks are freed by the
+    # ContextCleaner when the result is garbage-collected — repeated
+    # calls in a long session must not accumulate pinned storage.
+    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n).localCheckpoint(
+        eager=True
+    )
     # band hash = xxhash64 over the band's signature columns directly
     # (multi-column JVM hash; no string concat, no array element_at).
     banded = sig.select(

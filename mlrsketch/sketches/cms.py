@@ -26,7 +26,8 @@ import numpy as np
 from mlrsketch.sketches.hashing import hash_strings, kirsch_mitzenmacher, to_u64
 
 _MAGIC = b"CMS1"
-_TK_MAGIC = b"TOPK"
+_TK_MAGIC = b"TPK2"  # v2: candidates carry a per-entry error bound
+_TK_MAGIC_V1 = b"TOPK"
 
 
 class CountMinSketch:
@@ -104,10 +105,20 @@ class CountMinSketch:
 class TopKSketch:
     """CMS + bounded candidate set for heavy hitters (`most-frequent`).
 
-    Candidates carry their 64-bit hash (value -> [count, hash]) so the
-    hot path (trim/re-score every batch) is pure numpy over stored
+    Candidates carry their 64-bit hash (value -> [count, hash, err]) so
+    the hot path (trim/re-score every batch) is pure numpy over stored
     hashes — strings are hashed exactly once, and on the executor that
-    hash arrives precomputed from JVM-side xxhash64 (update_hashed)."""
+    hash arrives precomputed from JVM-side xxhash64 (update_hashed).
+
+    Guarantee (SpaceSaving-flavored, Metwally 2005 + CMS bounds): rank
+    by CMS estimate `est` (never an undercount). At every trim, at most
+    `capacity` items can have est > N/capacity + eps*N (else their true
+    counts would sum past N), and all of them are kept — so any item
+    with true count > N/capacity + eps*N survives from its last arrival
+    onward. Per-candidate `err` bounds the overcount: `count` arrivals
+    were observed while tracked, so true >= count and
+    est - err <= true <= est, with err = possible pre-tracking/collision
+    overcount recorded at (re)insertion and summed across merges."""
 
     __slots__ = ("cms", "capacity", "candidates")
 
@@ -121,7 +132,7 @@ class TopKSketch:
     ):
         self.cms = cms or CountMinSketch(depth, width)
         self.capacity = capacity
-        # item -> [exact-within-candidate count floor, uint64 hash];
+        # item -> [tracked-count floor, uint64 hash, error bound];
         # ranking always uses CMS estimates after merge.
         self.candidates: dict[str, list[int]] = candidates or {}
 
@@ -142,12 +153,21 @@ class TopKSketch:
         hu = to_u64(np.asarray(hashes))
         self.cms.update_hashes(hu, counts)
         cands = self.candidates
-        for v, c, h in zip(values, counts.tolist(), hu.tolist()):
+        fresh: list[tuple[str, int, int]] = []  # (value, count, hash-pos)
+        for pos, (v, c, h) in enumerate(zip(values, counts.tolist(), hu.tolist())):
             cur = cands.get(v)
             if cur is None:
-                cands[v] = [c, h]
+                cands[v] = [c, h, 0]
+                fresh.append((v, c, pos))
             else:
                 cur[0] += c
+        if fresh:
+            # error bound at insertion: everything the CMS already holds
+            # beyond this batch's own count is pre-tracking/collision
+            # overcount (SpaceSaving's min-counter-at-replacement analog)
+            ests = self.cms.estimate_hashes(hu[[p for _, _, p in fresh]])
+            for (v, c, _), e in zip(fresh, ests.tolist()):
+                self.candidates[v][2] = max(0, int(e) - c)
         self._trim()
 
     def _cand_hashes(self) -> np.ndarray:
@@ -175,6 +195,27 @@ class TopKSketch:
         ranked = sorted(zip(items, ests.tolist()), key=lambda t: (-t[1], t[0]))
         return ranked[:k]
 
+    def top_with_bounds(self, k: int) -> list[tuple[str, int, int]]:
+        """Top-k as (value, est, err) with est - err <= true <= est.
+
+        The sound bracket: `count` arrivals were observed while tracked
+        (every one a genuine arrival, in THIS shard or a merged one), so
+        true >= count; the CMS never undercounts, so true <= est. Hence
+        err = est - count. The recorded insertion estimate (candidates'
+        3rd field) is diagnostic only — post-insertion CMS collisions
+        and merge cross-collisions can exceed it, so it cannot tighten
+        the bound soundly."""
+        if not self.candidates:
+            return []
+        items = list(self.candidates.items())
+        ests = self.cms.estimate_hashes(self._cand_hashes())
+        ranked = sorted(
+            ((v, int(e), max(0, int(e) - ch[0]))
+             for (v, ch), e in zip(items, ests.tolist())),
+            key=lambda t: (-t[1], t[0]),
+        )
+        return ranked[:k]
+
     def merge(self, other: "TopKSketch") -> "TopKSketch":
         self.cms.merge(other.cms)
         for k, ch in other.candidates.items():
@@ -182,15 +223,18 @@ class TopKSketch:
             if cur is None:
                 self.candidates[k] = list(ch)
             else:
+                # tracked counts are exact arrivals in disjoint shards:
+                # summing keeps the lower bound sound
                 cur[0] += ch[0]
+                cur[2] += ch[2]
         self._trim()
         return self
 
     def serialize(self) -> bytes:
         cms_bytes = self.cms.serialize()
         cand_blob = "\x00".join(
-            f"{k}\x01{cnt}\x01{h}"
-            for k, (cnt, h) in sorted(self.candidates.items())
+            f"{k}\x01{cnt}\x01{h}\x01{err}"
+            for k, (cnt, h, err) in sorted(self.candidates.items())
         ).encode("utf-8")
         return (
             _TK_MAGIC
@@ -201,15 +245,27 @@ class TopKSketch:
 
     @classmethod
     def deserialize(cls, data: bytes) -> "TopKSketch":
-        if data[:4] != _TK_MAGIC:
-            raise ValueError("not a TopK state")
+        magic = data[:4]
+        if magic not in (_TK_MAGIC, _TK_MAGIC_V1):
+            raise ValueError(f"not a TopK state (magic {magic!r})")
         capacity, cms_len, cand_len = struct.unpack_from("<III", data, 4)
         off = 4 + 12
         cms = CountMinSketch.deserialize(data[off : off + cms_len])
         cand_blob = data[off + cms_len : off + cms_len + cand_len].decode("utf-8")
         candidates = {}
         if cand_blob:
-            for triple in cand_blob.split("\x00"):
-                k, cnt, h = triple.split("\x01")
-                candidates[k] = [int(cnt), int(h)]
+            for entry in cand_blob.split("\x00"):
+                parts = entry.split("\x01")
+                if len(parts) == 4:  # v2: value, count, hash, err
+                    k, cnt, h, err = parts
+                elif len(parts) == 3:  # v1 triple: value, count, hash
+                    (k, cnt, h), err = parts, 0
+                elif len(parts) == 2:  # pre-v1 pair: value, count
+                    (k, cnt), err = parts, 0
+                    h = int(hash_strings([k])[0])
+                else:
+                    raise ValueError(
+                        f"corrupt TopK candidate entry ({len(parts)} fields)"
+                    )
+                candidates[k] = [int(cnt), int(h), int(err)]
         return cls(capacity=capacity, cms=cms, candidates=candidates)

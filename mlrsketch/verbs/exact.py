@@ -584,8 +584,13 @@ def global_row_number(df: DataFrame, order_by: Sequence[str], out: str = "n") ->
     ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
         "__pid", F.spark_partition_id()
     )
-    # materialize partition assignment before reuse in two subplans
-    ordered = ordered.persist()
+    # Materialize the partition assignment before reuse in two subplans:
+    # range sampling is nondeterministic on recompute, so both the counts
+    # collect and the downstream scan must read the SAME placement.
+    # localCheckpoint (not persist) so the blocks are released by the
+    # ContextCleaner when the result DataFrame is garbage-collected,
+    # instead of pinning executor storage for the session's lifetime.
+    ordered = ordered.localCheckpoint(eager=True)
     counts = {
         r["__pid"]: r["cnt"]
         for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
@@ -678,12 +683,21 @@ def sub_field(df: DataFrame, field: str, pattern: str, replacement: str, all_mat
     # sub: FIRST match only (subs.go:26 `sub` vs `gsub`). Spark's
     # regexp_replace is global, so wrap: the (?s)(.*) tail makes the
     # first match consume the rest of the string, leaving exactly one
-    # replacement site. Backrefs in `replacement` shift by one group
-    # ($1 = the original whole match).
+    # replacement site. The wrap adds one leading group, so user
+    # backrefs $n/\n in `replacement` shift to $n+1, and the tail group
+    # index is (pattern's own group count)+2.
+    import re as _re
+
+    n_inner = _re.compile(pattern).groups
+    shifted = _re.sub(
+        r"(?<!\\)\$(\d)", lambda m: f"${int(m.group(1)) + 1}", replacement
+    )
     return df.withColumn(
         field,
         F.regexp_replace(
-            F.col(field), f"(?s)({pattern})(.*)", replacement + "$2"
+            F.col(field),
+            f"(?s)({pattern})(.*)",
+            shifted + f"${n_inner + 2}",
         ),
     )
 

@@ -236,7 +236,11 @@ def token_top_k(
 
         c: Counter = Counter()
         for t in pdf["__text"]:
+            if t is None:  # null/missing text must not fail the job
+                continue
             c.update(t.split(sep))
+        if not c:
+            return
         vals = np.array(list(c.keys()), dtype=object)
         cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
         sk.update_hashed(vals, hash_strings(vals), cnts)
@@ -308,10 +312,17 @@ def sketch_profile(
         from collections import Counter
 
         sk.parts["hll"].update_hashes(pdf["__h_url"].to_numpy(dtype=np.int64))
-        sk.parts["kll"].update_batch(pdf["__tl"].to_numpy(dtype=np.float64))
+        tl = pdf["__tl"].to_numpy(dtype=np.float64)
+        tl = tl[~np.isnan(tl)]  # null text has no length
+        if tl.size:
+            sk.parts["kll"].update_batch(tl)
         c: Counter = Counter()
         for t in pdf["__text"]:
+            if t is None:
+                continue
             c.update(t.split(" "))
+        if not c:
+            return
         vals = np.array(list(c.keys()), dtype=object)
         cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
         sk.parts["topk"].update_hashed(vals, hash_strings(vals), cnts)

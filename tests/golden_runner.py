@@ -545,8 +545,13 @@ def v_gsub(df, argv, first_only=False, literal=False):
     if len(pos) != 2:
         raise Unsupported("sub form")
     pat, rep = pos
-    if "\\" in rep or "$" in rep:
-        raise Unsupported("sub backrefs")
+    if not literal:
+        # Miller replacements use \1..\9; Java regexp_replace uses $1.
+        # Escape literal dollars first, then translate backrefs.
+        rep = rep.replace("$", "\\$")
+        rep = _re.sub(r"\\(\d)", r"$\1", rep)
+        if "\\" in rep.replace("\\$", ""):
+            raise Unsupported("sub escape")
     fields = df.columns if fl.get("-a") else _csl(fl["-f"])
     d = df
     for f_ in fields:

@@ -59,6 +59,53 @@ def test_checkpoint_resume(spark, tmp_path):
     assert abs(sk1.estimate() - exact) / exact <= 3 * sk1.error_bound() + 0.02
 
 
+def test_checkpoint_resume_parallel_one_job(spark, tmp_path):
+    """run_resumable_sketch_spec recomputes every pending unit in one
+    Spark job and matches the serial path's merged estimate."""
+    from mlrsketch.agg import SketchSpec
+
+    table = str(tmp_path / "tablep")
+    ckpt = str(tmp_path / "ckptp")
+    pages.generate_pages(spark, 1_000, partitions=4).write.parquet(table)
+
+    spec = SketchSpec(
+        make=lambda: HyperLogLog(p=10),
+        update=lambda sk, pdf: sk.update_hashes(
+            pdf["__h"].to_numpy().astype(np.int64)
+        ),
+        finalize=None,
+        internal_cols=("__h",),
+        prepare=lambda df, of: df.withColumn("__h", F.xxhash64(F.col(of))),
+        deserialize=HyperLogLog.deserialize,
+    )
+    sk1, rec1 = checkpoint.run_resumable_sketch_spec(
+        spark, table, "jp", ckpt, "url", spec
+    )
+    assert rec1 == len(checkpoint.list_units(spark, table)) and rec1 > 1
+
+    # resume: nothing pending, zero recomputes, same state
+    sk2, rec2 = checkpoint.run_resumable_sketch_spec(
+        spark, table, "jp", ckpt, "url", spec
+    )
+    assert rec2 == 0
+    assert sk2.serialize() == sk1.serialize()
+
+    # appending a NEW unit recomputes only that unit
+    pages.generate_pages(spark, 100, partitions=1).write.mode("append").parquet(table)
+    sk3, rec3 = checkpoint.run_resumable_sketch_spec(
+        spark, table, "jp", ckpt, "url", spec
+    )
+    assert rec3 == len(checkpoint.list_units(spark, table)) - rec1
+
+    exact = spark.read.parquet(table).select("url").distinct().count()
+    assert abs(sk3.estimate() - exact) / exact <= 3 * sk3.error_bound() + 0.02
+
+    # lineage rows carry real per-unit row counts
+    rows = spark.read.parquet(ckpt).collect()
+    total_rows_in = sum(r["rows_in"] for r in rows)
+    assert total_rows_in == spark.read.parquet(table).count()
+
+
 def test_checkpoint_lineage_fields(spark, tmp_path):
     table = str(tmp_path / "t2")
     ckpt = str(tmp_path / "c2")

@@ -92,6 +92,90 @@ class TestTopK:
         tk.update_values(np.array(["a", "b", "a"]))
         assert TopKSketch.deserialize(tk.serialize()).top(2) == tk.top(2)
 
+    def test_legacy_state_formats_still_load(self):
+        """v1 triples and pre-v1 pairs deserialize (err=0 / rehashed)."""
+        tk = TopKSketch(width=256, capacity=16)
+        tk.update_values(np.array(["a", "b", "a"]))
+        blob = tk.serialize()
+        # rebuild a v1-style payload: strip the err field, old magic
+        import struct as _struct
+
+        cms_bytes = tk.cms.serialize()
+        v1_cands = "\x00".join(
+            f"{k}\x01{cnt}\x01{h}" for k, (cnt, h, _e) in sorted(tk.candidates.items())
+        ).encode()
+        v1 = (
+            b"TOPK"
+            + _struct.pack("<III", tk.capacity, len(cms_bytes), len(v1_cands))
+            + cms_bytes
+            + v1_cands
+        )
+        assert TopKSketch.deserialize(v1).top(2) == tk.top(2)
+        pairs = "\x00".join(
+            f"{k}\x01{cnt}" for k, (cnt, _h, _e) in sorted(tk.candidates.items())
+        ).encode()
+        v0 = (
+            b"TOPK"
+            + _struct.pack("<III", tk.capacity, len(cms_bytes), len(pairs))
+            + cms_bytes
+            + pairs
+        )
+        assert [v for v, _ in TopKSketch.deserialize(v0).top(2)] == [
+            v for v, _ in tk.top(2)
+        ]
+        assert TopKSketch.deserialize(blob).candidates == tk.candidates
+
+    def test_spacesaving_late_heavy_hitter_survives(self, rng):
+        """Property from the SpaceSaving bound: any item with true count
+        > N/capacity + eps*N is in the candidate set at stream end —
+        even when it arrives entirely AFTER capacity churn — and its
+        (est, err) bounds bracket the true count."""
+        capacity, width = 64, 8192
+        tk = TopKSketch(width=width, capacity=capacity, depth=5)
+        # phase 1: heavy churn — 20k distinct onesie tokens in batches
+        for b in range(20):
+            vals = np.array([f"noise{b}_{i}" for i in range(1000)], dtype=object)
+            tk.update_values(vals)
+        # phase 2: the late heavy hitter + more churn interleaved
+        hot_total = 0
+        for b in range(10):
+            vals = np.array(
+                [f"late{b}_{i}" for i in range(500)] + ["HOT"], dtype=object
+            )
+            cnts = np.concatenate([np.ones(500, dtype=np.int64), [400]])
+            hot_total += 400
+            tk.update_values(vals, cnts)
+        n_total = 20_000 + 10 * 500 + hot_total
+        eps = tk.cms.error_bound()[0]
+        assert hot_total > n_total / capacity + eps * n_total  # premise
+        bounds = {v: (est, err) for v, est, err in tk.top_with_bounds(capacity)}
+        assert "HOT" in bounds, "late heavy hitter was evicted"
+        est, err = bounds["HOT"]
+        assert est >= hot_total, "CMS must never undercount"
+        assert est - err <= hot_total, "error bound must bracket truth"
+
+    def test_spacesaving_bound_holds_under_merge(self, rng):
+        """est-err <= true <= est for every reported item after merging
+        shards that each churned through capacity independently."""
+        capacity = 32
+        truth: dict[str, int] = {}
+        shards = []
+        for s in range(4):
+            tk = TopKSketch(width=4096, capacity=capacity, depth=5)
+            vals = [f"s{s}n{i}" for i in range(2000)] + ["alpha", "beta"] * 50
+            rng.shuffle(vals)
+            u, cnt = np.unique(np.array(vals, dtype=object), return_counts=True)
+            tk.update_values(u, cnt)
+            for v, c in zip(u.tolist(), cnt.tolist()):
+                truth[v] = truth.get(v, 0) + int(c)
+            shards.append(tk)
+        merged = shards[0]
+        for s in shards[1:]:
+            merged.merge(s)
+        for v, est, err in merged.top_with_bounds(10):
+            assert est >= truth.get(v, 0)
+            assert est - err <= truth.get(v, 0), (v, est, err, truth.get(v, 0))
+
 
 class TestBloom:
     def test_no_false_negatives(self):
