@@ -1189,10 +1189,17 @@ def summary(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
 
 def sec2gmtdate(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """`mlr sec2gmtdate` (pkg/transformers/sec2gmtdate.go:17): epoch
-    seconds → 'YYYY-MM-DD'."""
-    return df.withColumns(
-        {f: F.date_format(F.to_timestamp(F.col(f)), "yyyy-MM-dd") for f in _cols(fields)}
-    )
+    seconds → 'YYYY-MM-DD'; non-numeric values pass through unchanged
+    (and never trip ANSI timestamp parsing on string columns)."""
+
+    def conv(f: str) -> Column:
+        num = F.col(f).try_cast("double")
+        return F.when(
+            num.isNotNull(),
+            F.date_format(F.timestamp_seconds(F.floor(num)), "yyyy-MM-dd"),
+        ).otherwise(F.col(f).cast("string"))
+
+    return df.withColumns({f: conv(f) for f in _cols(fields)})
 
 
 def gmt2sec(df: DataFrame, fields: Sequence[str]) -> DataFrame:

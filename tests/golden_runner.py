@@ -832,62 +832,71 @@ def v_histogram(df, argv):
 
 import re as _re
 
-_PUT_ASSIGN = _re.compile(r"^\$([A-Za-z_][\w]*)\s*=\s*(.+)$")
-_PUT_BINOP = _re.compile(
-    r"^\$([A-Za-z_][\w]*)\s*([+\-*/])\s*(-?\d+(?:\.\d+)?)$"
-)
-_PUT_FUNC = _re.compile(
-    r"^(truncate|toupper|tolower|strlen|abs|ceiling|floor|round)\s*\(\s*\$([A-Za-z_][\w]*)\s*(?:,\s*(-?\d+)\s*)?\)$"
-)
+from mlrsketch import dsl as _dsl
+from mlrsketch.dsl.parser import DslSyntaxError, DslUnsupported
+
+
+def _dsl_program(argv, case_dir=None):
+    """Extract the program text: inline positional or `-f file`."""
+    fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1})
+    if fl.get("-q"):
+        raise Unsupported("put -q (emit-only output)")
+    if "-s" in fl:
+        raise Unsupported("put -s presets")
+    if "-f" in fl:
+        path = fl["-f"]
+        full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
+        if not os.path.isfile(full):
+            raise Unsupported("put -f file missing")
+        with open(full) as fh:
+            prog = fh.read()
+        if "-e" in fl:
+            prog += ";" + fl["-e"]
+    elif "-e" in fl:
+        prog = fl["-e"]
+    elif len(pos) == 1:
+        prog = pos[0]
+    else:
+        raise Unsupported("put program form")
+    return prog, bool(fl.get("-x")), bool(fl.get("-S"))
+
+
+def _run_dsl(df, argv, mode):
+    prog, negate, s_flag = _dsl_program(argv)
+    if s_flag:
+        raise Unsupported("put -S string-only inference")
+    hidden = tuple(c for c in df.columns if c.startswith("__"))
+    try:
+        out = _dsl.apply_program(
+            df,
+            prog,
+            mode=mode,
+            nr_col="__ord",
+            fnr_col="__fnr" if "__fnr" in df.columns else None,
+            filename_col="__fname" if "__fname" in df.columns else None,
+            filenum_col="__fnum" if "__fnum" in df.columns else None,
+            exclude=hidden,
+        )
+        if mode == "filter" and negate:
+            # -x: recompute with inverted condition by set-difference on
+            # the row ordinal (simplest correct form)
+            kept = out.select("__ord")
+            out = df.join(kept, "__ord", "left_anti")
+        return out
+    except (DslUnsupported, DslSyntaxError) as e:
+        raise Unsupported(f"dsl: {e}")
 
 
 def v_put(df, argv):
-    """Micro-`put`: single assignments of the forms
-    $y = $x <op> literal   |   $y = func($x[, n])
-    — enough for the corpus's truncate/arithmetic cases. Anything else
-    is Unsupported (the full DSL's role is played by Column exprs)."""
-    fl, pos = _flags(argv, {"-q": 0, "-S": 0})
-    if fl or len(pos) != 1:
-        raise Unsupported("put flags")
-    body = pos[0].strip().rstrip(";")
-    if ";" in body or "\n" in body:
-        raise Unsupported("multi-statement put")
-    m = _PUT_ASSIGN.match(body)
-    if not m:
-        raise Unsupported("put form")
-    target, expr = m.group(1), m.group(2).strip()
-    b = _PUT_BINOP.match(expr)
-    if b:
-        src, op, lit = b.group(1), b.group(2), float(b.group(3))
-        if src not in df.columns:
-            raise Unsupported("put absent field")
-        c = F.col(src)
-        col = {"+": c + lit, "-": c - lit, "*": c * lit, "/": c / lit}[op]
-        return df.withColumn(target, col)
-    fm = _PUT_FUNC.match(expr)
-    if fm:
-        fn, src, n = fm.group(1), fm.group(2), fm.group(3)
-        if src not in df.columns:
-            raise Unsupported("put absent field")
-        c = F.col(src)
-        if fn == "truncate":
-            col = F.substring(c.cast("string"), 1, int(n))
-        elif fn == "toupper":
-            col = F.upper(c.cast("string"))
-        elif fn == "tolower":
-            col = F.lower(c.cast("string"))
-        elif fn == "strlen":
-            col = F.length(c.cast("string"))
-        elif fn == "abs":
-            col = F.abs(c)
-        elif fn == "ceiling":
-            col = F.ceil(c)
-        elif fn == "floor":
-            col = F.floor(c)
-        else:
-            col = F.round(c)
-        return df.withColumn(target, col)
-    raise Unsupported("put expr")
+    """`mlr put` via the real expression-to-Column compiler
+    (mlrsketch/dsl): the whole program becomes one Catalyst projection."""
+    if "-x" in argv:
+        raise Unsupported("put -x")
+    return _run_dsl(df, argv, "put")
+
+
+def v_filter(df, argv):
+    return _run_dsl(df, argv, "filter")
 
 
 def v_passthrough(df, argv):
@@ -1108,7 +1117,8 @@ VERBS = {
     "unsparsify": v_unsparsify, "histogram": v_histogram,
     "sort-within-records": v_passthrough, "gap": v_passthrough,
     "skip-trivial-records": v_skip_trivial,
-    "latin1-to-utf8": v_passthrough, "put": v_put, "reshape": v_reshape,
+    "latin1-to-utf8": v_passthrough, "put": v_put, "filter": v_filter,
+    "reshape": v_reshape,
     # utf8-to-latin1 emits Miller's (error) value for unencodable text —
     # error-as-value (MT_ERROR) isn't modeled here
 
@@ -1137,6 +1147,15 @@ def run_case(spark, case_dir: str, to_df):
         cmd = f.read().strip()
     if os.path.exists(os.path.join(case_dir, "env")) or "should-fail" in os.listdir(case_dir):
         raise Unsupported("env/should-fail")
+    experr = os.path.join(case_dir, "experr")
+    expout_path = os.path.join(case_dir, "expout")
+    if (
+        os.path.exists(experr)
+        and os.path.getsize(experr) > 0
+        and (not os.path.exists(expout_path) or os.path.getsize(expout_path) == 0)
+    ):
+        # the reference expects this command to FAIL (stderr only)
+        raise Unsupported("expected-error case")
     cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
     argv = shlex.split(cmd)
     if argv[0] != "mlr":
@@ -1205,20 +1224,39 @@ def run_case(spark, case_dir: str, to_df):
     if not files and not no_input and chains[0][0] != "seqgen":
         raise Unsupported("no input file resolved")
 
+    has_dsl = any(chain and chain[0] in ("put", "filter") for chain in chains)
+    dsl_text = cmd
+    for chain in chains:
+        if chain and chain[0] in ("put", "filter") and "-f" in chain:
+            fpath = chain[chain.index("-f") + 1]
+            full = fpath if os.path.isfile(fpath) else os.path.join("/root/reference", fpath)
+            if os.path.isfile(full):
+                with open(full) as fh:
+                    dsl_text += fh.read()
+    needs_filectx = has_dsl and any(
+        tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM")
+    )
     spark_df = None
     if files:
         recs: list[dict] = []
-        for f_ in files:
-            recs.extend(
-                _read_records(
-                    f_,
-                    icsv=(ifmt if ifmt in ("xtab", "pprint") else ifmt == "csv"),
-                    jsonin=(ifmt == "json"),
-                )
+        for fidx, f_ in enumerate(files):
+            rs = _read_records(
+                f_,
+                icsv=(ifmt if ifmt in ("xtab", "pprint") else ifmt == "csv"),
+                jsonin=(ifmt == "json"),
             )
+            if needs_filectx:
+                for j, r in enumerate(rs):
+                    r["__fnr"] = str(j)
+                    r["__fnum"] = str(fidx + 1)
+                    r["__fname"] = f_
+            recs.extend(rs)
         if not recs:
             raise Unsupported("empty input")
-        spark_df = to_df(spark, recs, infer=(ifmt not in ("csv",)))
+        # DSL programs distinguish absent from void: keep "" values
+        spark_df = to_df(
+            spark, recs, infer=(ifmt not in ("csv",)), keep_void=has_dsl
+        )
 
     for chain in chains:
         if not chain:
@@ -1237,8 +1275,15 @@ def run_case(spark, case_dir: str, to_df):
             raise Unsupported("verb without input")
         spark_df = VERBS[verb](spark_df, vargv)
 
+    # lowercase booleans for the text compare (DSL programs can leave
+    # boolean-typed columns; Miller prints true/false)
+    for c, t in spark_df.dtypes:
+        if t == "boolean":
+            spark_df = spark_df.withColumn(
+                c, F.when(F.col(c), "true").when(~F.col(c), "false")
+            )
     got = [
-        {k: v for k, v in r.asDict().items() if k != "__ord"}
+        {k: v for k, v in r.asDict().items() if not k.startswith("__")}
         for r in spark_df.collect()
     ]
     # Tabular writers skip records with NO KEYS at all. Under the fixed

