@@ -82,7 +82,11 @@ def _acc(name: str, f: str, interpolated: bool = False) -> Column:
     if name == "null_count":
         return F.sum(F.when(F.col(f).isNull() | (F.col(f).cast("string") == ""), 1).otherwise(0))
     if name == "distinct_count":
-        return F.countDistinct(F.col(f))
+        # void ("") values don't count as a distinct value (golden
+        # verb-stats1/0019)
+        return F.countDistinct(
+            F.when(F.col(f).cast("string") != "", F.col(f))
+        )
     if name == "sum":
         return F.sum(F.col(f))
     if name == "mean":
@@ -444,13 +448,24 @@ def histogram(
     )
 
 
-def merge_fields(df: DataFrame, accs: Sequence[str], fields: Sequence[str], out_prefix: str) -> DataFrame:
-    """`mlr merge-fields -a ... -f ... -o prefix`
+def merge_fields(
+    df: DataFrame,
+    accs: Sequence[str],
+    fields: Sequence[str],
+    out_prefix: str,
+    interpolated: bool = False,
+) -> DataFrame:
+    """`mlr merge-fields -a ... -f ... -o prefix` [-i]
     (pkg/transformers/merge_fields.go:29): stats1 accumulators applied
     HORIZONTALLY across fields within each record. Pure row-wise
     expressions — zero shuffle, fully codegen'd.
     """
-    arr = F.array(*[F.col(f).cast("double") for f in _cols(fields)])
+    fields = _cols(fields)
+    arr = (
+        F.array(*[F.col(f).try_cast("double") for f in fields])
+        if fields
+        else F.array().cast("array<double>")
+    )
     nn = F.filter(arr, lambda x: x.isNotNull())
     out = df
     for a in _cols(accs):
@@ -462,10 +477,20 @@ def merge_fields(df: DataFrame, accs: Sequence[str], fields: Sequence[str], out_
         if pct is not None:
             # horizontal Miller percentile: sorted row values, index
             # int(p/100*n) clamped (percentiles.go:193-208); median/iqr/
-            # fences share the same picks
+            # fences share the same picks. With -i, R-type-7 linear
+            # interpolation at (p/100)*(n-1) (percentiles.go:157-176).
             srt = F.array_sort(nn)
 
             def pick(p: float) -> Column:
+                if interpolated:
+                    findex = F.greatest(
+                        F.lit(p / 100.0) * (cnt - 1).cast("double"), F.lit(0.0)
+                    )
+                    iidx = F.floor(findex).cast("int")
+                    frac = findex - iidx.cast("double")
+                    lo = F.get(srt, iidx)
+                    hi = F.coalesce(F.get(srt, iidx + 1), lo)
+                    return lo + frac * (hi - lo)
                 idx = F.least(
                     F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)),
                     cnt - 1,
@@ -709,8 +734,21 @@ def case_fields(
     Default (no -k/-v) cases BOTH keys and values (golden
     verb-case/0001); numeric values are untouched (casing a number is a
     no-op on its string form here since [A-Z] never appears)."""
-    py_fn = {"upper": str.upper, "lower": str.lower, "title": str.title}[mode]
-    fn = {"upper": F.upper, "lower": F.lower, "title": F.initcap}[mode]
+    def _py_sentence(s: str) -> str:
+        return (s[0].upper() + s[1:].lower()) if s else s
+
+    py_fn = {"upper": str.upper, "lower": str.lower, "title": str.title,
+             "sentence": _py_sentence}[mode]
+
+    fn = {
+        "upper": F.upper,
+        "lower": F.lower,
+        "title": F.initcap,
+        "sentence": lambda c: F.when(
+            F.length(c) > 0,
+            F.concat(F.upper(c.substr(F.lit(1), F.lit(1))), F.lower(c.substr(F.lit(2), F.length(c)))),
+        ).otherwise(c),
+    }[mode]
     fields = _cols(fields)
     out = df
     if which in ("values", "both"):
@@ -721,13 +759,19 @@ def case_fields(
     return out
 
 
-def sec2gmt(df: DataFrame, fields: Sequence[str], decimals: int = 0) -> DataFrame:
-    """`mlr sec2gmt [-1|-2|...]` (pkg/transformers/sec2gmt.go:30): epoch
-    seconds → ISO-8601 'YYYY-MM-DDTHH:MM:SSZ'. Non-numeric values pass
-    through unchanged (golden verb-sec2gmt/0001); fractional seconds
-    truncate to `decimals` digits (golden verb-sec2gmt/0002 for -1)."""
+def sec2gmt(
+    df: DataFrame, fields: Sequence[str], decimals: int = 0, divisor: float = 1.0
+) -> DataFrame:
+    """`mlr sec2gmt [-1|-2|...] [--millis|--micros|--nanos]`
+    (pkg/transformers/sec2gmt.go:30): epoch seconds → ISO-8601
+    'YYYY-MM-DDTHH:MM:SSZ'. Non-numeric values pass through unchanged
+    (golden verb-sec2gmt/0001); fractional seconds truncate to
+    `decimals` digits (golden verb-sec2gmt/0002 for -1); --millis etc
+    divide the input by 1e3/1e6/1e9 first."""
     def conv(f: str) -> Column:
         num = F.col(f).try_cast("double")  # ANSI-safe: non-numeric -> null
+        if divisor != 1.0:
+            num = num / F.lit(divisor)
         base = F.date_format(F.timestamp_seconds(F.floor(num)), "yyyy-MM-dd'T'HH:mm:ss")
         if decimals > 0:
             frac = F.floor((num - F.floor(num)) * (10 ** decimals)).cast("long")
@@ -1609,7 +1653,11 @@ def logireg(df: DataFrame, x: str, y: str, by: Sequence[str] = (),
                 qn = 1.0 / (1.0 + np.exp(m * xs + b))
                 ell = float(np.sum(np.log(np.maximum(qn, 1e-300)) + ys * (m0 * xs + b0)))
                 dell = max(ell, ell0)
-                err = abs((ell - ell0) / dell) if dell != 0.0 else 0.0
+                # Reference parity (mlrmath.go:404-407): |Δℓ| is divided
+                # by the SIGNED max log-likelihood; with the always-
+                # negative ℓ the ratio is negative, so the loop stops
+                # after one Newton step. Reproduced bit-for-bit.
+                err = (abs(ell - ell0) / dell) if dell != 0.0 else 0.0
                 m0, b0 = m, b
                 if err < tol:
                     break

@@ -30,7 +30,7 @@ class Unsupported(Exception):
 # ---------------------------------------------------------------------------
 
 
-def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
+def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None) -> list[dict]:
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
@@ -38,6 +38,21 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
         text = raw.decode("utf-8")
     except UnicodeDecodeError:
         text = raw.decode("latin-1")
+    if icsv == "tsv":
+        lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+        if not lines:
+            return []
+        header = lines[0].split("\t")
+        return [dict(zip(header, ln.split("\t"))) for ln in lines[1:]]
+    if icsv == "nidx":
+        sep = ifs if ifs else None  # None -> any-whitespace split
+        recs = []
+        for ln in text.splitlines():
+            if ln.strip() == "":
+                continue
+            vals = ln.split(sep) if sep else ln.split()
+            recs.append({str(i + 1): v for i, v in enumerate(vals)})
+        return recs
     if jsonin:
         import json as _json
 
@@ -88,13 +103,14 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
             recs.append(cur)
         return recs
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
+    sep = ifs or ","
     if icsv:
-        header = lines[0].split(",")
-        return [dict(zip(header, ln.split(","))) for ln in lines[1:]]
+        header = lines[0].split(sep)
+        return [dict(zip(header, ln.split(sep))) for ln in lines[1:]]
     recs = []
     for ln in lines:
         rec = {}
-        for idx, pair in enumerate(ln.split(",")):
+        for idx, pair in enumerate(ln.split(sep)):
             if "=" in pair:
                 k, _, v = pair.partition("=")
             else:
@@ -107,6 +123,47 @@ def _read_records(path: str, icsv, jsonin: bool = False) -> list[dict]:
 
 
 def parse_out(text: str, fmt: str) -> list[dict]:
+    if fmt == "jsonl":
+        import json as _json
+
+        recs = []
+        for ln in text.splitlines():
+            if not ln.strip():
+                continue
+            r = _json.loads(ln)
+            if not isinstance(r, dict) or any(
+                isinstance(v, (dict, list)) for v in r.values()
+            ):
+                raise Unsupported("nested jsonl output")
+            recs.append(r)
+        return recs
+    if fmt == "tsv":
+        recs = []
+        for chunk in text.split("\n\n"):
+            clines = [ln for ln in chunk.splitlines() if ln.strip()]
+            if not clines:
+                continue
+            header = clines[0].split("\t")
+            recs.extend(dict(zip(header, ln.split("\t"))) for ln in clines[1:])
+        return recs
+    if fmt == "nidx":
+        return [
+            {str(i + 1): v for i, v in enumerate(ln.split())}
+            for ln in text.splitlines()
+            if ln.strip()
+        ]
+    if fmt == "pprint" and text.lstrip().startswith("+-"):
+        # --barred: drop the +- frame lines, strip pipe separators, then
+        # parse as plain pprint
+        clean = []
+        for ln in text.splitlines():
+            if ln.startswith("+-"):
+                continue
+            s = ln.strip()
+            if s.startswith("|"):
+                s = s.strip("|").replace(" | ", " ")
+            clean.append(s)
+        return parse_out("\n".join(clean), "pprint")
     if fmt == "json":
         import json as _json
 
@@ -201,13 +258,27 @@ def _csl(s: str) -> list[str]:
 
 
 def v_cat(df, argv):
-    fl, pos = _flags(argv, {"-n": 0, "-N": 1, "-g": 1})
-    if pos or "-N" in fl:
-        raise Unsupported("cat positional/-N")
-    if not fl.get("-n"):
+    fl, pos = _flags(argv, {"-n": 0, "-N": 1, "-g": 1, "--filename": 0, "--filenum": 0})
+    if pos:
+        raise Unsupported("cat positional")
+    if fl.get("--filename") or fl.get("--filenum"):
+        cols = [c for c in df.columns if not c.startswith("__")]
+        front = []
+        if fl.get("--filename"):
+            if "__fname" not in df.columns:
+                raise Unsupported("cat --filename without file context")
+            front.append(F.col("__fname").alias("filename"))
+        if fl.get("--filenum"):
+            if "__fnum" not in df.columns:
+                raise Unsupported("cat --filenum without file context")
+            front.append(F.col("__fnum").cast("int").alias("filenum"))
+        df = df.select(*front, *cols, "__ord")
+    counter_name = fl.get("-N", "n") if ("-N" in fl or fl.get("-n")) else None
+    if counter_name is None:
         return df
     if "-g" not in fl:
-        return ev.cat_numbered(df, order_by=["__ord"])
+        out = ev.cat_numbered(df, order_by=["__ord"])
+        return out.withColumnRenamed("n", counter_name) if counter_name != "n" else out
     # Miller: records missing ANY group key share ONE counter bucket
     # (golden verb-cat/0007)
     by = _csl(fl["-g"])
@@ -221,7 +292,8 @@ def v_cat(df, argv):
         key = F.when(present, F.concat_ws("\x1f", *[F.col(b) for b in by])).otherwise(
             F.lit("__missing__")
         )
-    return ev.cat_numbered(df.withColumn("__grp", key), by=["__grp"], order_by=["__ord"]).drop("__grp")
+    out = ev.cat_numbered(df.withColumn("__grp", key), by=["__grp"], order_by=["__ord"]).drop("__grp")
+    return out.withColumnRenamed("n", counter_name) if counter_name != "n" else out
 
 
 def _drop_missing_keys(df, by):
@@ -232,8 +304,16 @@ def _drop_missing_keys(df, by):
     return df
 
 
+def _split_attached_n(argv):
+    out = []
+    for a in argv:
+        m = _re.fullmatch(r"-n(\d+)", a)
+        out.extend(["-n", m.group(1)] if m else [a])
+    return out
+
+
 def v_head(df, argv):
-    fl, _ = _flags(argv, {"-n": 1, "-g": 1})
+    fl, _ = _flags(_split_attached_n(argv), {"-n": 1, "-g": 1})
     n = int(fl.get("-n", 10))
     if n < 0:
         raise Unsupported("negative -n")
@@ -242,7 +322,7 @@ def v_head(df, argv):
 
 
 def v_tail(df, argv):
-    fl, _ = _flags(argv, {"-n": 1, "-g": 1})
+    fl, _ = _flags(_split_attached_n(argv), {"-n": 1, "-g": 1})
     raw = str(fl.get("-n", 10))
     by = _csl(fl["-g"]) if "-g" in fl else []
     d = _drop_missing_keys(df, by)
@@ -279,22 +359,45 @@ def v_sort(df, argv):
     while i < len(argv):
         a = argv[i]
         how = {"-f": "f", "-r": "r", "-nf": "nf", "-nr": "nr", "-c": "c", "-cr": "cr",
-               "-t": "t", "-tr": "tr"}.get(a)
+               "-t": "t", "-tr": "tr", "-rt": "tr"}.get(a)
         if how is None:
             raise Unsupported(f"sort flag {a}")
         for f_ in _csl(argv[i + 1]):
             if f_ not in df.columns:
-                raise Unsupported("sort on absent field")
+                # absent everywhere: all records compare equal -> stable
+                # pass-through (sort.go: missing values sort as ties)
+                continue
             specs.append((f_, how))
         i += 2
+    if not specs:
+        return df
     return ev.sort(df.drop("__ord"), specs)
 
 
 def v_uniq(df, argv):
-    fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0, "-o": 1})
+    fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0, "-o": 1, "-x": 1})
     by = _csl(fl.get("-g") or fl.get("-f") or "")
-    if fl.get("-a"):
-        raise Unsupported("uniq -a")
+    if "-x" in fl:
+        # use each record's other fields (uniq.go:66-70): het records
+        # keep their nulls in the grouping tuple
+        excl = set(_csl(fl["-x"]))
+        by = [c for c in df.columns if c != "__ord" and c not in excl]
+    if fl.get("-a") or "-x" in fl:
+        # whole-record (or other-fields) dedupe, first-occurrence order
+        # (uniq.go:391-425); with -c the count is PREPENDED, with -n
+        # only the distinct count
+        cols = by if "-x" in fl else [c for c in df.columns if c != "__ord"]
+        if fl.get("-n"):
+            out = ev.uniq_distinct_count(df, cols)
+        else:
+            g = df.groupBy(*cols).agg(
+                F.count("*").alias("count"), F.min("__ord").alias("__ord")
+            )
+            sel = (["count"] if fl.get("-c") else []) + cols + ["__ord"]
+            out = g.select(*sel)
+        if "-o" in fl and (fl.get("-c") or fl.get("-n")):
+            out = out.withColumnRenamed("count", fl["-o"])
+        return out
     if not by or by == [""]:
         raise Unsupported("uniq without -g/-f")
     d = df
@@ -311,8 +414,13 @@ def v_uniq(df, argv):
 
 
 def v_count(df, argv):
-    fl, _ = _flags(argv, {"-g": 1, "-o": 1})
-    out = ev.count_records(df, by=_csl(fl["-g"]) if "-g" in fl else ())
+    fl, _ = _flags(argv, {"-g": 1, "-o": 1, "-n": 0})
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    if fl.get("-n"):
+        # number of distinct group-key values (count.go: -n)
+        out = ev.uniq_distinct_count(_drop_missing_keys(df, by), by) if by else df.agg(F.lit(1).alias("count"))
+    else:
+        out = ev.count_records(df, by=by)
     if "-o" in fl:
         out = out.withColumnRenamed("count", fl["-o"])
     return out
@@ -328,6 +436,88 @@ def v_count_distinct(df, argv):
     return ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
 
 
+_FENCE_K_R = {"lof": -3.0, "lif": -1.5, "uif": 1.5, "uof": 3.0}
+
+
+def _arr_pick(nn, p: float, interpolated: bool):
+    """Miller percentile over a (frame-ordered) non-null array: sorted
+    pick at int(p/100*n) (type=1), or R-type-7 interpolation with -i."""
+    srt = F.array_sort(nn)
+    cnt = F.size(nn)
+    if interpolated:
+        findex = F.greatest(F.lit(p / 100.0) * (cnt - 1).cast("double"), F.lit(0.0))
+        iidx = F.floor(findex).cast("int")
+        frac = findex - iidx.cast("double")
+        lo = F.get(srt, iidx)
+        hi = F.coalesce(F.get(srt, iidx + 1), lo)
+        return lo + frac * (hi - lo)
+    idx = F.least(
+        F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)), cnt - 1
+    )
+    return F.get(srt, idx)
+
+
+def _arr_acc(nn, total, a: str, interpolated: bool = False):
+    """Stats1 accumulator over an array column `nn` of the frame's
+    non-null values (order preserved); `total` = frame row count
+    (for null_count). Mirrors Miller's streaming accumulators so the
+    runner can replay `stats1 -s` (cumulative) and `stats1 -w`
+    (trailing window) for the full accumulator list."""
+    cnt = F.size(nn)
+    ssum = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x)
+    ssum2 = F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x * x)
+    if a == "count":
+        return cnt
+    if a == "sum":
+        return ssum
+    if a == "mean":
+        return ssum / cnt
+    if a == "min":
+        return F.array_min(nn)
+    if a == "max":
+        return F.array_max(nn)
+    if a == "var":
+        return (ssum2 - ssum * ssum / cnt) / (cnt - 1)
+    if a == "stddev":
+        return F.sqrt((ssum2 - ssum * ssum / cnt) / (cnt - 1))
+    if a == "distinct_count":
+        return F.size(F.array_distinct(nn))
+    if a == "null_count":
+        return total - cnt
+    if a == "first":
+        return F.element_at(nn, 1)
+    if a == "last":
+        return F.element_at(nn, -1)
+    if a in ("mode", "antimode"):
+        dv = F.array_distinct(nn)
+        counts = F.transform(dv, lambda v: F.size(F.filter(nn, lambda x: x == v)))
+        n_d = F.size(dv)
+        sentinel = -1 if a == "mode" else 1 << 40
+        cmp = (lambda c, best: c > best) if a == "mode" else (lambda c, best: c < best)
+        best = F.aggregate(
+            F.sequence(F.lit(0), n_d - 1),
+            F.struct(F.lit(-1).alias("i"), F.lit(sentinel).cast("long").alias("c")),
+            lambda acc, i: F.when(
+                cmp(F.get(counts, i).cast("long"), acc["c"]),
+                F.struct(i.alias("i"), F.get(counts, i).cast("long").alias("c")),
+            ).otherwise(acc),
+        )
+        return F.when(n_d > 0, F.get(dv, best["i"]))
+    if a == "median":
+        return _arr_pick(nn, 50.0, interpolated)
+    if a == "iqr":
+        return _arr_pick(nn, 75.0, interpolated) - _arr_pick(nn, 25.0, interpolated)
+    if a in _FENCE_K_R:
+        k = _FENCE_K_R[a]
+        base = _arr_pick(nn, 25.0, interpolated) if k < 0 else _arr_pick(nn, 75.0, interpolated)
+        return base + F.lit(k) * (
+            _arr_pick(nn, 75.0, interpolated) - _arr_pick(nn, 25.0, interpolated)
+        )
+    if a.startswith("p") and a[1:].replace(".", "").isdigit():
+        return _arr_pick(nn, float(a[1:]), interpolated)
+    raise Unsupported(f"stats1 frame acc {a}")
+
+
 _STATS1_OK = {
     "mean", "sum", "count", "min", "max", "var", "stddev", "meaneb", "skewness",
     "kurtosis", "median", "mode", "antimode", "mad", "null_count", "distinct_count",
@@ -336,10 +526,45 @@ _STATS1_OK = {
 
 
 def v_stats1(df, argv):
-    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-i": 0})
-    accs, values = _csl(fl["-a"]), _csl(fl["-f"])
-    by = _csl(fl["-g"]) if "-g" in fl else []
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-i": 0, "-w": 1,
+                          "--fr": 1, "--fx": 1, "--gr": 1, "--gx": 1, "-F": 0, "-s": 0})
+    accs = _csl(fl["-a"])
+    cols = [c for c in df.columns if c != "__ord"]
+    if "--fr" in fl or "--fx" in fl:
+        key = "--fr" if "--fr" in fl else "--fx"
+        pat = _regexes([fl[key]])[0]
+        values = [c for c in cols if bool(pat.search(c)) == (key == "--fr")]
+    else:
+        values = _csl(fl["-f"])
+    if "--gr" in fl or "--gx" in fl:
+        key = "--gr" if "--gr" in fl else "--gx"
+        pat = _regexes([fl[key]])[0]
+        by = [c for c in cols if bool(pat.search(c)) == (key == "--gr")]
+    else:
+        by = _csl(fl["-g"]) if "-g" in fl else []
     df = _drop_missing_keys(df, by)
+    if "-w" in fl or fl.get("-s"):
+        # -w n: trailing window of n records; -s: cumulative (expanding)
+        # stats appended per record (stats1.go -w/-s). Both are one
+        # WindowExec over collect_list + array accumulators.
+        from pyspark.sql import Window as W
+
+        if any(v not in df.columns for v in values):
+            raise Unsupported("stats1 -w/-s absent value field")
+        base = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord")
+        if "-w" in fl:
+            frame = base.rowsBetween(-(int(fl["-w"]) - 1), 0)
+        else:
+            frame = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+        interp = bool(fl.get("-i"))
+        out = df
+        adds = {}
+        for f_ in values:
+            nn = F.collect_list(F.col(f_).try_cast("double")).over(frame)
+            total = F.count(F.lit(1)).over(frame)
+            for a in accs:
+                adds[f"{f_}_{a}"] = _arr_acc(nn, total, a, interp)
+        return out.withColumns(adds)
     if any(v not in df.columns for v in values):
         raise Unsupported("stats1 absent value field")
     for a in accs:
@@ -389,9 +614,8 @@ def v_fraction(df, argv):
 
 
 def v_top(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "-n": 1, "-g": 1, "--min": 0, "-a": 0})
-    if fl.get("-a"):
-        raise Unsupported("top -a")
+    fl, _ = _flags(argv, {"-f": 1, "-n": 1, "-g": 1, "--min": 0, "--max": 0,
+                          "-a": 0, "-F": 0, "-o": 1})
     n = int(fl.get("-n", 1))
     by = _csl(fl["-g"]) if "-g" in fl else []
     fields = _csl(fl["-f"])
@@ -402,11 +626,191 @@ def v_top(df, argv):
         d = d.filter(F.col(f_).isNotNull())
     for b in by:
         d = d.filter(F.col(b).isNotNull())
+    if fl.get("-a"):
+        # full records of the top-n rows (top.go: -a; single -f only)
+        if len(fields) != 1:
+            raise Unsupported("top -a with multiple fields")
+        return ev.top(
+            d, fields[0], n=n, by=by, use_min=bool(fl.get("--min")),
+            show_full_records=True, tiebreak=["__ord"],
+        ).drop("top_idx")
     out = None
     for f_ in fields:
         t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=bool(by))
+        if "-o" in fl:
+            t = t.withColumnRenamed(f"{f_}_top", fl["-o"])
         out = t if out is None else out.join(t, [*by, "top_idx"])
     return out
+
+
+def v_rank(df, argv):
+    """`mlr rank -f ... [-g ...]` (rank.go:22): append {f}_rank per field,
+    competition ranking (1,2,2,4), original record order preserved.
+    Records missing a group key get no rank fields; records missing the
+    ranked field get no rank for that field."""
+    from pyspark.sql import Window as W
+
+    fl, _ = _flags(argv, {"-f": 1, "-g": 1, "--sorted": 0})
+    fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    if any(b not in df.columns for b in by):
+        return df
+    out = df
+    for f_ in fields:
+        w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy(
+            F.col(f_).asc_nulls_last()
+        )
+        grp_ok = F.lit(True)
+        for b in by:
+            grp_ok = grp_ok & F.col(b).isNotNull()
+        out = out.withColumn(
+            f"{f_}_rank",
+            F.when(F.col(f_).isNotNull() & grp_ok, F.rank().over(w)),
+        )
+    return out
+
+
+def v_gap(df, argv):
+    _flags(argv, {"-n": 1, "-g": 1})
+    return df  # presentation-only: blank lines are invisible to the record compare
+
+
+def v_tee(df, argv):
+    # `mlr tee [-a|-p] [-o fmt] FILE`: copy stream to a file, pass through.
+    # stdout (what expout checks) is the unchanged stream.
+    fl, pos = _flags(argv, {"-a": 0, "-p": 0, "-o": 1})
+    if len(pos) != 1:
+        raise Unsupported("tee without filename")
+    return df
+
+
+def v_group_by(df, argv):
+    # group-by.go: records MISSING any group field are dropped
+    _, pos = _flags(argv, {})
+    by = _csl(pos[0])
+    if any(b not in df.columns for b in by):
+        return df.limit(0)
+    d = df
+    for b in by:
+        d = d.filter(F.col(b).isNotNull())
+    return ev.group_by_stream(d, by)
+
+
+def v_unspace(df, argv):
+    fl, _ = _flags(argv, {"-f": 1, "-k": 0, "-v": 0})
+    fill = fl.get("-f", "_")
+    values_too = not fl.get("-k")
+    keys_too = not fl.get("-v")
+    out = df
+    if keys_too:
+        renames = {c: c.replace(" ", fill) for c in out.columns if " " in c}
+        if renames:
+            out = out.withColumnsRenamed(renames)
+    if values_too:
+        out = out.withColumns(
+            {
+                c: F.regexp_replace(F.col(c), " ", fill)
+                for c, t in out.dtypes
+                if t == "string" and c != "__ord"
+            }
+        )
+    return out
+
+
+def v_altkv(df, argv):
+    """`mlr altkv` (altkv.go:18): values v1,v2,v3,v4 -> {v1:v2, v3:v4}.
+    Keys come from DATA, so the output schema is discovered by a first
+    pass over the (test-scale) pair sets, then built as one projection."""
+    _flags(argv, {})
+    cols = [c for c in df.columns if c != "__ord"]
+    ks = [F.col(c).cast("string") for c in cols[0::2]]
+    vs = [F.col(c).cast("string") for c in cols[1::2]]
+    if len(ks) > len(vs):
+        # odd field count: the leftover value keeps its pair-index as key
+        # (altkv.go: "4"=g for the 7th of 7 values)
+        ks[-1] = F.lit(str(len(ks)))
+        vs.append(F.col(cols[-1]).cast("string"))
+    pairs = df.select("__ord", F.map_from_arrays(F.array(*ks), F.array(*vs)).alias("__m"))
+    keys = [
+        r["k"]
+        for r in pairs.select(F.explode(F.map_keys("__m")).alias("k")).distinct().collect()
+    ]
+    return pairs.select(
+        "__ord", *[F.col("__m").getItem(k).alias(k) for k in sorted(keys)]
+    )
+
+
+def v_remove_empty_columns(df, argv):
+    _flags(argv, {})
+    return ev.remove_empty_columns(df)
+
+
+def v_sparsify(df, argv):
+    """`mlr sparsify [-s filler] [-f fields]`: remove fields whose value
+    is the filler (default "") — under the fixed schema, removal == null."""
+    fl, _ = _flags(argv, {"-s": 1, "-f": 1})
+    filler = fl.get("-s", "")
+    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if c != "__ord"]
+    return df.withColumns(
+        {
+            f_: F.when(F.col(f_).cast("string") == filler, None).otherwise(F.col(f_))
+            for f_ in fields
+            if f_ in df.columns and f_ != "__ord"
+        }
+    )
+
+
+def _go_fmt_to_java(fmt: str) -> str:
+    """Translate a Go printf format (with ll/l length modifiers) to a
+    java.lang.String.format one Spark's format_string accepts."""
+    out = fmt.replace("lld", "d").replace("llx", "x").replace("llX", "X").replace("llo", "o")
+    out = _re.sub(r"%([#0\- +]*[0-9.]*)l*([defgxXo])", r"%\1\2", out)
+    return out
+
+
+def v_format_values(df, argv):
+    """`mlr format-values [-i ifmt] [-f ffmt] [-s sfmt] [-n]`
+    (format_values.go:26): per-type printf formatting. Type is Miller's
+    per-value inference; on the typed frame, int columns get ifmt,
+    doubles ffmt, strings sfmt."""
+    fl, _ = _flags(argv, {"-i": 1, "-f": 1, "-s": 1, "-n": 0})
+    ifmt = _go_fmt_to_java(fl.get("-i", "%d"))
+    ffmt = _go_fmt_to_java(fl.get("-f", "%f"))
+    sfmt = _go_fmt_to_java(fl.get("-s", "%s"))
+    coerce_int = bool(fl.get("-n"))
+    updates = {}
+    for c, t in df.dtypes:
+        if c == "__ord":
+            continue
+        if t in ("bigint", "int", "smallint", "tinyint"):
+            col = F.col(c).cast("double" if coerce_int else "long")
+            fmtc = ffmt if coerce_int else ifmt
+            updates[c] = F.when(col.isNotNull(), F.format_string(fmtc, col))
+        elif t in ("double", "float"):
+            # Miller re-infers per value: an integral double prints via ifmt
+            c_ = F.col(c)
+            if coerce_int:
+                updates[c] = F.when(c_.isNotNull(), F.format_string(ffmt, c_))
+            else:
+                updates[c] = F.when(
+                    c_.isNotNull() & (c_ == F.floor(c_)),
+                    F.format_string(ifmt, c_.cast("long")),
+                ).otherwise(F.when(c_.isNotNull(), F.format_string(ffmt, c_)))
+        elif t == "string":
+            # per-value inference on string columns: numeric-looking
+            # values get the numeric formats
+            s = F.col(c)
+            as_long = s.try_cast("long")
+            as_dbl = s.try_cast("double")
+            ic = as_dbl.cast("double" if coerce_int else "long")
+            int_fmt = ffmt if coerce_int else ifmt
+            updates[c] = (
+                F.when(s.isNull(), None)
+                .when(as_long.isNotNull(), F.format_string(int_fmt, ic))
+                .when(as_dbl.isNotNull(), F.format_string(ffmt, as_dbl))
+                .otherwise(F.format_string(sfmt, s))
+            )
+    return df.withColumns(updates)
 
 
 def v_most_frequent(df, argv, descending=True):
@@ -441,7 +845,11 @@ def v_fill_down(df, argv):
 
 
 def v_fill_empty(df, argv):
-    fl, _ = _flags(argv, {"-v": 1, "-S": 0, "--only-if-all-blank": 0})
+    # "-Sv X" is accepted by the reference as -S -v X
+    expanded = []
+    for a in argv:
+        expanded.extend(["-S", "-v"] if a == "-Sv" else [a])
+    fl, _ = _flags(expanded, {"-v": 1, "-S": 0, "--only-if-all-blank": 0})
     if fl.get("--only-if-all-blank"):
         raise Unsupported(" --only-if-all-blank")
     return ev.fill_empty(df, fill=str(fl.get("-v", "N/A")))
@@ -449,11 +857,15 @@ def v_fill_empty(df, argv):
 
 def v_grep(df, argv):
     fl, pos = _flags(argv, {"-v": 0, "-i": 0, "-a": 0, "-o": 0})
-    if len(pos) != 1 or fl.get("-a") or fl.get("-o"):
+    if len(pos) != 1 or fl.get("-o"):
         raise Unsupported("grep form")
     pat = pos[0]
     cols = [c for c in df.columns if c != "__ord"]
-    ser = F.concat_ws(",", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in cols])
+    if fl.get("-a"):
+        # values only: NIDX string = values joined by spaces (grep.go)
+        ser = F.concat_ws(" ", *[F.col(c).cast("string") for c in cols])
+    else:
+        ser = F.concat_ws(",", *[F.concat(F.lit(f"{c}="), F.col(c).cast("string")) for c in cols])
     cond = ser.rlike(f"(?i){pat}" if fl.get("-i") else pat)
     return df.filter(~cond if fl.get("-v") else cond)
 
@@ -475,10 +887,30 @@ def v_label(df, argv):
 
 
 def v_reorder(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "-e": 0})
+    fl, _ = _flags(argv, {"-f": 1, "-e": 0, "-a": 1, "-b": 1, "-r": 1})
+    if "-r" in fl:
+        # regex groups move to front (or end with -e), grouped by regex
+        # order; within each group fields keep record order
+        pats = _regexes(_csl(fl["-r"]))
+        cols = [c for c in df.columns if c != "__ord"]
+        moved: list[str] = []
+        for p in pats:
+            moved += [c for c in cols if p.search(c) and c not in moved]
+        if not moved:
+            return df
+        return ev.reorder(df, back=moved) if fl.get("-e") else ev.reorder(df, front=moved)
     fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
     if not fields:
         return df  # nothing to move: pure pass-through
+    anchor = fl.get("-a") or fl.get("-b")
+    if anchor:
+        if anchor not in df.columns or anchor in fields:
+            return df
+        rest = [c for c in df.columns if c not in fields]
+        idx = rest.index(anchor)
+        pos = idx + 1 if "-a" in fl else idx
+        ordered_cols = rest[:pos] + fields + rest[pos:]
+        return df.select(*ordered_cols)
     return ev.reorder(df, back=fields) if fl.get("-e") else ev.reorder(df, front=fields)
 
 
@@ -501,11 +933,13 @@ def v_regularize(df, argv):
 
 
 def v_sec2gmt(df, argv):
-    fl, pos = _flags(argv, {"-1": 0, "-2": 0, "-3": 0, "-6": 0, "-9": 0, "--millis": 0})
-    dec = next((int(k[1:]) for k in ("-1", "-2", "-3", "-6", "-9") if fl.get(k)), 0)
-    if fl.get("--millis"):
-        raise Unsupported("sec2gmt --millis")
-    return ev.sec2gmt(df, [f_ for f_ in _csl(pos[0]) if f_ in df.columns], decimals=dec)
+    dflags = {f"-{i}": 0 for i in range(1, 10)}
+    fl, pos = _flags(argv, {**dflags, "--millis": 0, "--micros": 0, "--nanos": 0})
+    dec = next((int(k[1:]) for k in dflags if fl.get(k)), 0)
+    divisor = 1e3 if fl.get("--millis") else 1e6 if fl.get("--micros") else 1e9 if fl.get("--nanos") else 1.0
+    return ev.sec2gmt(
+        df, [f_ for f_ in _csl(pos[0]) if f_ in df.columns], decimals=dec, divisor=divisor
+    )
 
 
 def v_sec2gmtdate(df, argv):
@@ -567,8 +1001,9 @@ def v_gsub(df, argv, first_only=False, literal=False):
 
 
 def v_case(df, argv):
-    fl, _ = _flags(argv, {"-u": 0, "-l": 0, "-t": 0, "-k": 0, "-v": 0, "-f": 1})
-    mode = "upper" if fl.get("-u") else "lower" if fl.get("-l") else "title" if fl.get("-t") else None
+    fl, _ = _flags(argv, {"-u": 0, "-l": 0, "-t": 0, "-s": 0, "-k": 0, "-v": 0, "-f": 1})
+    mode = ("upper" if fl.get("-u") else "lower" if fl.get("-l")
+            else "title" if fl.get("-t") else "sentence" if fl.get("-s") else None)
     if mode is None:
         raise Unsupported("case mode")
     which = "keys" if fl.get("-k") else "values" if fl.get("-v") else "both"
@@ -589,9 +1024,15 @@ def v_seqgen(spark, argv):
     fl, _ = _flags(argv, {"--start": 1, "--stop": 1, "--step": 1, "-f": 1})
     step = int(fl.get("--step", 1))
     start, stop = int(fl["--start"]), int(fl["--stop"])
-    if step > 0 and stop < start or step < 0 and stop > start or step == 0:
-        raise Unsupported("seqgen degenerate")
-    return ev.seqgen(spark, start, stop, step, field=fl.get("-f", "i"))
+    field = fl.get("-f", "i")
+    if step == 0 and start != stop:
+        raise Unsupported("seqgen infinite loop")
+    if step > 0 and stop < start or step < 0 and stop > start:
+        # degenerate range: seqgen emits nothing (seqgen.go)
+        return spark.range(0).select(F.col("id").alias(field))
+    if step == 0:
+        step = 1  # start == stop: single record
+    return ev.seqgen(spark, start, stop, step, field=field)
 
 
 def v_join(spark, right, argv, to_df, ifmt):
@@ -600,16 +1041,23 @@ def v_join(spark, right, argv, to_df, ifmt):
     -j output name on EVERY emitted record, paired or not (golden
     verb-join/0009); records missing the key never pair and flow to the
     unpaired side."""
-    fl, pos = _flags(argv, {
+    expanded = []
+    for a in argv:
+        if a.startswith("--lp=") or a.startswith("--rp="):
+            expanded.extend(a.split("=", 1))
+        else:
+            expanded.append(a)
+    fl, pos = _flags(expanded, {
         "-f": 1, "-j": 1, "-l": 1, "-r": 1, "-s": 0, "-u": 0,
         "--np": 0, "--ul": 0, "--ur": 0, "-i": 1, "--lp": 1, "--rp": 1,
+        "--lk": 1, "--left-keep-field-names": 1, "--ignore-empty": 0,
     })
     if pos:
         raise Unsupported("join positional")
     lp, rp = fl.get("--lp", "left_"), fl.get("--rp", "right_")
     use_prefixes = "--lp" in fl or "--rp" in fl
-    lfmt = fl.get("-i", "dkvp" if ifmt == "dkvp" else "csv")
-    if lfmt not in ("dkvp", "csv", "csvlite"):
+    lfmt = fl.get("-i", ifmt)  # left file defaults to the main input format
+    if lfmt not in ("dkvp", "csv", "csvlite", "tsv", "json", "xtab", "pprint", "nidx"):
         raise Unsupported(f"join -i {lfmt}")
     j = _csl(fl["-j"]) if "-j" in fl else None
     lk = _csl(fl["-l"]) if "-l" in fl else j
@@ -618,9 +1066,19 @@ def v_join(spark, right, argv, to_df, ifmt):
         j = lk or rk
     if not (j and lk and rk) or len({len(j), len(lk), len(rk)}) != 1:
         raise Unsupported("join key spec")
+    lkeep = _csl(fl.get("--lk") or fl.get("--left-keep-field-names") or "") if (
+        "--lk" in fl or "--left-keep-field-names" in fl
+    ) else None
 
-    lrecs = _read_records(fl["-f"], icsv=(lfmt != "dkvp"))
-    left = to_df(spark, lrecs, infer=(lfmt == "dkvp")) if lrecs else None
+    lrecs = _read_records(
+        fl["-f"],
+        icsv=(lfmt if lfmt in ("xtab", "pprint", "tsv", "nidx") else lfmt in ("csv", "csvlite")),
+        jsonin=(lfmt == "json"),
+    )
+    left = to_df(spark, lrecs, infer=(lfmt not in ("csv", "csvlite", "tsv"))) if lrecs else None
+    if lkeep is not None and left is not None:
+        keep_cols = [c for c in left.columns if c in set(lkeep) | set(lk) or c == "__ord"]
+        left = left.select(*keep_cols)
 
     emit_paired = not fl.get("--np")
     emit_ul, emit_ur = bool(fl.get("--ul")), bool(fl.get("--ur"))
@@ -633,10 +1091,24 @@ def v_join(spark, right, argv, to_df, ifmt):
         nn = allr
         for k in j:
             nn = nn.filter(F.col(k).isNotNull())
+            if fl.get("--ignore-empty"):
+                nn = nn.filter(F.col(k).cast("string") != "")
         return allr, nn
 
     l_all, l_nn = prep(left, lk)
     r_all, r_nn = prep(right, rk)
+
+    # Explicit --lp/--rp prefix ALL non-join fields of that side, paired
+    # and unpaired (join.go). Without explicit flags the defaults kick
+    # in only to resolve paired-record collisions, on both sides.
+    if "--lp" in fl and l_all is not None:
+        ren = {c: lp + c for c in l_all.columns if c not in j}
+        l_all = l_all.withColumnsRenamed(ren)
+        l_nn = l_nn.withColumnsRenamed(ren) if l_nn is not None else None
+    if "--rp" in fl and r_all is not None:
+        ren = {c: rp + c for c in r_all.columns if c not in j}
+        r_all = r_all.withColumnsRenamed(ren)
+        r_nn = r_nn.withColumnsRenamed(ren) if r_nn is not None else None
 
     parts = []
     if emit_paired and l_nn is not None and r_nn is not None:
@@ -672,6 +1144,11 @@ def v_join(spark, right, argv, to_df, ifmt):
 
     parts = [p for p in parts if p is not None]
     if not parts:
+        # nothing to emit (e.g. inner join with an empty side, or --np
+        # with no --ul/--ur survivors): empty record stream
+        for d in (l_all, r_all, right):
+            if d is not None:
+                return d.limit(0)
         raise Unsupported("join emits nothing computable")
     out = parts[0]
     for p in parts[1:]:
@@ -684,9 +1161,20 @@ _STEPPERS_OK = {"shift", "shift_lag", "shift_lead", "delta", "ratio", "rsum",
 
 
 def v_step(df, argv):
-    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-d": 1})
-    steppers = [s for s in _csl(fl["-a"]) if s != "ewma"]
-    has_ewma = "ewma" in _csl(fl["-a"])
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-d": 1, "-o": 1, "-F": 0})
+    slwins = []
+    steppers = []
+    has_ewma = False
+    for s in _csl(fl["-a"]):
+        if s == "ewma":
+            has_ewma = True
+        elif s.startswith("slwin_"):
+            parts = s.split("_")
+            if len(parts) != 3 or not parts[1].lstrip("-").isdigit() or not parts[2].lstrip("-").isdigit():
+                raise Unsupported(f"stepper {s}")
+            slwins.append((int(parts[1]), int(parts[2])))
+        else:
+            steppers.append(s)
     for s in steppers:
         base = s.rsplit("_", 1)
         if s not in _STEPPERS_OK and not (
@@ -702,7 +1190,11 @@ def v_step(df, argv):
     if any(v not in df.columns for v in values):
         raise Unsupported("step absent field")
     dtypes = dict(df.dtypes)
-    numeric_needed = [s for s in steppers if s not in ("shift", "shift_lag", "shift_lead", "counter")] or has_ewma
+    numeric_needed = bool(
+        [s for s in steppers if s not in ("shift", "shift_lag", "shift_lead", "counter")]
+        or has_ewma
+        or slwins
+    )
     if numeric_needed and any(dtypes[v] == "string" for v in values):
         raise Unsupported("step arithmetic on string field")
     passthrough = None
@@ -717,13 +1209,25 @@ def v_step(df, argv):
         df = df.filter(cond)
     out = ev.step(df, steppers, values, order_by=["__ord"], by=by,
                   ewma_alphas=alphas if has_ewma else [])
+    for m_back, n_fwd in slwins:
+        if m_back < 0 or n_fwd < 0:
+            raise Unsupported("negative slwin bound")
+        for f_ in values:
+            out = ev.slwin(out, f_, m_back, n_fwd, order_by=["__ord"], by=by)
+            # Miller names the column {f}_{m}_{n} (step.go:703-711)
+            out = out.withColumnRenamed(
+                f"{f_}_slwin_{m_back}_{n_fwd}", f"{f_}_{m_back}_{n_fwd}"
+            )
     if passthrough is not None:
         out = out.unionByName(passthrough, allowMissingColumns=True)
-    # Miller names ewma columns {f}_ewma_{alpha-literal}
+    # Miller names ewma columns {f}_ewma_{alpha-literal}, or with -o,
+    # {f}_ewma_{suffix}
+    suffixes = _csl(fl["-o"]) if "-o" in fl else None
     for f_ in values:
-        for a in alphas if has_ewma else []:
+        for ai, a in enumerate(alphas if has_ewma else []):
             ours = f"{f_}_ewma_" + ("%g" % a).replace(".", "_")
-            out = out.withColumnRenamed(ours, f"{f_}_ewma_" + "%g" % a)
+            want = suffixes[ai] if suffixes else "%g" % a
+            out = out.withColumnRenamed(ours, f"{f_}_ewma_{want}")
     return out
 
 
@@ -735,21 +1239,113 @@ _STATS2_NAME = {
 
 
 def v_stats2(df, argv):
-    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-v": 0})
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-v": 0, "--fit": 0,
+                          "-s": 0, "-S": 0, "-F": 0})
     accs = _csl(fl["-a"])
     fields = _csl(fl["-f"])
     by = _csl(fl["-g"]) if "-g" in fl else []
     if len(fields) % 2 or fl.get("-v"):
         raise Unsupported("stats2 field pairing/-v")
     for a in accs:
-        if a not in ("corr", "cov", "r2", "linreg-ols", "linreg-pca"):
+        if a not in ("corr", "cov", "r2", "linreg-ols", "linreg-pca", "logireg"):
             raise Unsupported(f"stats2 acc {a}")
     df = _drop_missing_keys(df, by)
+    if fl.get("-s"):
+        # iterative stats (stats2.go -s): cumulative coefficients
+        # appended per record, from expanding-window raw moments
+        from pyspark.sql import Window as W
+
+        w = (
+            (W.partitionBy(*by) if by else W.partitionBy())
+            .orderBy("__ord")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        adds = {}
+        for i2 in range(0, len(fields), 2):
+            x, y = fields[i2], fields[i2 + 1]
+            if x not in df.columns or y not in df.columns:
+                raise Unsupported("stats2 absent field")
+            xc, yc = F.col(x).try_cast("double"), F.col(y).try_cast("double")
+            both = xc.isNotNull() & yc.isNotNull()
+            n = F.sum(F.when(both, 1).otherwise(0)).over(w).cast("double")
+            sx = F.sum(F.when(both, xc)).over(w)
+            sy = F.sum(F.when(both, yc)).over(w)
+            sxx = F.sum(F.when(both, xc * xc)).over(w)
+            syy = F.sum(F.when(both, yc * yc)).over(w)
+            sxy = F.sum(F.when(both, xc * yc)).over(w)
+            dden = n * sxx - sx * sx
+            m_ols = (n * sxy - sx * sy) / dden
+            b_ols = (sy - m_ols * sx) / n
+            vx = (sxx - sx * sx / n) / (n - 1)
+            vy = (syy - sy * sy / n) / (n - 1)
+            cxy = (sxy - sx * sy / n) / (n - 1)
+            disc = F.sqrt((vx - vy) * (vx - vy) + 4 * cxy * cxy)
+            l1 = (vx + vy + disc) / 2
+            l2 = (vx + vy - disc) / 2
+            m_pca = (l1 - vx) / cxy
+            b_pca = sy / n - m_pca * (sx / n)
+            ok2 = (n >= 2) & (dden != 0)
+            for a in accs:
+                if a == "linreg-ols":
+                    adds[f"{x}_{y}_ols_m"] = F.when(ok2, m_ols)
+                    adds[f"{x}_{y}_ols_b"] = F.when(ok2, b_ols)
+                    adds[f"{x}_{y}_ols_n"] = n.cast("long")
+                elif a == "linreg-pca":
+                    okp = (n >= 2) & (cxy != 0)
+                    adds[f"{x}_{y}_pca_m"] = F.when(okp, m_pca)
+                    adds[f"{x}_{y}_pca_b"] = F.when(okp, b_pca)
+                    adds[f"{x}_{y}_pca_n"] = F.when(n >= 2, n.cast("long"))
+                    adds[f"{x}_{y}_pca_quality"] = F.when(
+                        okp, F.when(F.abs(l1) == 0, F.lit(0.0)).otherwise(1.0 - F.abs(l2) / F.abs(l1))
+                    )
+                elif a == "r2":
+                    num = (n * sxy - sx * sy)
+                    adds[f"{x}_{y}_r2"] = F.when(
+                        ok2, num * num / (dden * (n * syy - sy * sy))
+                    )
+                elif a == "corr":
+                    num = n * sxy - sx * sy
+                    adds[f"{x}_{y}_corr"] = F.when(
+                        ok2, num / F.sqrt(dden * (n * syy - sy * sy))
+                    )
+                elif a == "cov":
+                    adds[f"{x}_{y}_cov"] = F.when(n >= 2, cxy)
+                else:
+                    raise Unsupported(f"stats2 -s acc {a}")
+        return df.withColumns(adds)
+    if fl.get("--fit"):
+        # --fit: append per-record fitted values instead of coefficients
+        # (stats2.go; only linreg-ols/linreg-pca produce fits)
+        out = df
+        for i2 in range(0, len(fields), 2):
+            x, y = fields[i2], fields[i2 + 1]
+            if x not in df.columns or y not in df.columns:
+                raise Unsupported("stats2 absent field")
+            coefs = ev.stats2(df, x, y, [a for a in accs if a.startswith("linreg")], by=by)
+            out = out.join(F.broadcast(coefs), on=by) if by else out.crossJoin(F.broadcast(coefs))
+            adds = {}
+            if "linreg-ols" in accs:
+                adds[f"{x}_{y}_ols_fit"] = F.col(f"{x}_{y}_m") * F.col(x) + F.col(f"{x}_{y}_b")
+            if "linreg-pca" in accs:
+                adds[f"{x}_{y}_pca_fit"] = F.col(f"{x}_{y}_pca_m") * F.col(x) + F.col(f"{x}_{y}_pca_b")
+            out = out.withColumns(adds).drop(*[c for c in coefs.columns if c not in by])
+        return out
     out = None
     for i2 in range(0, len(fields), 2):
         x, y = fields[i2], fields[i2 + 1]
         if x not in df.columns or y not in df.columns:
             raise Unsupported("stats2 absent field")
+        if accs == ["logireg"]:
+            s = ev.logireg(df.withColumns({x: F.col(x).cast("double"), y: F.col(y).cast("double")}), x, y, by=by)
+            s = s.withColumnsRenamed({
+                f"{x}_{y}_m": f"{x}_{y}_logistic_m",
+                f"{x}_{y}_b": f"{x}_{y}_logistic_b",
+                f"{x}_{y}_n": f"{x}_{y}_logistic_n",
+            })
+            out = s if out is None else (out.join(s, by) if by else out.crossJoin(s))
+            continue
+        if "logireg" in accs:
+            raise Unsupported("stats2 logireg mixed with other accs")
         # no row filter: Spark's corr/covar ignore null pairs, and a
         # group whose pairs are all-null still emits a (void) record
         s = ev.stats2(df, x, y, accs, by=by)
@@ -769,18 +1365,98 @@ def v_stats2(df, argv):
 
 
 def v_merge_fields(df, argv):
-    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-o": 1, "-k": 0})
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-o": 1, "-k": 0, "-c": 1, "-r": 1,
+                          "-i": 0, "-S": 0, "-F": 0})
     accs = _csl(fl["-a"])
     ok = {"min", "max", "sum", "mean", "count", "var", "stddev", "median",
-          "iqr", "lof", "lif", "uif", "uof"}
+          "iqr", "lof", "lif", "uif", "uof", "first", "last", "minlen", "maxlen"}
     for a in accs:
         if a not in ok and not (a.startswith("p") and a[1:].replace(".", "").isdigit()):
             raise Unsupported(f"merge-fields acc {a}")
-    fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
-    if not fields:
-        raise Unsupported("merge-fields no fields")
-    out = ev.merge_fields(df, accs, fields, fl.get("-o", "out"))
-    if not fl.get("-k"):
+    interp = bool(fl.get("-i"))
+    if "-c" in fl:
+        # collapse mode (merge_fields.go): per RECORD, fields sharing a
+        # name after removing any -c substring are merged; base name is
+        # the stripped name. A record with no matching fields for a base
+        # emits NO columns for it (dynamic schema -> null-guarded here).
+        # Values use Miller's collation: numbers sort before strings.
+        subs = _csl(fl["-c"])
+        groups: dict[str, list[str]] = {}
+        for c in df.columns:
+            if c == "__ord":
+                continue
+            for s in subs:
+                if s in c:
+                    groups.setdefault(c.replace(s, "", 1), []).append(c)
+                    break
+        adds = {}
+        for base, cols in groups.items():
+            elems = [
+                F.when(
+                    F.col(c).isNotNull(),
+                    F.struct(
+                        F.col(c).try_cast("double").isNull().cast("int").alias("s"),
+                        F.coalesce(F.col(c).try_cast("double"), F.lit(0.0)).alias("n"),
+                        F.col(c).cast("string").alias("t"),
+                    ),
+                )
+                for c in cols
+            ]
+            nn = F.filter(F.array(*elems), lambda x: x.isNotNull())
+            srt = F.array_sort(nn)
+            cnt = F.size(nn)
+            nums = F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["n"])
+            ssum = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
+
+            def sval(st):
+                return F.when(st["s"] == 1, st["t"]).otherwise(st["n"].cast("string"))
+
+            def pick(p):
+                if interp:
+                    findex = F.greatest(F.lit(p / 100.0) * (cnt - 1).cast("double"), F.lit(0.0))
+                    iidx = F.floor(findex).cast("int")
+                    frac = findex - iidx.cast("double")
+                    lo, hi = F.get(srt, iidx), F.coalesce(F.get(srt, iidx + 1), F.get(srt, iidx))
+                    return F.when(
+                        (lo["s"] == 0) & (hi["s"] == 0),
+                        (lo["n"] + frac * (hi["n"] - lo["n"])).cast("string"),
+                    ).otherwise(sval(lo))
+                idx = F.least(
+                    F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)),
+                    cnt - 1,
+                )
+                return sval(F.get(srt, idx))
+
+            for a in accs:
+                name = f"{base}_{a}"
+                if a == "min":
+                    c_ = sval(F.get(srt, 0))
+                elif a == "max":
+                    c_ = sval(F.get(srt, cnt - 1))
+                elif a == "sum":
+                    c_ = ssum.cast("string")
+                elif a == "mean":
+                    c_ = (ssum / F.size(nums)).cast("string")
+                elif a == "count":
+                    c_ = cnt.cast("string")
+                elif a == "median":
+                    c_ = pick(50.0)
+                elif a.startswith("p") and a[1:].replace(".", "").isdigit():
+                    c_ = pick(float(a[1:]))
+                else:
+                    raise Unsupported(f"merge-fields collapse acc {a}")
+                adds[name] = F.when(cnt > 0, c_)
+        out = df.withColumns(adds)
+        if not fl.get("-k") and groups:
+            out = out.drop(*[c for cols in groups.values() for c in cols])
+        return out
+    if "-r" in fl:
+        pats = _regexes(_csl(fl["-r"]))
+        fields = [c for c in df.columns if c != "__ord" and any(p.search(c) for p in pats)]
+    else:
+        fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
+    out = ev.merge_fields(df, accs, fields, fl.get("-o", "out"), interpolated=interp)
+    if not fl.get("-k") and fields:
         out = out.drop(*fields)
     return out
 
@@ -905,6 +1581,28 @@ def v_passthrough(df, argv):
     return df
 
 
+def v_split(df, argv):
+    """`mlr split -n/-m/-g --prefix ...`: writes files, emits nothing on
+    stdout (unless -v passes records downstream). The write goes to a
+    temp dir (the case's prefix points into the read-only reference
+    tree)."""
+    import tempfile
+
+    fl, _ = _flags(argv, {"-n": 1, "-m": 1, "-g": 1, "--prefix": 1, "--suffix": 1,
+                          "--folder": 1, "-a": 0, "-v": 0, "-e": 0, "-j": 1,
+                          "--ojson": 0, "--ocsv": 0, "--opprint": 0, "--otsv": 0})
+    tmp = tempfile.mkdtemp(prefix="mlr_split_")
+    d = df.drop("__ord")
+    if "-g" in fl:
+        by = [b for b in _csl(fl["-g"]) if b in d.columns]
+        if by:
+            d.write.mode("overwrite").partitionBy(*by).parquet(tmp + "/out")
+    else:
+        n = int(fl.get("-m") or fl.get("-n") or 1)
+        d.repartition(max(n, 1)).write.mode("overwrite").parquet(tmp + "/out")
+    return df if fl.get("-v") else df.limit(0)
+
+
 def v_skip_trivial(df, argv):
     _flags(argv, {})
     cols = [c for c in df.columns if c != "__ord"]
@@ -914,9 +1612,6 @@ def v_skip_trivial(df, argv):
     return df.filter(cond)
 
 
-def v_sparsify(df, argv):
-    _flags(argv, {})
-    return df  # empty values are dropped by the record compare anyway
 
 
 def _regexes(parts):
@@ -1001,8 +1696,32 @@ def v_rename_regex(df, argv):
 
 def v_having_fields_full(df, argv):
     fl, _ = _flags(argv, {"--at-least": 1, "--all-defined": 1, "--which-are": 1,
-                          "--at-most": 1, "--any-defined": 1})
+                          "--at-most": 1, "--any-defined": 1,
+                          "--all-matching": 1, "--any-matching": 1, "--none-matching": 1})
     cols = [c for c in df.columns if c != "__ord"]
+    for key in ("--all-matching", "--any-matching", "--none-matching"):
+        if fl.get(key):
+            pat = _regexes([fl[key]])[0]
+            hit = [c for c in cols if pat.search(c)]
+            miss = [c for c in cols if c not in hit]
+            if key == "--any-matching":
+                cond = F.lit(False)
+                for c in hit:
+                    cond = cond | F.col(c).isNotNull()
+            elif key == "--all-matching":
+                # every PRESENT field's name matches the regex
+                cond = F.lit(True)
+                for c in miss:
+                    cond = cond & F.col(c).isNull()
+                any_hit = F.lit(False)
+                for c in hit:
+                    any_hit = any_hit | F.col(c).isNotNull()
+                cond = cond & any_hit
+            else:  # --none-matching
+                cond = F.lit(True)
+                for c in hit:
+                    cond = cond & F.col(c).isNull()
+            return df.filter(cond)
     if fl.get("--which-are"):
         want = set(_csl(fl["--which-are"]))
         cond = F.lit(True)
@@ -1033,26 +1752,157 @@ _NEST_SEPS = {"pipe": "|", "semicolon": ";", "comma": ",", ";": ";", "|": "|", "
 
 
 def v_nest(df, argv):
+    """`mlr nest` — all six explode/implode × values/pairs ×
+    across-records/across-fields modes (nest.go:400-560), plus the
+    --evar/--ivar abbreviations and -r regex field selection. Pair keys
+    come from DATA, so the pairs modes discover the (test-scale) key
+    set with one collect, then emit a single projection."""
     fl, _ = _flags(argv, {
         "--explode": 0, "--implode": 0, "--values": 0, "--pairs": 0,
-        "--across-records": 0, "--across-fields": 0, "-f": 1,
+        "--across-records": 0, "--across-fields": 0, "-f": 1, "-r": 1,
         "--nested-fs": 1, "--nested-ps": 1, "--evar": 1, "--ivar": 1,
     })
-    if fl.get("--pairs") or fl.get("--across-fields"):
-        raise Unsupported("nest pairs/across-fields")
+    ps = _NEST_SEPS.get(fl.get("--nested-ps", ":"), fl.get("--nested-ps", ":"))
     if "--evar" in fl or "--ivar" in fl:
-        sep = _NEST_SEPS.get(fl.get("--evar") or fl.get("--ivar"))
+        raw = fl.get("--evar") or fl.get("--ivar")
+        sep = _NEST_SEPS.get(raw, raw)
         explode = "--evar" in fl
+        pairs, across_fields = False, False
     else:
-        sep = _NEST_SEPS.get(fl.get("--nested-fs", ";"))
+        raw = fl.get("--nested-fs", ";")
+        sep = _NEST_SEPS.get(raw, raw)
         explode = bool(fl.get("--explode"))
         if not explode and not fl.get("--implode"):
             raise Unsupported("nest mode")
-    field = fl["-f"]
-    if sep is None or field not in df.columns:
+        pairs = bool(fl.get("--pairs"))
+        across_fields = bool(fl.get("--across-fields"))
+    implode_af = (not explode) and across_fields and not pairs
+    if "-r" in fl:
+        pat = _regexes([fl["-r"]])[0]
+        matched = [c for c in df.columns if c != "__ord" and pat.search(c)]
+    elif "-f" in fl:
+        if fl["-f"] in df.columns or (
+            implode_af and any(
+                _re.fullmatch(_re.escape(fl["-f"]) + r"_\d+", c) for c in df.columns
+            )
+        ):
+            matched = [fl["-f"]]
+        else:
+            matched = []
+    else:
+        raise Unsupported("nest field spec")
+    if not matched:
         raise Unsupported("nest sep/field")
+    esep = "\\|" if sep == "|" else sep
+
+    def entries(field):
+        """pieces of `field` split on fs -> array<struct<k,v>>; a piece
+        without ps keeps the field name as key (nest.go:497-516)."""
+        pieces = F.filter(F.split(F.col(field).cast("string"), esep), lambda p: p != "")
+        return F.transform(
+            pieces,
+            lambda p: F.when(
+                F.instr(p, ps) > 0,
+                F.struct(
+                    F.substring_index(p, ps, 1).alias("k"),
+                    F.substr(p, F.instr(p, ps) + len(ps), F.length(p)).alias("v"),
+                ),
+            ).otherwise(F.struct(F.lit(field).alias("k"), p.alias("v"))),
+        )
+
+    if explode and pairs:
+        if across_fields:
+            # replace each matched field with its own k=v fields, placed
+            # where the field was
+            out = df
+            for field in matched:
+                ent = entries(field)
+                keys = [
+                    r["k"]
+                    for r in out.select(F.explode(ent).alias("e"))
+                    .select(F.col("e.k").alias("k")).distinct().collect()
+                ]
+                cols = []
+                for c in out.columns:
+                    if c == field:
+                        for k in sorted(keys):
+                            cols.append(
+                                F.try_element_at(
+                                    F.filter(ent, lambda e: e["k"] == F.lit(k)), F.lit(-1)
+                                )["v"].alias(k)
+                            )
+                    else:
+                        cols.append(F.col(c))
+                out = out.select(*cols)
+            return out
+        # across-records: one output record per piece; FIRST matched
+        # field only (nest.go:528-534)
+        field = matched[0]
+        ent = entries(field)
+        has = F.col(field).isNotNull() & (F.size(ent) > 0)
+        keys = [
+            r["k"]
+            for r in df.select(F.explode(ent).alias("e"))
+            .select(F.col("e.k").alias("k")).distinct().collect()
+        ]
+        exploded = df.filter(F.col(field).isNotNull()).select(
+            "*", F.posexplode(ent).alias("__pi", "__e")
+        )
+        cols = []
+        for c in df.columns:
+            if c == field:
+                for k in sorted(keys):
+                    cols.append(
+                        F.when(F.col("__e.k") == k, F.col("__e.v")).alias(k)
+                    )
+            else:
+                cols.append(F.col(c))
+        exploded = exploded.select(*cols, (F.col("__ord") * 1000 + F.col("__pi")).alias("__ord2")).drop("__ord").withColumnRenamed("__ord2", "__ord")
+        passthrough = df.filter(F.col(field).isNull()).drop(field)
+        return exploded.unionByName(passthrough, allowMissingColumns=True)
+
+    if explode and across_fields:
+        # values across fields: field -> field_1..field_N (strings.Split:
+        # empty value gives one empty piece)
+        out = df
+        for field in matched:
+            pieces = F.split(F.col(field).cast("string"), esep)
+            maxn = out.agg(F.max(F.size(pieces))).first()[0] or 0
+            cols = []
+            for c in out.columns:
+                if c == field:
+                    for i in range(1, maxn + 1):
+                        cols.append(F.get(pieces, i - 1).alias(f"{field}_{i}"))
+                else:
+                    cols.append(F.col(c))
+            out = out.select(*cols)
+        return out
+
     if explode:
-        return ev.nest_explode_values(df, field, sep=("\\|" if sep == "|" else sep))
+        return ev.nest_explode_values(df, matched[0], sep=esep)
+
+    if pairs or across_fields:
+        if not pairs and across_fields:
+            # implode values across fields: x_1..x_N -> x at x_1's slot
+            field = matched[0]
+            base = _re.sub(r"_1$", "", field) if field.endswith("_1") else field
+            parts = sorted(
+                [c for c in df.columns if _re.fullmatch(_re.escape(base) + r"_\d+", c)],
+                key=lambda c: int(c.rsplit("_", 1)[1]),
+            )
+            if not parts:
+                raise Unsupported("nest implode across-fields: no parts")
+            cols = []
+            for c in df.columns:
+                if c == parts[0]:
+                    cols.append(F.concat_ws(sep, *[F.col(p) for p in parts]).alias(base))
+                elif c in parts:
+                    continue
+                else:
+                    cols.append(F.col(c))
+            return df.select(*cols)
+        raise Unsupported("nest implode pairs")
+    field = matched[0]
     others = [c for c in df.columns if c not in (field, "__ord")]
     grouped = df.groupBy(*others).agg(
         F.min("__ord").alias("__ord"),
@@ -1115,7 +1965,7 @@ VERBS = {
     "case": v_case, "having-fields": v_having_fields_full,
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
-    "sort-within-records": v_passthrough, "gap": v_passthrough,
+    "sort-within-records": v_passthrough, "gap": v_gap,
     "skip-trivial-records": v_skip_trivial,
     "latin1-to-utf8": v_passthrough, "put": v_put, "filter": v_filter,
     "reshape": v_reshape,
@@ -1123,6 +1973,48 @@ VERBS = {
     # error-as-value (MT_ERROR) isn't modeled here
 
     "regularize": v_regularize, "sparsify": v_sparsify, "nest": v_nest,
+    "rank": v_rank, "tee": v_tee, "group-by": v_group_by, "unspace": v_unspace,
+    "altkv": v_altkv, "remove-empty-columns": v_remove_empty_columns,
+    "format-values": v_format_values, "split": v_split,
+}
+
+# Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`
+# pair from being mistaken for a positional input file. Only flags
+# that can plausibly precede a path-looking token matter.
+VERB_VALUE_FLAGS = {
+    "case": {"-f"},
+    "fill-empty": {"-v"},
+    "grep": set(),
+    "gap": {"-n", "-g"},
+    "unspace": {"-f"},
+    "cat": {"-N", "-g"},
+    "rank": {"-f", "-g"},
+    "top": {"-f", "-g", "-n", "-o"},
+    "uniq": {"-g", "-f", "-x", "-o"},
+    "count": {"-g", "-o"},
+    "sparsify": {"-s", "-f"},
+    "format-values": {"-i", "-f", "-s"},
+    "tee": {"-o"},
+    "group-by": set(),
+    "altkv": set(),
+    "remove-empty-columns": set(),
+    "sort": {"-f", "-r", "-nf", "-nr", "-c", "-cr", "-t", "-tr", "-rt"},
+    "having-fields": {"--at-least", "--all-defined", "--which-are", "--at-most",
+                      "--any-defined", "--all-matching", "--any-matching",
+                      "--none-matching"},
+    "sec2gmt": set(),
+    "sec2gmtdate": set(),
+    "nothing": set(),
+    "tac": set(),
+    "shuffle": set(),
+    "bootstrap": {"-n"},
+    "sample": {"-k", "-g"},
+}
+
+_FMT_NAMES = {
+    "csv": "csv", "csvlite": "csv", "tsv": "tsv", "tsvlite": "tsv",
+    "json": "json", "jsonl": "jsonl", "dkvp": "dkvp", "nidx": "nidx",
+    "xtab": "xtab", "pprint": "pprint",
 }
 
 _FMT_FLAGS = {
@@ -1136,7 +2028,18 @@ _FMT_FLAGS = {
     "--ojson": (None, "json"), "--ijson": ("json", None), "--json": ("json", "json"),
     "--ojsonl": (None, "jsonl"), "--c2j": ("csv", "json"),
     "--ixtab": ("xtab", None), "--xtab": ("xtab", "xtab"),
+    "--itsv": ("tsv", None), "--otsv": (None, "tsv"), "--tsv": ("tsv", "tsv"),
+    "--itsvlite": ("tsv", None), "--otsvlite": (None, "tsv"),
+    "--inidx": ("nidx", None), "--onidx": (None, "nidx"), "--nidx": ("nidx", "nidx"),
+    "--ipprint": ("pprint", None),
 }
+
+# shorthand --a2b conversion flags: a=input format, b=output format
+_FMT_LETTERS = {"c": "csv", "t": "tsv", "j": "json", "d": "dkvp", "n": "nidx",
+                "x": "xtab", "p": "pprint", "m": "markdown"}
+for _a, _af in _FMT_LETTERS.items():
+    for _b, _bf in _FMT_LETTERS.items():
+        _FMT_FLAGS.setdefault(f"--{_a}2{_b}", (_af, _bf))
 
 
 def run_case(spark, case_dir: str, to_df):
@@ -1166,12 +2069,28 @@ def run_case(spark, case_dir: str, to_df):
     files: list[str] = []
     i = 0
     no_input = False
+    ifs = None
     while i < len(argv):
         a = argv[i]
         if a in _FMT_FLAGS:
             fi, fo = _FMT_FLAGS[a]
             ifmt, ofmt = fi or ifmt, fo or ofmt
             i += 1
+        elif a in ("-i", "-o", "--io"):
+            f_ = _FMT_NAMES.get(argv[i + 1])
+            if f_ is None:
+                raise Unsupported(f"global {a} {argv[i + 1]}")
+            if a in ("-i", "--io"):
+                ifmt = f_
+            if a in ("-o", "--io"):
+                ofmt = f_
+            i += 2
+        elif a == "--ifs":
+            ifs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
+                   "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a == "--barred":
+            i += 1  # output decoration only; parse_out strips it
         elif a == "--from":
             files.append(argv[i + 1])
             i += 2
@@ -1186,8 +2105,8 @@ def run_case(spark, case_dir: str, to_df):
             break
         continue
 
-    if ofmt == "jsonl":
-        raise Unsupported("jsonl output")
+    if ifmt == "markdown" or ofmt == "markdown":
+        raise Unsupported("markdown format")
     rest = argv[i:]
 
     # split on `then`
@@ -1206,6 +2125,8 @@ def run_case(spark, case_dir: str, to_df):
         "--lp", "--rp", "--at-least", "--all-defined",
     }
     last = chains[-1]
+    last_verb = last[0] if last else ""
+    value_flags = VERB_VALUE_FLAGS.get(last_verb, _VALUE_FLAGS)
     popped: list[str] = []
     while (
         last
@@ -1214,7 +2135,7 @@ def run_case(spark, case_dir: str, to_df):
             os.path.isfile(os.path.join("/root/reference", last[-1]))
             or os.path.isfile(last[-1])
         )
-        and not (len(last) >= 2 and last[-2] in _VALUE_FLAGS)
+        and not (len(last) >= 2 and last[-2] in value_flags)
     ):
         popped.append(last.pop())
     # --from files first (cmd order), then trailing positionals (popping
@@ -1233,8 +2154,11 @@ def run_case(spark, case_dir: str, to_df):
             if os.path.isfile(full):
                 with open(full) as fh:
                     dsl_text += fh.read()
-    needs_filectx = has_dsl and any(
-        tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM")
+    needs_filectx = (
+        has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
+    ) or any(
+        chain and chain[0] == "cat" and ("--filename" in chain or "--filenum" in chain)
+        for chain in chains
     )
     spark_df = None
     if files:
@@ -1242,8 +2166,9 @@ def run_case(spark, case_dir: str, to_df):
         for fidx, f_ in enumerate(files):
             rs = _read_records(
                 f_,
-                icsv=(ifmt if ifmt in ("xtab", "pprint") else ifmt == "csv"),
+                icsv=(ifmt if ifmt in ("xtab", "pprint", "tsv", "nidx") else ifmt == "csv"),
                 jsonin=(ifmt == "json"),
+                ifs=ifs,
             )
             if needs_filectx:
                 for j, r in enumerate(rs):
@@ -1252,11 +2177,21 @@ def run_case(spark, case_dir: str, to_df):
                     r["__fname"] = f_
             recs.extend(rs)
         if not recs:
-            raise Unsupported("empty input")
-        # DSL programs distinguish absent from void: keep "" values
-        spark_df = to_df(
-            spark, recs, infer=(ifmt not in ("csv",)), keep_void=has_dsl
-        )
+            # empty main input still feeds a join's --ul side
+            if not any(chain and chain[0] == "join" for chain in chains):
+                raise Unsupported("empty input")
+        else:
+            # DSL programs distinguish absent from void: keep "" values
+            spark_df = to_df(
+                spark,
+                recs,
+                infer=(ifmt not in ("csv", "tsv")),
+                # nest --pairs must distinguish x="" (explodes to zero
+                # pieces -> record dropped across-records) from absent x
+                # (record passes through)
+                keep_void=has_dsl
+                or any(ch and ch[0] == "nest" and "--pairs" in ch for ch in chains),
+            )
 
     for chain in chains:
         if not chain:
