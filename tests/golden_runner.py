@@ -30,7 +30,32 @@ class Unsupported(Exception):
 # ---------------------------------------------------------------------------
 
 
-def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None) -> list[dict]:
+def _flatten_json_value(out: dict, key: str, v, sep: str):
+    """Miller flatten semantics (flatten.go / mlrval flatten): nested
+    maps -> sep-joined keys, arrays -> 1-based indices, empty
+    collections -> literal "{}" / "[]"."""
+    if isinstance(v, dict):
+        if not v:
+            out[key] = "{}"
+        else:
+            for k2, v2 in v.items():
+                _flatten_json_value(out, f"{key}{sep}{k2}", v2, sep)
+    elif isinstance(v, list):
+        if not v:
+            out[key] = "[]"
+        else:
+            for i, v2 in enumerate(v):
+                _flatten_json_value(out, f"{key}{sep}{i + 1}", v2, sep)
+    elif isinstance(v, bool):
+        out[key] = "true" if v else "false"
+    elif v is None:
+        out[key] = None
+    else:
+        out[key] = str(v)
+
+
+def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
+                  flatsep: str = ".") -> list[dict]:
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
@@ -74,12 +99,15 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None)
                 raise Unsupported(f"json input parse: {e}")
         if not isinstance(data, list):
             data = [data]
+        recs = []
         for r in data:
-            if not isinstance(r, dict) or any(
-                isinstance(v, (dict, list)) for v in r.values()
-            ):
-                raise Unsupported("nested json input")
-        return [{k: str(v) if v is not None else None for k, v in r.items()} for r in data]
+            if not isinstance(r, dict):
+                raise Unsupported("non-object json input")
+            flat: dict = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            recs.append(flat)
+        return recs
     if icsv == "pprint":
         recs = []
         for chunk in text.split("\n\n"):
@@ -105,6 +133,11 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None)
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     sep = ifs or ","
     if icsv:
+        if '"' in text:
+            import csv as _csv
+
+            rdr = list(_csv.reader(lines, delimiter=sep))
+            return [dict(zip(rdr[0], row)) for row in rdr[1:]]
         header = lines[0].split(sep)
         return [dict(zip(header, ln.split(sep))) for ln in lines[1:]]
     recs = []
@@ -122,7 +155,7 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None)
     return recs
 
 
-def parse_out(text: str, fmt: str) -> list[dict]:
+def parse_out(text: str, fmt: str, flatsep: str = ".") -> list[dict]:
     if fmt == "jsonl":
         import json as _json
 
@@ -131,11 +164,12 @@ def parse_out(text: str, fmt: str) -> list[dict]:
             if not ln.strip():
                 continue
             r = _json.loads(ln)
-            if not isinstance(r, dict) or any(
-                isinstance(v, (dict, list)) for v in r.values()
-            ):
-                raise Unsupported("nested jsonl output")
-            recs.append(r)
+            if not isinstance(r, dict):
+                raise Unsupported("non-object jsonl output")
+            flat: dict = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            recs.append(flat)
         return recs
     if fmt == "tsv":
         recs = []
@@ -167,15 +201,20 @@ def parse_out(text: str, fmt: str) -> list[dict]:
     if fmt == "json":
         import json as _json
 
+        # Miller prints the bare token (error) for MT_ERROR values
+        text = _re.sub(r"(?<=: )\(error\)(?=[,\n\]}])", '"(error)"', text)
         data = _json.loads(text) if text.strip() else []
         if not isinstance(data, list):
             data = [data]
+        recs = []
         for r in data:
-            if not isinstance(r, dict) or any(
-                isinstance(v, (dict, list)) for v in r.values()
-            ):
-                raise Unsupported("nested json output")
-        return data
+            if not isinstance(r, dict):
+                raise Unsupported("non-object json output")
+            flat: dict = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            recs.append(flat)
+        return recs
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     if not lines:
         return []
@@ -641,6 +680,348 @@ def v_top(df, argv):
             t = t.withColumnRenamed(f"{f_}_top", fl["-o"])
         out = t if out is None else out.join(t, [*by, "top_idx"])
     return out
+
+
+import threading as _threading
+
+_TLS = _threading.local()  # per-case context (cases run 8-way in tests)
+
+
+def _flatsep() -> str:
+    return getattr(_TLS, "flatsep", ".")
+
+
+def v_flatten(df, argv):
+    # records are kept in flattened canonical form (separator =
+    # --flatsep, default ".") on both sides of the compare, so flatten
+    # with the canonical separator is the identity; `flatten -s X`
+    # re-flattens with X, i.e. renames canonical-sep -> X
+    fl, _ = _flags(argv, {"-f": 1, "-s": 1})
+    sep, canon = fl.get("-s"), _flatsep()
+    if sep and sep != canon:
+        return df.withColumnsRenamed(
+            {c: c.replace(canon, sep) for c in df.columns if canon in c and c != "__ord"}
+        )
+    return df
+
+
+def v_unflatten(df, argv):
+    # inverse of flatten under the flattened canonical form: identity
+    # for the canonical separator; `unflatten -s X` nests keys on X,
+    # i.e. renames X -> the canonical separator
+    fl, _ = _flags(argv, {"-f": 1, "-s": 1})
+    sep, canon = fl.get("-s"), _flatsep()
+    if sep and sep != canon:
+        return df.withColumnsRenamed(
+            {c: c.replace(sep, canon) for c in df.columns if sep in c and c != "__ord"}
+        )
+    return df
+
+
+def v_json_parse(df, argv):
+    """`mlr json-parse -f x`: the JSON text in x becomes nested values —
+    flattened here to x.k columns (canonical form). Test-scale driver
+    parse + rebuild."""
+    import json as _json
+
+    fl, _ = _flags(argv, {"-f": 1, "-k": 0})
+    fields = _csl(fl["-f"]) if "-f" in fl else None
+    rows = df.orderBy("__ord").collect()
+    recs = []
+    for r in rows:
+        rec = {}
+        for k, v in r.asDict().items():
+            if k == "__ord":
+                continue
+            if (fields is None or k in fields) and isinstance(v, str):
+                try:
+                    parsed = _json.loads(v)
+                except ValueError:
+                    # unparseable: (error) value, or original with -k
+                    rec[k] = v if fl.get("-k") else "(error)"
+                    continue
+                _flatten_json_value(rec, k, parsed, ".")
+            elif v is not None:
+                rec[k] = str(v)
+        recs.append(rec)
+    if not recs:
+        return df
+    to_df = run_case.__globals__.get("_TO_DF")
+    return to_df(df.sparkSession, recs, infer=True)
+
+
+def _unflatten_rebuild(kv: dict, prefix: str):
+    """Rebuild the nested JSON value for `prefix` from canonical dotted
+    columns: {"req.id": "6789", "req.headers.host": "x"} -> nested dict;
+    consecutive 1-based integer keys -> list; "{}"/"[]" -> empty
+    containers; numeric-looking leaves re-infer as numbers."""
+    def leaf(v):
+        if v == "{}":
+            return {}
+        if v == "[]":
+            return []
+        if v in ("true", "false"):
+            return v == "true"
+        t = _mlr_value_type(v)
+        if t == "int" and isinstance(v, str):
+            return int(v)
+        if t == "float" and isinstance(v, str):
+            return float(v)
+        return v
+
+    sub = {k[len(prefix) + 1:]: v for k, v in kv.items() if k.startswith(prefix + ".")}
+    if not sub:
+        return leaf(kv[prefix])
+    tree: dict = {}
+    for k, v in sub.items():
+        parts = k.split(".")
+        cur = tree
+        for p in parts[:-1]:
+            cur = cur.setdefault(p, {})
+        cur[parts[-1]] = leaf(v)
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        keys = list(node)
+        if keys and all(_re.fullmatch(r"\d+", k) for k in keys) and sorted(
+            int(k) for k in keys
+        ) == list(range(1, len(keys) + 1)):
+            return [node[str(i)] for i in range(1, len(keys) + 1)]
+        return node
+
+    return listify(tree)
+
+
+def v_json_stringify(df, argv):
+    """`mlr json-stringify [-f fields] [--jvstack]`: values become their
+    JSON text (single-line by default, indent-2 with --jvstack)."""
+    import json as _json
+
+    fl, _ = _flags(argv, {"-f": 1, "--jvstack": 0, "--no-jvstack": 0})
+    fields = _csl(fl["-f"]) if "-f" in fl else None
+    indent = 2 if fl.get("--jvstack") else None
+    rows = df.orderBy("__ord").collect()
+    recs = []
+    for r in rows:
+        d = {k: v for k, v in r.asDict().items() if k != "__ord" and v is not None}
+        tops: dict[str, dict] = {}
+        for k in d:
+            tops.setdefault(k.split(".", 1)[0], {})[k] = str(d[k])
+        rec = {}
+        for top, kv in tops.items():
+            if fields is not None and top not in fields:
+                rec.update(kv)
+                continue
+            obj = _unflatten_rebuild(kv, top)
+            rec[top] = _json.dumps(obj, indent=indent)
+        recs.append(rec)
+    to_df = run_case.__globals__.get("_TO_DF")
+    return to_df(df.sparkSession, recs, infer=False, keep_void=True)
+
+
+def _mlr_value_type(v) -> str:
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "int"
+    if isinstance(v, float):
+        return "int" if v == int(v) and "e" not in repr(v) else "float"
+    s = str(v)
+    if s == "":
+        return "empty"
+    if _re.fullmatch(r"-?\d+", s):
+        return "int"
+    if _re.fullmatch(r"-?(\d+\.?\d*|\.\d+)([eE][-+]?\d+)?", s):
+        return "float"
+    return "string"
+
+
+def v_describe(df, argv):
+    """`mlr describe [-n max]` (describe.go): per-field type counts,
+    presence counts, min/max, first-seen distinct values. Driver-side in
+    the runner (tiny profile table); output in flattened canonical form
+    (types.int, values.1, ...)."""
+    fl, _ = _flags(argv, {"-n": 1, "--max-values": 1})
+    maxv = int(fl.get("-n", fl.get("--max-values", 20)))
+    rows = df.orderBy("__ord").collect()
+    cols = [c for c in df.columns if c != "__ord"]
+
+    def fmt(v):
+        if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return v
+
+    recs = []
+    for c in cols:
+        vals = [r[c] for r in rows if r[c] is not None]
+        if not vals:
+            continue
+        rec = {"field_name": c}
+        tcounts: dict[str, int] = {}
+        for v in vals:
+            t = _mlr_value_type(v)
+            tcounts[t] = tcounts.get(t, 0) + 1
+        for t, n in tcounts.items():
+            rec[f"types.{t}"] = str(n)
+        rec["count"] = str(len(vals))
+        rec["null_count"] = str(sum(1 for v in vals if str(v) == ""))
+        distinct = []
+        seen = set()
+        for v in vals:
+            k = str(fmt(v))
+            if k not in seen:
+                seen.add(k)
+                distinct.append(fmt(v))
+        rec["distinct_count"] = str(len(distinct))
+
+        def as_num(v):
+            if isinstance(v, (int, float)) and not isinstance(v, bool):
+                return v
+            if _mlr_value_type(v) in ("int", "float"):
+                return float(v)
+            return None
+
+        nums = [as_num(v) for v in distinct if as_num(v) is not None]
+        strs = sorted(str(v) for v in distinct if as_num(v) is None)
+        coll = sorted(nums) + strs
+        rec["min"] = str(coll[0]) if coll else None
+        rec["max"] = str(coll[-1]) if coll else None
+        if maxv > 0 and len(distinct) <= maxv:
+            for i, v in enumerate(distinct):
+                rec[f"values.{i + 1}"] = str(v)
+        recs.append(rec)
+    spark = df.sparkSession
+    to_df = run_case.__globals__.get("_TO_DF")
+    out = to_df(spark, recs, infer=True, keep_void=True)
+    return out
+
+
+_SUMMARY_ALL = [
+    "field_type", "count", "null_count", "distinct_count", "mode", "sum",
+    "mean", "stddev", "var", "skewness", "minlen", "maxlen", "min",
+    "p25", "median", "p75", "max", "iqr", "lof", "lif", "uif", "uof",
+]
+_SUMMARY_DEFAULT = [
+    "field_type", "count", "null_count", "distinct_count", "mean", "min", "max",
+]
+
+
+def v_summary(df, argv):
+    """`mlr summary` (summary.go): per-field profile, driver-side in the
+    runner (the tiny profile table is inherently collected; the
+    library's distributed profile is mlrsketch.verbs.exact.summary).
+    Mixed-type collation: numbers sort before strings."""
+    fl, _ = _flags(argv, {"--all": 0, "-a": 1, "-x": 1, "--transpose": 0})
+    if fl.get("--all"):
+        stats = list(_SUMMARY_ALL)
+    elif "-a" in fl:
+        inc = set(_csl(fl["-a"]))
+        stats = [s for s in _SUMMARY_ALL if s in inc]
+    elif "-x" in fl:
+        exc = set(_csl(fl["-x"]))
+        stats = [s for s in _SUMMARY_ALL if s not in exc]
+    else:
+        stats = list(_SUMMARY_DEFAULT)
+
+    import math
+
+    rows = df.orderBy("__ord").collect()
+    cols = [c for c in df.columns if c != "__ord"]
+    dtypes = dict(df.dtypes)
+    tmap = {"bigint": "int", "int": "int", "double": "float", "float": "float"}
+
+    def fmt(v):
+        if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
+            return int(v)
+        return v
+
+    profiles = []
+    for c in cols:
+        vals = [r[c] for r in rows if r[c] is not None]
+        nums = [v for v in vals if isinstance(v, (int, float)) and not isinstance(v, bool)]
+        strs = [v for v in vals if not isinstance(v, (int, float)) or isinstance(v, bool)]
+        coll = sorted(nums) + sorted(str(s) for s in strs)  # Miller collation
+        n = len(vals)
+        p = {"field_name": c, "field_type": tmap.get(dtypes[c], "string")}
+
+        def pick(pq):
+            if not coll:
+                return None
+            i = min(max(int(pq / 100.0 * len(coll)), 0), len(coll) - 1)
+            return coll[i]
+
+        p["count"] = n
+        p["null_count"] = len(rows) - n
+        p["distinct_count"] = len({str(v) for v in vals})
+        if vals:
+            counts: dict[str, int] = {}
+            first_val = {}
+            for v in vals:
+                k = str(v)
+                counts[k] = counts.get(k, 0) + 1
+                first_val.setdefault(k, v)
+            # first-seen wins ties: scan in insertion (stream) order
+            bc = max(counts.values())
+            p["mode"] = fmt(first_val[next(k for k in counts if counts[k] == bc)])
+        else:
+            p["mode"] = None
+        p["sum"] = fmt(float(sum(nums)))
+        if nums:
+            mean = sum(nums) / len(nums)
+            p["mean"] = mean
+            if len(nums) > 1:
+                var = sum((v - mean) ** 2 for v in nums) / (len(nums) - 1)
+                p["var"] = var
+                p["stddev"] = math.sqrt(var)
+                s2 = sum(v * v for v in nums)
+                s3 = sum(v ** 3 for v in nums)
+                nn_ = float(len(nums))
+                num_ = (s3 - mean * (3.0 * s2 - 2.0 * nn_ * mean * mean)) / nn_
+                p["skewness"] = num_ / (var ** 1.5) if var > 0 else None
+            else:
+                p["var"] = p["stddev"] = p["skewness"] = None
+        else:
+            p["mean"] = p["var"] = p["stddev"] = p["skewness"] = None
+        lens = [len(str(fmt(v))) for v in vals]
+        p["minlen"] = min(lens) if lens else None
+        p["maxlen"] = max(lens) if lens else None
+        p["min"] = fmt(coll[0]) if coll else None
+        p["max"] = fmt(coll[-1]) if coll else None
+        for q, name in ((25, "p25"), (50, "median"), (75, "p75")):
+            p[name] = fmt(pick(q))
+        if nums and len(nums) == len(vals):
+            q1, q3 = pick(25), pick(75)
+            iqr = q3 - q1
+            p["iqr"] = iqr
+            p["lof"] = q1 - 3.0 * iqr
+            p["lif"] = q1 - 1.5 * iqr
+            p["uif"] = q3 + 1.5 * iqr
+            p["uof"] = q3 + 3.0 * iqr
+        else:
+            p["iqr"] = p["lof"] = p["lif"] = p["uif"] = p["uof"] = None
+        profiles.append(p)
+
+    spark = df.sparkSession
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    order = ["field_name"] + (list(cols) if fl.get("--transpose") else stats)
+    if fl.get("--transpose"):
+        recs = []
+        for s in stats:
+            rec = {"field_name": s}
+            for p in profiles:
+                rec[p["field_name"]] = None if p[s] is None else str(p[s])
+            recs.append(rec)
+    else:
+        recs = [
+            {"field_name": p["field_name"], **{s: None if p[s] is None else str(p[s]) for s in stats}}
+            for p in profiles
+        ]
+    schema = StructType([StructField(c, StringType()) for c in order])
+    out = spark.createDataFrame([[r.get(c) for c in order] for r in recs], schema)
+    return out.withColumn("__ord", F.monotonically_increasing_id())
 
 
 def v_rank(df, argv):
@@ -1975,7 +2356,9 @@ VERBS = {
     "regularize": v_regularize, "sparsify": v_sparsify, "nest": v_nest,
     "rank": v_rank, "tee": v_tee, "group-by": v_group_by, "unspace": v_unspace,
     "altkv": v_altkv, "remove-empty-columns": v_remove_empty_columns,
-    "format-values": v_format_values, "split": v_split,
+    "format-values": v_format_values, "split": v_split, "summary": v_summary,
+    "flatten": v_flatten, "unflatten": v_unflatten, "json-parse": v_json_parse,
+    "json-stringify": v_json_stringify, "describe": v_describe,
 }
 
 # Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`
@@ -2070,6 +2453,8 @@ def run_case(spark, case_dir: str, to_df):
     i = 0
     no_input = False
     ifs = None
+    ofmt_num = None
+    flatsep = "."
     while i < len(argv):
         a = argv[i]
         if a in _FMT_FLAGS:
@@ -2091,6 +2476,9 @@ def run_case(spark, case_dir: str, to_df):
             i += 2
         elif a == "--barred":
             i += 1  # output decoration only; parse_out strips it
+        elif a == "--flatsep" or a == "--oflatsep" or a == "--iflatsep":
+            flatsep = argv[i + 1]
+            i += 2
         elif a == "--from":
             files.append(argv[i + 1])
             i += 2
@@ -2098,7 +2486,8 @@ def run_case(spark, case_dir: str, to_df):
             no_input = True
             i += 1
         elif a == "--ofmt":
-            i += 2  # numeric print format — tolerant compare absorbs it
+            ofmt_num = argv[i + 1]  # applied to float outputs at collect
+            i += 2
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
@@ -2154,6 +2543,7 @@ def run_case(spark, case_dir: str, to_df):
             if os.path.isfile(full):
                 with open(full) as fh:
                     dsl_text += fh.read()
+    _TLS.flatsep = flatsep
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
     ) or any(
@@ -2169,6 +2559,7 @@ def run_case(spark, case_dir: str, to_df):
                 icsv=(ifmt if ifmt in ("xtab", "pprint", "tsv", "nidx") else ifmt == "csv"),
                 jsonin=(ifmt == "json"),
                 ifs=ifs,
+                flatsep=flatsep,
             )
             if needs_filectx:
                 for j, r in enumerate(rs):
@@ -2190,7 +2581,14 @@ def run_case(spark, case_dir: str, to_df):
                 # pieces -> record dropped across-records) from absent x
                 # (record passes through)
                 keep_void=has_dsl
-                or any(ch and ch[0] == "nest" and "--pairs" in ch for ch in chains),
+                or any(
+                    ch
+                    and (
+                        (ch[0] == "nest" and "--pairs" in ch)
+                        or ch[0] == "describe"  # empty-vs-absent typing
+                    )
+                    for ch in chains
+                ),
             )
 
     for chain in chains:
@@ -2221,6 +2619,23 @@ def run_case(spark, case_dir: str, to_df):
         {k: v for k, v in r.asDict().items() if not k.startswith("__")}
         for r in spark_df.collect()
     ]
+    if ofmt_num:
+        # --ofmt: floats print through this format; quantize ours the
+        # same way so the numeric compare sees print-precision values
+        def _q(v):
+            if isinstance(v, str) and ("." in v or "e" in v.lower()):
+                try:
+                    v = float(v)
+                except ValueError:
+                    return v
+            if isinstance(v, float) and v == v and v not in (float("inf"), float("-inf")):
+                try:
+                    return float(ofmt_num % v)
+                except (TypeError, ValueError):
+                    return v
+            return v
+
+        got = [{k: _q(v) for k, v in r.items()} for r in got]
     # Tabular writers skip records with NO KEYS at all. Under the fixed
     # schema an all-null row is keyless only if the last verb can remove
     # keys from a record (cut); verbs like template keep the keys with
@@ -2233,5 +2648,5 @@ def run_case(spark, case_dir: str, to_df):
         exp_text = raw.decode("utf-8")
     except UnicodeDecodeError:
         exp_text = raw.decode("latin-1")
-    exp = parse_out(exp_text, ofmt)
+    exp = parse_out(exp_text, ofmt, flatsep=flatsep)
     return got, exp
