@@ -213,14 +213,24 @@ def stats1(
 def mad(df: DataFrame, value: str, by: Sequence[str] = ()) -> DataFrame:
     """stats1 `mad` = MEAN absolute deviation from the mean
     (stats1_accumulators.go:496-534 — Miller keeps all samples and does
-    two passes; here: a window mean + one grouped agg, no row retention).
+    two passes; here: two aggregations, no row retention).
+
+    Grouped: per-group mean via one hash-partitioned window. Ungrouped:
+    the mean is a SCALAR — computed with a plain aggregate and broadcast
+    back, instead of an empty-partition window that would funnel every
+    row through one task.
     """
     by = _cols(by)
-    w = Window.partitionBy(*by) if by else Window.partitionBy()
-    centered = df.withColumn("__mean", F.avg(value).over(w))
-    grouped = centered.groupBy(*by) if by else centered.groupBy()
-    return grouped.agg(
-        F.avg(F.abs(F.col(value) - F.col("__mean"))).alias(f"{value}_mad")
+    if by:
+        w = Window.partitionBy(*by)
+        centered = df.withColumn("__mean", F.avg(value).over(w))
+        return centered.groupBy(*by).agg(
+            F.avg(F.abs(F.col(value) - F.col("__mean"))).alias(f"{value}_mad")
+        )
+    mean_row = df.agg(F.avg(value).alias("m"))
+    centered = df.crossJoin(F.broadcast(mean_row))
+    return centered.agg(
+        F.avg(F.abs(F.col(value) - F.col("m"))).alias(f"{value}_mad")
     )
 
 
@@ -236,14 +246,26 @@ def mode_impl(df: DataFrame, value: str, by: Sequence[str], anti: bool = False) 
     counted = df.groupBy(*by, value).agg(
         F.count("*").alias("__cnt"), F.min(ordc).alias("__first_seen")
     )
-    order = [F.col("__cnt").asc() if anti else F.col("__cnt").desc(), F.col("__first_seen").asc()]
-    w = Window.partitionBy(*by).orderBy(*order) if by else Window.orderBy(*order)
     name = f"{value}_antimode" if anti else f"{value}_mode"
-    return (
-        counted.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*by, F.col(value).alias(name))
+    # Pure aggregations, no window: find the target count (min/max) per
+    # group, keep only candidates at that count, break ties by earliest
+    # first-seen with min_by. Distributed for ANY group cardinality —
+    # the previous row_number window was single-task ungrouped.
+    pick_cnt = F.min("__cnt") if anti else F.max("__cnt")
+    target = (counted.groupBy(*by) if by else counted.groupBy()).agg(
+        pick_cnt.alias("__best")
     )
+    # grouped: plain equi-join (AQE broadcasts when the per-group best
+    # table is small); ungrouped: broadcast the single-row target
+    joined = (
+        counted.join(target, on=by)
+        if by
+        else counted.crossJoin(F.broadcast(target))
+    ).filter(F.col("__cnt") == F.col("__best"))
+    best = (joined.groupBy(*by) if by else joined.groupBy()).agg(
+        F.min_by(F.col(value), F.col("__first_seen")).alias(name)
+    )
+    return best
 
 
 def count_records(df: DataFrame, by: Sequence[str] = ()) -> DataFrame:
@@ -595,7 +617,9 @@ def cut(df: DataFrame, fields: Sequence[str], complement: bool = False) -> DataF
     return df.select(*fields)
 
 
-def global_row_number(df: DataFrame, order_by: Sequence[str], out: str = "n") -> DataFrame:
+def global_row_number(
+    df: DataFrame, order_by: Sequence[str], out: str = "n", keep_pid: bool = False
+) -> DataFrame:
     """Distributed 1-up row number in a global ``order_by`` order.
 
     A bare ``Window.orderBy`` funnels EVERY row through one task — fatal
@@ -629,12 +653,10 @@ def global_row_number(df: DataFrame, order_by: Sequence[str], out: str = "n") ->
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()
     w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-    return (
-        ordered.withColumn(
-            out, F.row_number().over(w_in) + F.coalesce(off[F.col("__pid")], F.lit(0))
-        )
-        .drop("__pid")
+    numbered = ordered.withColumn(
+        out, F.row_number().over(w_in) + F.coalesce(off[F.col("__pid")], F.lit(0))
     )
+    return numbered if keep_pid else numbered.drop("__pid")
 
 
 def cat_numbered(df: DataFrame, by: Sequence[str] = (), order_by: Sequence[str] = ()) -> DataFrame:
@@ -681,15 +703,70 @@ def fill_down(
     df: DataFrame, fields: Sequence[str], order_by: Sequence[str], by: Sequence[str] = ()
 ) -> DataFrame:
     """`mlr fill-down -f ...` (pkg/transformers/fill_down.go:21): carry
-    forward last non-null value in ``order_by`` order."""
-    w = (
-        (Window.partitionBy(*_cols(by)) if by else Window.partitionBy())
-        .orderBy(*[F.col(c) for c in _cols(order_by)])
+    forward last non-null value in ``order_by`` order.
+
+    Grouped: one hash-partitioned window. Ungrouped: range-partition on
+    the order key, fill within each partition, and resolve the
+    cross-partition carry (the last non-null value of every PREVIOUS
+    partition) from a tiny per-partition aggregate collected to the
+    driver — the two-pass pattern of global_row_number, instead of an
+    empty-partition window that serializes all rows through one task."""
+    fields = _cols(fields)
+    order_by = _cols(order_by)
+    if by:
+        w = (
+            Window.partitionBy(*_cols(by))
+            .orderBy(*[F.col(c) for c in order_by])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumns(
+            {f: F.last(F.col(f), ignorenulls=True).over(w) for f in fields}
+        )
+    ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ordered = ordered.localCheckpoint(eager=True)
+    # per-partition last non-null value of each field, in order:
+    # max_by(f, ord-when-present) — one tiny row per partition
+    lastkey = F.struct(*[F.col(c) for c in order_by])
+    tails = (
+        ordered.groupBy("__pid")
+        .agg(
+            *[
+                F.max_by(
+                    F.col(f), F.when(F.col(f).isNotNull(), lastkey)
+                ).alias(f)
+                for f in fields
+            ]
+        )
+        .collect()
+    )
+    by_pid = {r["__pid"]: r for r in tails}
+    carries: dict[str, dict[int, object]] = {f: {} for f in fields}
+    running = {f: None for f in fields}
+    for pid in sorted(by_pid):
+        for f in fields:
+            carries[f][pid] = running[f]
+        for f in fields:
+            v = by_pid[pid][f]
+            if v is not None:
+                running[f] = v
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_by])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumns(
-        {f: F.last(F.col(f), ignorenulls=True).over(w) for f in _cols(fields)}
-    )
+    updates = {}
+    for f in fields:
+        carry = None
+        for pid, v in carries[f].items():
+            if v is None:
+                continue
+            clause = F.when(F.col("__pid") == pid, F.lit(v))
+            carry = clause if carry is None else carry.when(F.col("__pid") == pid, F.lit(v))
+        filled = F.last(F.col(f), ignorenulls=True).over(w_in)
+        updates[f] = F.coalesce(filled, carry) if carry is not None else filled
+    return ordered.withColumns(updates).drop("__pid")
 
 
 def clean_whitespace(df: DataFrame, fields: Sequence[str] | None = None) -> DataFrame:
@@ -998,10 +1075,20 @@ def step(
 ) -> DataFrame:
     """`mlr step -a shift,delta,ratio,rsum,counter,from-first -f ...`
     (pkg/transformers/step.go:630-712). Output columns ``{f}_{stepper}``
-    like Miller. One shuffle on the group keys; all steppers share the
-    same window, so Catalyst plans a single Window exec.
+    like Miller.
+
+    Grouped: one shuffle on the group keys; all steppers share the same
+    window, so Catalyst plans a single Window exec. Ungrouped: an
+    empty-partition window would single-task every row, so the work is
+    decomposed scale-safely instead — bounded lookback (shift/delta/
+    ratio/lead) becomes an equi-join on the distributed global row
+    number; running aggregates (rsum/rprod/counter/ewma) run
+    per-range-partition with the tiny cross-partition carries combined
+    on the driver (global_row_number's two-pass pattern).
     """
     by = _cols(by)
+    if not by:
+        return _step_ungrouped(df, steppers, values, order_by, ewma_alphas)
     base = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(
         *[F.col(c) for c in _cols(order_by)]
     )
@@ -1026,7 +1113,8 @@ def step(
             elif base_name == "delta":  # step.go:639-645: first record gets 0
                 e = F.coalesce(c - F.lag(c, lag_n).over(base), F.lit(0))
             elif base_name == "ratio":
-                e = c / F.lag(c, lag_n).over(base)
+                # step.go: leading records (no lag yet) get ratio 1
+                e = F.coalesce(c / F.lag(c, lag_n).over(base), F.lit(1.0))
             elif s == "rsum":
                 e = F.sum(c).over(run)
             elif s == "rprod":
@@ -1057,6 +1145,202 @@ def step(
     return out
 
 
+def _parse_stepper(s: str) -> tuple[str, int]:
+    parts = s.rsplit("_", 1)
+    if len(parts) == 2 and parts[1].isdigit() and parts[0] in (
+        "shift_lag", "shift_lead", "delta", "ratio"
+    ):
+        return parts[0], int(parts[1])
+    return s, 1
+
+
+def _step_ungrouped(
+    df: DataFrame,
+    steppers: Sequence[str],
+    values: Sequence[str],
+    order_by: Sequence[str],
+    ewma_alphas: Sequence[float] = (),
+) -> DataFrame:
+    """Ungrouped steppers without a single-task window (see step())."""
+    values = _cols(values)
+    steppers = _cols(steppers)
+    numbered = global_row_number(df, _cols(order_by), out="__n", keep_pid=True)
+
+    # ---- bounded lookback/lookahead: one equi-join per distinct offset
+    lag_offsets: set[int] = set()
+    lead_offsets: set[int] = set()
+    for s in steppers:
+        base_name, k = _parse_stepper(s)
+        if base_name in ("shift", "shift_lag", "delta", "ratio"):
+            lag_offsets.add(k)
+        elif base_name == "shift_lead":
+            lead_offsets.add(k)
+    out = numbered
+    for k in sorted(lag_offsets):
+        lagged = numbered.select(
+            (F.col("__n") + k).alias("__n"),
+            *[F.col(f).alias(f"__lag{k}_{f}") for f in values],
+        )
+        out = out.join(lagged, on="__n", how="left")
+    for k in sorted(lead_offsets):
+        led = numbered.select(
+            (F.col("__n") - k).alias("__n"),
+            *[F.col(f).alias(f"__lead{k}_{f}") for f in values],
+        )
+        out = out.join(led, on="__n", how="left")
+
+    # ---- running aggregates: per-partition prefix + driver-combined
+    # carries (one tiny exports row per range partition)
+    need_run = [s for s in steppers if s in ("rsum", "rprod", "counter")]
+    need_first = "from-first" in steppers
+    w_pid = Window.partitionBy("__pid").orderBy("__n")
+    run_pid = w_pid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    exports = None
+    carries_needed = bool(need_run) or need_first or bool(ewma_alphas)
+    if carries_needed:
+        tmp = out
+        i_col = F.row_number().over(w_pid)
+        ew_cols = []
+        for f in values:
+            for alpha in ewma_alphas:
+                label = ("%g" % alpha).replace(".", "_")
+                beta = 1.0 - alpha
+                scaled = F.col(f) * F.pow(F.lit(beta), -i_col)
+                tmp = tmp.withColumn(f"__sc_{f}_{label}", scaled)
+                tmp = tmp.withColumn(
+                    f"__s1_{f}_{label}", F.sum(f"__sc_{f}_{label}").over(run_pid)
+                )
+                ew_cols.append((f, alpha, label, beta))
+        tmp = tmp.withColumn("__i", i_col)
+        out = tmp
+        agg_list = [F.count(F.lit(1)).alias("__rows")]
+        for f in values:
+            c = F.col(f)
+            agg_list += [
+                F.sum(c).alias(f"__sum_{f}"),
+                F.count(c).alias(f"__cnt_{f}"),
+                F.product(c).alias(f"__prod_{f}"),
+                F.min_by(c, F.col("__n")).alias(f"__first_{f}"),
+            ]
+            for f2, alpha, label, beta in ew_cols:
+                if f2 != f:
+                    continue
+                agg_list += [
+                    F.max_by(F.col(f"__s1_{f}_{label}"), F.col("__i")).alias(
+                        f"__S_{f}_{label}"
+                    ),
+                    F.min_by(F.col(f"__sc_{f}_{label}"), F.col("__i")).alias(
+                        f"__FS_{f}_{label}"
+                    ),
+                ]
+        exports = {
+            r["__pid"]: r for r in out.groupBy("__pid").agg(*agg_list).collect()
+        }
+
+    def _chain(per_pid: dict[int, object]):
+        expr = None
+        for pid, v in per_pid.items():
+            if v is None:
+                continue
+            if expr is None:
+                expr = F.when(F.col("__pid") == pid, F.lit(v))
+            else:
+                expr = expr.when(F.col("__pid") == pid, F.lit(v))
+        return expr if expr is not None else F.lit(None)
+
+    result_cols = {}
+    for f in values:
+        c = F.col(f)
+        for s in steppers:
+            base_name, k = _parse_stepper(s)
+            if base_name in ("shift", "shift_lag"):
+                result_cols[f"{f}_{s}"] = F.col(f"__lag{k}_{f}")
+            elif base_name == "shift_lead":
+                result_cols[f"{f}_{s}"] = F.col(f"__lead{k}_{f}")
+            elif base_name == "delta":
+                result_cols[f"{f}_{s}"] = F.coalesce(
+                    c - F.col(f"__lag{k}_{f}"), F.lit(0)
+                )
+            elif base_name == "ratio":
+                result_cols[f"{f}_{s}"] = F.coalesce(
+                    c / F.col(f"__lag{k}_{f}"), F.lit(1.0)
+                )
+            elif s in ("rsum", "rprod", "counter"):
+                key = {"rsum": "__sum_", "rprod": "__prod_", "counter": "__cnt_"}[s]
+                acc_off: dict[int, object] = {}
+                running = 0 if s in ("rsum", "counter") else 1.0
+                for pid in sorted(exports):
+                    acc_off[pid] = running
+                    v = exports[pid][key + f]
+                    if v is not None:
+                        running = (
+                            running + v if s in ("rsum", "counter") else running * v
+                        )
+                local = (
+                    F.sum(c).over(run_pid)
+                    if s == "rsum"
+                    else F.count(c).over(run_pid)
+                    if s == "counter"
+                    else F.product(c).over(run_pid)
+                )
+                offc = _chain(acc_off)
+                if s == "rprod":
+                    result_cols[f"{f}_{s}"] = local * F.coalesce(offc, F.lit(1.0))
+                else:
+                    result_cols[f"{f}_{s}"] = local + F.coalesce(offc, F.lit(0))
+            elif s == "from-first":
+                first_v = None
+                for pid in sorted(exports):
+                    if exports[pid]["__rows"] > 0:
+                        first_v = exports[pid][f"__first_{f}"]
+                        break
+                result_cols[f"{f}_{s}"] = c - F.lit(first_v)
+            else:
+                raise ValueError(f"unknown stepper: {s}")
+        for alpha in ewma_alphas:
+            label = ("%g" % alpha).replace(".", "_")
+            beta = 1.0 - alpha
+            # driver composition of per-partition carries: partition 0
+            # uses Miller's y1=x1 seeding; later partitions take the
+            # previous partition's final y as init c:
+            # y_t = beta^t * (alpha*s1 + c)
+            carry: dict[int, float] = {}
+            c_prev = None
+            for pid in sorted(exports):
+                r = exports[pid]
+                carry[pid] = c_prev
+                n_p = r["__rows"]
+                if n_p == 0:
+                    continue
+                S, FS = r[f"__S_{f}_{label}"], r[f"__FS_{f}_{label}"]
+                if S is None:
+                    continue
+                if c_prev is None:  # first non-empty partition
+                    c_prev = (beta ** n_p) * (alpha * S + (1 - alpha) * FS)
+                else:
+                    c_prev = (beta ** n_p) * (alpha * S) + (beta ** n_p) * c_prev
+            carry_expr = _chain(carry)
+            s1 = F.col(f"__s1_{f}_{label}")
+            fs = F.first(F.col(f"__sc_{f}_{label}")).over(run_pid)
+            seeded = F.pow(F.lit(beta), F.col("__i")) * (
+                F.lit(alpha) * s1 + F.lit(1 - alpha) * fs
+            )
+            carried = F.pow(F.lit(beta), F.col("__i")) * (
+                F.lit(alpha) * s1 + F.coalesce(carry_expr, F.lit(0.0))
+            )
+            result_cols[f"{f}_ewma_{label}"] = F.when(
+                carry_expr.isNull(), seeded
+            ).otherwise(carried)
+
+    out = out.withColumns(result_cols)
+    drop = [c for c in out.columns if c.startswith("__") and c not in ("__ord",)]
+    # __n/__pid/__i and join/scratch columns are internal; __ord (if the
+    # caller carries one) stays
+    keep_ord = [c for c in df.columns] + list(result_cols)
+    return out.select(*[c for c in out.columns if c in keep_ord])
+
+
 def slwin(
     df: DataFrame,
     value: str,
@@ -1066,9 +1350,74 @@ def slwin(
     by: Sequence[str] = (),
 ) -> DataFrame:
     """`mlr step -a slwin_m_n` (step.go:703-711;
-    utils/window_keeper.go:12-60): centered sliding-window mean."""
+    utils/window_keeper.go:12-60): centered sliding-window mean.
+
+    Grouped: hash-partitioned frame window. Ungrouped: mean over the
+    [n-m, n+k] index range = difference of running sums — computed from
+    the distributed global row number with one offsets join, no
+    single-task window."""
+    by = _cols(by)
+    if not by:
+        numbered = global_row_number(df, _cols(order_by), out="__n", keep_pid=True)
+        w_pid = Window.partitionBy("__pid").orderBy("__n")
+        run = w_pid.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        c = F.col(value).cast("double")
+        # prefix sums/counts with cross-partition offsets
+        pre = numbered.withColumn("__ps", F.sum(c).over(run)).withColumn(
+            "__pc", F.count(c).over(run)
+        )
+        exports = {
+            r["__pid"]: (r["s"], r["n"], r["rows"])
+            for r in pre.groupBy("__pid")
+            .agg(
+                F.sum(c).alias("s"),
+                F.count(c).alias("n"),
+                F.count(F.lit(1)).alias("rows"),
+            )
+            .collect()
+        }
+        off_s, off_n, rs, rn = {}, {}, 0.0, 0
+        total_rows = 0
+        for pid in sorted(exports):
+            off_s[pid], off_n[pid] = rs, rn
+            s_, n_, rows_ = exports[pid]
+            rs += s_ or 0.0
+            rn += n_
+            total_rows += rows_
+        def chain(d, default):
+            e = None
+            for pid, v in d.items():
+                e = (e.when if e is not None else F.when)(F.col("__pid") == pid, F.lit(v))
+            return F.coalesce(e, F.lit(default)) if e is not None else F.lit(default)
+        pre = pre.withColumn("__gs", F.coalesce(F.col("__ps"), F.lit(0.0)) + chain(off_s, 0.0)).withColumn(
+            "__gn", F.col("__pc") + chain(off_n, 0)
+        )
+        # prefix table joined at the window edges: hi = n + n_fwd
+        # (clamped), lo = n - m_back - 1 (0 -> zero prefix)
+        prefix = pre.select(F.col("__n").alias("__pn"), F.col("__gs").alias("__hs"), F.col("__gn").alias("__hn"))
+        hi = F.least(F.col("__n") + n_fwd, F.lit(total_rows))
+        lo = F.col("__n") - m_back - 1
+        res = (
+            pre.withColumn("__hi", hi)
+            .withColumn("__lo", lo)
+            .join(prefix.withColumnsRenamed({"__pn": "__hi"}), on="__hi", how="left")
+            .join(
+                prefix.withColumnsRenamed(
+                    {"__pn": "__lo", "__hs": "__ls", "__hn": "__ln"}
+                ),
+                on="__lo",
+                how="left",
+            )
+        )
+        mean = F.try_divide(
+            F.col("__hs") - F.coalesce(F.col("__ls"), F.lit(0.0)),
+            F.col("__hn") - F.coalesce(F.col("__ln"), F.lit(0)),
+        )
+        res = res.withColumn(f"{value}_slwin_{m_back}_{n_fwd}", mean)
+        keep = list(df.columns) + [f"{value}_slwin_{m_back}_{n_fwd}"]
+        return res.select(*[c2 for c2 in res.columns if c2 in keep])
     w = (
-        (Window.partitionBy(*_cols(by)) if by else Window.partitionBy())
+        Window.partitionBy(*_cols(by))
         .orderBy(*[F.col(c) for c in _cols(order_by)])
         .rowsBetween(-m_back, n_fwd)
     )
@@ -1077,10 +1426,53 @@ def slwin(
 
 def rank(df: DataFrame, value: str, by: Sequence[str] = (), descending: bool = False) -> DataFrame:
     """`mlr rank -f v [-g ...]` (pkg/transformers/rank.go:22): competition
-    rank 1,2,2,4 (percentile_keeper.go:87-104 EmitRank)."""
+    rank 1,2,2,4 (percentile_keeper.go:87-104 EmitRank).
+
+    Grouped: one hash-partitioned rank window. Ungrouped: a bare
+    ``Window.orderBy`` would single-task every row; instead rank(v) =
+    1 + count of strictly smaller values, computed on the (much smaller)
+    DISTINCT-value table with the range-partition + offset-broadcast
+    pattern, then joined back on the value."""
+    by = _cols(by)
     order = F.col(value).desc() if descending else F.col(value).asc()
-    w = Window.partitionBy(*_cols(by)).orderBy(order) if by else Window.orderBy(order)
-    return df.withColumn("rank", F.rank().over(w))
+    if by:
+        w = Window.partitionBy(*by).orderBy(order)
+        return df.withColumn("rank", F.rank().over(w))
+    vals = (
+        df.filter(F.col(value).isNotNull())
+        .groupBy(value)
+        .agg(F.count("*").alias("__c"))
+    )
+    ordered = vals.repartitionByRange(order).localCheckpoint(eager=True)
+    ordered = ordered.withColumn("__pid", F.spark_partition_id())
+    counts = {
+        r["__pid"]: r["s"]
+        for r in ordered.groupBy("__pid").agg(F.sum("__c").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.create_map()
+    )
+    w_in = (
+        Window.partitionBy("__pid")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        ordered.withColumn(
+            "rank",
+            F.coalesce(F.sum("__c").over(w_in), F.lit(0))
+            + F.coalesce(off[F.col("__pid")], F.lit(0))
+            + 1,
+        )
+        .select(value, "rank")
+    )
+    return df.join(ranked, on=value, how="left")
 
 
 # ---------------------------------------------------------------------------
@@ -1470,8 +1862,22 @@ def surv(df: DataFrame, time_col: str, status_col: str, by: Sequence[str] = ()) 
     per_t = per_t.withColumn(
         "n_risk", F.col("n_total_all") - F.coalesce(F.sum("n_total").over(prev), F.lit(0))
     )
-    surv_col = F.exp(
-        F.sum(F.log(1.0 - F.col("d") / F.col("n_risk"))).over(ordw)
+    # running product via exp-sum-log; a factor of exactly 0 (all
+    # at-risk subjects die: d == n_risk) would be log(0) -> null in
+    # Spark, so it is tracked separately and forces survival 0 from
+    # that time onward
+    hit_zero = F.max((F.col("d") >= F.col("n_risk")).cast("int")).over(ordw)
+    surv_col = F.when(hit_zero == 1, F.lit(0.0)).otherwise(
+        F.exp(
+            F.sum(
+                F.log(
+                    F.when(
+                        F.col("d") < F.col("n_risk"),
+                        1.0 - F.col("d") / F.col("n_risk"),
+                    ).otherwise(F.lit(1.0))
+                )
+            ).over(ordw)
+        )
     )
     return (
         per_t.withColumn("survival", surv_col)
@@ -1505,20 +1911,44 @@ def stats1_windowed(
 ) -> DataFrame:
     """`mlr stats1 -w n` (stats1.go:31,483-553): trailing window of n
     records per group, one output per input record. All accumulators
-    share one Window frame — Catalyst plans a single WindowExec."""
+    share one Window frame — Catalyst plans a single WindowExec.
+
+    Ungrouped: rows are hashed into blocks of B >= w consecutive global
+    indices, each row duplicated into its own block and the next one as
+    read-only context ("ghost"); the trailing frame then runs entirely
+    within a block. Bounded ~2x duplication, no single-task window."""
     by = _cols(by)
+    if by:
+        frame = (
+            Window.partitionBy(*by)
+            .orderBy(*[F.col(c) for c in _cols(order_by)])
+            .rowsBetween(-(w - 1), 0)
+        )
+        out = df
+        for f in _cols(values):
+            for a in _cols(accs):
+                if a not in _WIN_ACCS:
+                    raise ValueError(f"stats1 -w accumulator not supported: {a}")
+                out = out.withColumn(f"{f}_{a}_{w}", _WIN_ACCS[a](F.col(f)).over(frame))
+        return out
+    numbered = global_row_number(df, _cols(order_by), out="__n")
+    B = max(w, 1024)
+    blk = ((F.col("__n") - 1) / B).cast("long")
+    real = numbered.withColumn("__blk", blk).withColumn("__real", F.lit(1))
+    ghost = numbered.withColumn("__blk", blk + 1).withColumn("__real", F.lit(0))
+    both = real.unionByName(ghost)
     frame = (
-        (Window.partitionBy(*by) if by else Window.partitionBy())
-        .orderBy(*[F.col(c) for c in _cols(order_by)])
-        .rowsBetween(-(w - 1), 0)
+        Window.partitionBy("__blk").orderBy("__n").rowsBetween(-(w - 1), 0)
     )
-    out = df
+    out = both
+    names = []
     for f in _cols(values):
         for a in _cols(accs):
             if a not in _WIN_ACCS:
                 raise ValueError(f"stats1 -w accumulator not supported: {a}")
+            names.append(f"{f}_{a}_{w}")
             out = out.withColumn(f"{f}_{a}_{w}", _WIN_ACCS[a](F.col(f)).over(frame))
-    return out
+    return out.filter(F.col("__real") == 1).select(*df.columns, *names)
 
 
 def count_distinct_n(df: DataFrame, fields: Sequence[str]) -> DataFrame:
@@ -1576,9 +2006,17 @@ def latin1_to_utf8(df: DataFrame, fields: Sequence[str]) -> DataFrame:
 
 
 def utf8_to_latin1(df: DataFrame, fields: Sequence[str]) -> DataFrame:
-    """`mlr utf8-to-latin1` (utf8_to_latin1.go:18)."""
+    """`mlr utf8-to-latin1` (utf8_to_latin1.go:18): the VALUE is
+    unchanged when it fits in latin-1 (only the byte encoding changes at
+    write time); values with code points above U+00FF cannot be encoded
+    and become Miller's (error) value."""
     return df.withColumns(
-        {f: F.decode(F.encode(F.col(f), "UTF-8"), "ISO-8859-1") for f in _cols(fields)}
+        {
+            f: F.when(
+                F.col(f).rlike("[^\\x00-\\xff]"), F.lit("(error)")
+            ).otherwise(F.col(f))
+            for f in _cols(fields)
+        }
     )
 
 

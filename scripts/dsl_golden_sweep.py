@@ -36,13 +36,13 @@ def main():
 
     def one(c):
         try:
-            got, exp = run_case(spark, c, to_df)
+            got, exp, ordered = run_case(spark, c, to_df)
         except Unsupported as e:
             return ("skip", str(e)[:80])
         except Exception as e:  # noqa: BLE001
             return ("fail", f"RUNTIME {type(e).__name__}: {str(e)[:200]}")
         try:
-            assert_matches(got, exp)
+            assert_matches(got, exp, ordered=ordered)
             return ("pass", None)
         except AssertionError as e:
             return ("fail", str(e)[:400])

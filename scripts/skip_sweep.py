@@ -34,13 +34,13 @@ def main():
 
     def one(c):
         try:
-            got, exp = run_case(spark, c.rstrip("/"), to_df)
+            got, exp, ordered = run_case(spark, c.rstrip("/"), to_df)
         except Unsupported as e:
             return "skip", str(e)
         except Exception as e:  # noqa: BLE001
             return "fail", f"RUNTIME {type(e).__name__}: {e}"
         try:
-            assert_matches(got, exp)
+            assert_matches(got, exp, ordered=ordered)
             return "pass", None
         except AssertionError as e:
             return "fail", str(e)[:200]

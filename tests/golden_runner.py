@@ -354,10 +354,23 @@ def _split_attached_n(argv):
 def v_head(df, argv):
     fl, _ = _flags(_split_attached_n(argv), {"-n": 1, "-g": 1})
     n = int(fl.get("-n", 10))
-    if n < 0:
-        raise Unsupported("negative -n")
     by = _csl(fl["-g"]) if "-g" in fl else []
-    return ev.head(_drop_missing_keys(df, by), n, by=by, order_by=["__ord"])
+    d = _drop_missing_keys(df, by)
+    if n < 0:
+        # negative n: all but the last |n| (golden verb-head/0004)
+        from pyspark.sql import Window as W
+
+        w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord")
+        wall = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__tot", F.count(F.lit(1)).over(wall))
+            .filter(F.col("__rn") <= F.col("__tot") + n)
+            .drop("__rn", "__tot")
+        )
+    return ev.head(d, n, by=by, order_by=["__ord"])
 
 
 def v_tail(df, argv):
@@ -375,9 +388,7 @@ def v_tail(df, argv):
             .filter(F.col("__rn") >= k)
             .drop("__rn")
         )
-    n = int(raw)
-    if n < 0:
-        raise Unsupported("negative -n")
+    n = abs(int(raw))  # tail.go:142: negative count means its absolute value
     return ev.tail(d, n, by=by, order_by=["__ord"])
 
 
@@ -410,7 +421,13 @@ def v_sort(df, argv):
         i += 2
     if not specs:
         return df
-    return ev.sort(df.drop("__ord"), specs)
+    # stable sort (ties keep stream order, sort.go) with __ord as final
+    # tiebreak; the output order becomes the new stream order.
+    # monotonically_increasing_id is globally monotone over the
+    # range-partitioned sort output, so it re-numbers without a
+    # single-task window.
+    out = ev.sort(df, specs + [("__ord", "nf")])
+    return out.withColumn("__ord", F.monotonically_increasing_id())
 
 
 def v_uniq(df, argv):
@@ -466,13 +483,16 @@ def v_count(df, argv):
 
 
 def v_count_distinct(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "-u": 0, "-n": 0})
+    fl, _ = _flags(argv, {"-f": 1, "-u": 0, "-n": 0, "-o": 1})
     fields = _csl(fl["-f"])
     if any(f_ not in df.columns for f_ in fields):
         raise Unsupported("count-distinct absent field")
     if fl.get("-n"):
-        return ev.count_distinct_n(df, fields)
-    return ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
+        return ev.count_distinct_n(df, fields)  # -o is ignored with -n
+    out = ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
+    if "-o" in fl and not fl.get("-u"):
+        out = out.withColumnRenamed("count", fl["-o"])
+    return out
 
 
 _FENCE_K_R = {"lof": -3.0, "lif": -1.5, "uif": 1.5, "uof": 3.0}
@@ -672,7 +692,7 @@ def v_top(df, argv):
         return ev.top(
             d, fields[0], n=n, by=by, use_min=bool(fl.get("--min")),
             show_full_records=True, tiebreak=["__ord"],
-        ).drop("top_idx")
+        ).drop("top_idx", "__ord")
     out = None
     for f_ in fields:
         t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=bool(by))
@@ -1066,7 +1086,10 @@ def v_tee(df, argv):
 
 
 def v_group_by(df, argv):
-    # group-by.go: records MISSING any group field are dropped
+    # group-by.go: records MISSING any group field are dropped; groups
+    # emit in first-occurrence order, stream order within each group
+    from pyspark.sql import Window as W
+
     _, pos = _flags(argv, {})
     by = _csl(pos[0])
     if any(b not in df.columns for b in by):
@@ -1074,7 +1097,12 @@ def v_group_by(df, argv):
     d = df
     for b in by:
         d = d.filter(F.col(b).isNotNull())
-    return ev.group_by_stream(d, by)
+    d = d.withColumn("__g", F.min("__ord").over(W.partitionBy(*by)))
+    return (
+        d.orderBy("__g", "__ord")
+        .withColumn("__ord", F.monotonically_increasing_id())
+        .drop("__g")
+    )
 
 
 def v_unspace(df, argv):
@@ -1164,12 +1192,12 @@ def v_format_values(df, argv):
         if c == "__ord":
             continue
         if t in ("bigint", "int", "smallint", "tinyint"):
-            col = F.col(c).cast("double" if coerce_int else "long")
+            col = F.col('`' + c + '`').cast("double" if coerce_int else "long")
             fmtc = ffmt if coerce_int else ifmt
             updates[c] = F.when(col.isNotNull(), F.format_string(fmtc, col))
         elif t in ("double", "float"):
             # Miller re-infers per value: an integral double prints via ifmt
-            c_ = F.col(c)
+            c_ = F.col('`' + c + '`')
             if coerce_int:
                 updates[c] = F.when(c_.isNotNull(), F.format_string(ffmt, c_))
             else:
@@ -1180,7 +1208,7 @@ def v_format_values(df, argv):
         elif t == "string":
             # per-value inference on string columns: numeric-looking
             # values get the numeric formats
-            s = F.col(c)
+            s = F.col('`' + c + '`')
             as_long = s.try_cast("long")
             as_dbl = s.try_cast("double")
             ic = as_dbl.cast("double" if coerce_int else "long")
@@ -1195,11 +1223,16 @@ def v_format_values(df, argv):
 
 
 def v_most_frequent(df, argv, descending=True):
-    fl, _ = _flags(argv, {"-f": 1, "-b": 1})
+    fl, _ = _flags(argv, {"-f": 1, "-b": 0, "-n": 1, "-o": 1})
     fields = _csl(fl["-f"])
     if any(f_ not in df.columns for f_ in fields):
         raise Unsupported("most-frequent absent field")
-    return ev.most_frequent(df, fields, n=int(fl.get("-b", 10)), descending=descending)
+    out = ev.most_frequent(df, fields, n=int(fl.get("-n", 10)), descending=descending)
+    if fl.get("-b"):
+        out = out.drop("count")
+    elif "-o" in fl:
+        out = out.withColumnRenamed("count", fl["-o"])
+    return out
 
 
 def v_decimate(df, argv):
@@ -1352,7 +1385,8 @@ def v_nothing(df, argv):
 
 
 def v_tac(df, argv):
-    return ev.tac(df, order_by=["__ord"])
+    # reversed stream order, expressed by negating the order key
+    return df.withColumn("__ord", -F.col("__ord"))
 
 
 def v_gsub(df, argv, first_only=False, literal=False):
@@ -1556,6 +1590,17 @@ def v_step(df, argv):
             slwins.append((int(parts[1]), int(parts[2])))
         else:
             steppers.append(s)
+    # shift_N is shorthand for shift_lag_N but keeps the shift_N name
+    shift_renames: dict[str, str] = {}
+    norm = []
+    for s in steppers:
+        if _re.fullmatch(r"shift_\d+", s):
+            alias = "shift_lag_" + s.rsplit("_", 1)[1]
+            shift_renames[alias] = s
+            norm.append(alias)
+        else:
+            norm.append(s)
+    steppers = norm
     for s in steppers:
         base = s.rsplit("_", 1)
         if s not in _STEPPERS_OK and not (
@@ -1590,6 +1635,9 @@ def v_step(df, argv):
         df = df.filter(cond)
     out = ev.step(df, steppers, values, order_by=["__ord"], by=by,
                   ewma_alphas=alphas if has_ewma else [])
+    for alias, orig in shift_renames.items():
+        for f_ in values:
+            out = out.withColumnRenamed(f"{f_}_{alias}", f"{f_}_{orig}")
     for m_back, n_fwd in slwins:
         if m_back < 0 or n_fwd < 0:
             raise Unsupported("negative slwin bound")
@@ -1843,7 +1891,11 @@ def v_merge_fields(df, argv):
 
 
 def v_unsparsify(df, argv):
-    fl, _ = _flags(argv, {"--fill-with": 1})
+    fl, _ = _flags(argv, {"--fill-with": 1, "-f": 1})
+    if "-f" in fl:
+        # only the listed fields are filled-in; under the union schema
+        # (absent == void in the compare) this is a no-op projection
+        return df
     fill = fl.get("--fill-with")
     if fill is None:
         return df  # union schema already holds all keys; absent==void in compare
@@ -1960,6 +2012,29 @@ def v_passthrough(df, argv):
     if argv:
         raise Unsupported("passthrough verb with args")
     return df
+
+
+def v_surv(df, argv):
+    fl, _ = _flags(argv, {"-d": 1, "-s": 1, "-g": 1})
+    d, s = fl["-d"], fl["-s"]
+    if d not in df.columns or s not in df.columns:
+        raise Unsupported("surv absent field")
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    out = ev.surv(
+        df.withColumns({d: F.col(d).cast("double"), s: F.col(s).cast("int")}),
+        d, s, by=by,
+    )
+    # Miller's KM table prints event times only
+    return (
+        out.filter(F.col("n_events") > 0)
+        .select(*by, F.col(d).alias("time"), "survival")
+        .withColumn("__ord", F.monotonically_increasing_id())
+    )
+
+
+def v_utf8_to_latin1(df, argv):
+    _flags(argv, {})
+    return ev.utf8_to_latin1(df, [c for c, t in df.dtypes if t == "string" and c != "__ord"])
 
 
 def v_split(df, argv):
@@ -2260,7 +2335,18 @@ def v_nest(df, argv):
         return out
 
     if explode:
-        return ev.nest_explode_values(df, matched[0], sep=esep)
+        # values across records: piece order becomes sub-record order
+        field = matched[0]
+        pieces = F.split(F.col(field).cast("string"), esep)
+        d = df.select("*", F.posexplode_outer(pieces).alias("__pi", "__pv"))
+        return (
+            d.withColumn(field, F.col("__pv"))
+            .withColumn(
+                "__ord",
+                F.col("__ord") * 100000 + F.coalesce(F.col("__pi"), F.lit(0)),
+            )
+            .drop("__pi", "__pv")
+        )
 
     if pairs or across_fields:
         if not pairs and across_fields:
@@ -2307,7 +2393,7 @@ def v_reshape(df, argv):
     if "-s" in fl:
         key, val = _csl(fl["-s"])
         if key not in df.columns or val not in df.columns:
-            raise Unsupported("reshape -s absent fields")
+            return df  # absent key/value fields: records pass through
         ids = [c for c in df.columns if c not in (key, val, "__ord")]
         return ev.reshape_long_to_wide(df.drop("__ord"), key, val, ids)
     if "-r" in fl:
@@ -2346,7 +2432,9 @@ VERBS = {
     "case": v_case, "having-fields": v_having_fields_full,
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
-    "sort-within-records": v_passthrough, "gap": v_gap,
+    # record-level compare ignores within-record key order
+    "sort-within-records": lambda df, a: (_flags(a, {"-r": 0}), df)[1],
+    "gap": v_gap,
     "skip-trivial-records": v_skip_trivial,
     "latin1-to-utf8": v_passthrough, "put": v_put, "filter": v_filter,
     "reshape": v_reshape,
@@ -2359,6 +2447,27 @@ VERBS = {
     "format-values": v_format_values, "split": v_split, "summary": v_summary,
     "flatten": v_flatten, "unflatten": v_unflatten, "json-parse": v_json_parse,
     "json-stringify": v_json_stringify, "describe": v_describe,
+    "surv": v_surv, "utf8-to-latin1": v_utf8_to_latin1,
+}
+
+# Verbs whose output carries a faithful Miller emission order in the
+# __ord column (streaming pass-through, or an explicit re-ordering that
+# rewrites __ord). A chain containing any OTHER verb falls back to the
+# unordered (content-only) compare.
+ORDER_PRESERVING = {
+    "cat", "head", "tail", "cut", "sort", "tac", "grep", "put", "filter",
+    "having-fields", "fill-down", "fill-empty", "sub", "gsub", "ssub",
+    "case", "sec2gmt", "sec2gmtdate", "clean-whitespace", "step",
+    "decimate", "fraction", "rank", "label", "rename", "reorder",
+    "template", "regularize", "sparsify", "unsparsify",
+    "skip-trivial-records", "sort-within-records", "gap", "tee",
+    "nothing", "altkv", "flatten", "unflatten", "json-parse",
+    "json-stringify", "describe", "summary", "seqgen", "group-by",
+    "merge-fields", "format-values", "unspace", "remove-empty-columns",
+    "latin1-to-utf8", "utf8-to-latin1", "surv", "nest", "split",
+    # agg modes of these drop __ord (falling back to unordered); their
+    # streaming modes (-s/-w/-a) keep it faithfully
+    "stats1", "stats2", "uniq",
 }
 
 # Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`
@@ -2392,6 +2501,21 @@ VERB_VALUE_FLAGS = {
     "shuffle": set(),
     "bootstrap": {"-n"},
     "sample": {"-k", "-g"},
+    "fill-down": {"-f"},
+    "fill-empty": {"-v"},
+    "most-frequent": {"-f", "-n", "-o"},
+    "least-frequent": {"-f", "-n", "-o"},
+    "surv": {"-d", "-s", "-g"},
+    "utf8-to-latin1": set(),
+    "latin1-to-utf8": set(),
+    "sort-within-records": set(),
+    "describe": {"-n", "--max-values"},
+    "summary": {"-a", "-x"},
+    "flatten": {"-f", "-s"},
+    "unflatten": {"-f", "-s"},
+    "json-parse": {"-f"},
+    "json-stringify": {"-f"},
+    "unsparsify": {"--fill-with", "-f"},
 }
 
 _FMT_NAMES = {
@@ -2568,9 +2692,17 @@ def run_case(spark, case_dir: str, to_df):
                     r["__fname"] = f_
             recs.extend(rs)
         if not recs:
-            # empty main input still feeds a join's --ul side
+            # empty main input still feeds a join's --ul side; for any
+            # other verb chain the record stream is empty end-to-end
+            # (DSL end-blocks that could emit are already Unsupported)
             if not any(chain and chain[0] == "join" for chain in chains):
-                raise Unsupported("empty input")
+                if any(
+                    chain and chain[0] in ("put", "filter") for chain in chains
+                ):
+                    raise Unsupported("empty input with DSL")
+                with open(os.path.join(case_dir, "expout"), "rb") as f:
+                    exp_text = f.read().decode("utf-8", "replace")
+                return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
         else:
             # DSL programs distinguish absent from void: keep "" values
             spark_df = to_df(
@@ -2591,14 +2723,31 @@ def run_case(spark, case_dir: str, to_df):
                 ),
             )
 
+    if (
+        no_input
+        and not files
+        and not any(
+            chain and chain[0] in ("seqgen", "put", "filter") for chain in chains
+        )
+    ):
+        # `mlr -n <verbs>`: nothing flows, nothing comes out
+        with open(os.path.join(case_dir, "expout"), "rb") as f:
+            exp_text = f.read().decode("utf-8", "replace")
+        return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+
+    ordered_ok = True
     for chain in chains:
         if not chain:
             raise Unsupported("empty verb")
         verb, vargv = chain[0], chain[1:]
+        if verb not in ORDER_PRESERVING:
+            ordered_ok = False
         if verb == "seqgen":
             spark_df = v_seqgen(spark, vargv).withColumn("__ord", F.monotonically_increasing_id())
             continue
         if verb == "join":
+            # join emission order is not modeled; __ord only seeds
+            # downstream window verbs (ordered_ok already False)
             spark_df = v_join(spark, spark_df, vargv, to_df, ifmt)
             spark_df = spark_df.withColumn("__ord", F.monotonically_increasing_id())
             continue
@@ -2615,6 +2764,9 @@ def run_case(spark, case_dir: str, to_df):
             spark_df = spark_df.withColumn(
                 c, F.when(F.col(c), "true").when(~F.col(c), "false")
             )
+    ordered = ordered_ok and "__ord" in spark_df.columns
+    if "__ord" in spark_df.columns:
+        spark_df = spark_df.orderBy("__ord")
     got = [
         {k: v for k, v in r.asDict().items() if not k.startswith("__")}
         for r in spark_df.collect()
@@ -2649,4 +2801,4 @@ def run_case(spark, case_dir: str, to_df):
     except UnicodeDecodeError:
         exp_text = raw.decode("latin-1")
     exp = parse_out(exp_text, ofmt, flatsep=flatsep)
-    return got, exp
+    return got, exp, ordered

@@ -52,13 +52,13 @@ def test_auto_replay_dsl_golden_corpus(spark):
         if any(k in c for k in KNOWN_DIVERGENCES):
             return "skip", None
         try:
-            got, exp = run_case(spark, c.rstrip("/"), to_df)
+            got, exp, ordered = run_case(spark, c.rstrip("/"), to_df)
         except Unsupported:
             return "skip", None
         except Exception as e:  # noqa: BLE001 — compiler bug, count it
             return "fail", f"RUNTIME {type(e).__name__}: {e}"
         try:
-            assert_matches(got, exp)
+            assert_matches(got, exp, ordered=ordered)
             return "pass", None
         except AssertionError as e:
             return "fail", str(e)[:300]
