@@ -594,6 +594,17 @@ def _format(args: list[TC], raw) -> TC:
     return TC(F.concat(*pieces), "str")
 
 
+def _pad_repeats(a: list) -> Column:
+    """Whole-pad-string repetitions for leftpad/rightpad
+    (bifs/strings.go:266-268): while out+padlen <= target."""
+    s, target, pad = to_str(a[0]), to_num(a[1]).try_cast("int"), to_str(a[2])
+    k = F.greatest(
+        F.floor(F.try_divide(target - F.length(s), F.length(pad))).try_cast("int"),
+        F.lit(0),
+    )
+    return F.coalesce(F.repeat(pad, k), F.lit(""))
+
+
 _FUNCS = {
     # strings
     "strlen": lambda a, r: TC(F.length(to_str(a[0])), "int"),
@@ -656,6 +667,15 @@ _FUNCS = {
         )
         if r[1][0] == "str" else (_ for _ in ()).throw(DslUnsupported("fmtnum non-literal")),
         "any",
+    ),
+    # leftpad/rightpad (bifs/strings.go:242-290): whole copies of the
+    # pad string only — never split, so the result may undershoot the
+    # target width (unlike SQL lpad/rpad, which truncate the pad)
+    "leftpad": lambda a, r: TC(
+        F.concat(_pad_repeats(a), to_str(a[0])), "str"
+    ),
+    "rightpad": lambda a, r: TC(
+        F.concat(to_str(a[0]), _pad_repeats(a)), "str"
     ),
     "md5": lambda a, r: TC(F.md5(F.encode(to_str(a[0]), "UTF-8")), "str"),
     "sha1": lambda a, r: TC(F.sha1(F.encode(to_str(a[0]), "UTF-8")), "str"),
@@ -806,6 +826,9 @@ class Env:
         self.filename_col = filename_col
         self.filenum_col = filenum_col
         self.last_bare: TC | None = None
+        # \1..\9 capture columns bound by the most recent executed `=~`
+        # (reference-dsl regex captures); None until a match runs
+        self.captures: dict[int, Column] | None = None
 
     def nf(self) -> Column:
         cnt = F.lit(0)
@@ -826,8 +849,19 @@ def compile_expr(node, env: Env) -> TC:
         return _lit(node[1], "bool")
     if kind in ("str", "regexi"):
         v = node[1]
-        if re.search(r"\\[1-9]", v):
-            raise DslUnsupported("regex capture reference outside sub()")
+        if re.search(r"\\[0-9]", v):
+            if env.captures is None:
+                # no =~ has executed: \1 stays literal text
+                return _lit(v, "str")
+            pieces: list[Column] = []
+            for part in re.split(r"(\\[0-9])", v):
+                if re.fullmatch(r"\\[0-9]", part):
+                    pieces.append(
+                        F.coalesce(env.captures.get(int(part[1]), F.lit("")), F.lit(""))
+                    )
+                elif part:
+                    pieces.append(F.lit(part))
+            return TC(F.concat(*pieces) if pieces else F.lit(""), "str")
         return _lit(v, "str")
     if kind == "field":
         tc = env.fields.get(node[1])
@@ -835,7 +869,9 @@ def compile_expr(node, env: Env) -> TC:
     if kind == "var":
         tc = env.locals.get(node[1])
         if tc is None:
-            raise DslUnsupported(f"unbound local {node[1]!r}")
+            # reading a never-assigned local yields ABSENT (reference
+            # reference-dsl-variables: unset locals are absent)
+            return _null_tc()
         return tc
     if kind == "ctx":
         name = node[1]
@@ -937,6 +973,24 @@ def compile_expr(node, env: Env) -> TC:
         target = compile_expr(sub, env)
         pat = ("(?i)" if ci else "") + pattern
         res = to_str(target).rlike(pat)
+        if not negate:
+            # bind \1..\9 for the rest of the program: group value on
+            # match, VOID on no-match or group-out-of-range
+            # (reference-dsl-regular-expressions: captures)
+            try:
+                ngroups = re.compile(pattern).groups
+            except re.error:
+                ngroups = 0
+            env.captures = {
+                k: (
+                    F.when(res, F.regexp_extract(to_str(target), pat, k)).otherwise(
+                        F.lit("")
+                    )
+                    if k <= ngroups or k == 0
+                    else F.lit("")
+                )
+                for k in range(0, 10)
+            }
         return TC(~res if negate else res, "bool")
     if kind == "call":
         name, arg_nodes = node[1], node[2]

@@ -94,6 +94,18 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             while j < n and src[j] != '"':
                 if src[j] == "\\" and j + 1 < n:
                     esc = src[j + 1]
+                    if esc == "x" and j + 3 < n and all(
+                        ch in "0123456789abcdefABCDEF" for ch in src[j + 2 : j + 4]
+                    ):
+                        buf.append(chr(int(src[j + 2 : j + 4], 16)))
+                        j += 4
+                        continue
+                    if esc in "01234567" and j + 3 < n and all(
+                        ch in "01234567" for ch in src[j + 1 : j + 4]
+                    ):
+                        buf.append(chr(int(src[j + 1 : j + 4], 8)))
+                        j += 4
+                        continue
                     buf.append(
                         {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
                          "/": "/"}.get(esc, "\\" + esc)
@@ -136,10 +148,15 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             raise DslUnsupported("oosvar (@) — cross-record state")
         if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
             j = i
-            if src[i : i + 2].lower() in ("0x", "0b"):
-                base = 16 if src[i + 1].lower() == "x" else 2
+            if src[i : i + 2].lower() in ("0x", "0b", "0o"):
+                k2 = src[i + 1].lower()
+                base = 16 if k2 == "x" else 8 if k2 == "o" else 2
                 j = i + 2
-                digits = "0123456789abcdefABCDEF" if base == 16 else "01"
+                digits = (
+                    "0123456789abcdefABCDEF"
+                    if base == 16
+                    else "01234567" if base == 8 else "01"
+                )
                 while j < n and src[j] in digits:
                     j += 1
                 toks.append(("NUM", int(src[i:j], base)))
@@ -151,7 +168,19 @@ def tokenize(src: str) -> list[tuple[str, object]]:
                 if ch.isdigit():
                     j += 1
                 elif ch == "." and not seen_dot and not seen_exp:
-                    if j + 1 < n and (src[j + 1].isdigit()):
+                    if j + 1 < n and (
+                        src[j + 1].isdigit()
+                        or (
+                            # "2.e-4": dot directly followed by a valid
+                            # exponent is still one float literal
+                            src[j + 1] in "eE"
+                            and j + 2 < n
+                            and (
+                                src[j + 2].isdigit()
+                                or (src[j + 2] in "+-" and j + 3 < n and src[j + 3].isdigit())
+                            )
+                        )
+                    ):
                         seen_dot = True
                         j += 1
                     elif j + 1 >= n or src[j + 1] in " \t\r\n+-*/%);,=<>!&|^?":

@@ -933,21 +933,23 @@ def sort(df: DataFrame, specs: Sequence[tuple[str, str]]) -> DataFrame:
     order = []
     for f, how in specs:
         c = F.col(f)
+        # records MISSING the sort field always go last (sort.go),
+        # regardless of direction
         if how == "f":
-            order.append(c.cast("string").asc())
+            order.append(c.cast("string").asc_nulls_last())
         elif how == "r":
-            order.append(c.cast("string").desc())
+            order.append(c.cast("string").desc_nulls_last())
         elif how == "nf":
             order.append(c.cast("double").asc_nulls_last())
         elif how == "nr":
             order.append(c.cast("double").desc_nulls_last())
         elif how == "c":
-            order.append(F.lower(c.cast("string")).asc())
+            order.append(F.lower(c.cast("string")).asc_nulls_last())
         elif how == "cr":
-            order.append(F.lower(c.cast("string")).desc())
+            order.append(F.lower(c.cast("string")).desc_nulls_last())
         elif how in ("t", "tr"):
             k = _natural_sort_key(c.cast("string"))
-            order.append(k.asc() if how == "t" else k.desc())
+            order.append(k.asc_nulls_last() if how == "t" else k.desc_nulls_last())
         else:
             raise ValueError(how)
     return df.orderBy(*order)

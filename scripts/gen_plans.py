@@ -104,6 +104,42 @@ def main() -> None:
         "empty-partition window funneling all rows through one task.",
     ))
 
+    # ungrouped order-dependent paths (round-2 de-single-tasking): each
+    # plan must show NO empty-partition window / SinglePartition exchange
+    li_n = li.select("l_orderkey", "l_extendedprice").withColumn(
+        "__ord", F.monotonically_increasing_id()
+    )
+    q6 = ev.step(li_n, ["rsum", "shift", "delta"], ["l_extendedprice"], order_by=["__ord"])
+    sections.append((
+        "step ungrouped (rsum/shift/delta, distributed)",
+        fmt(spark, q6),
+        "What to see: shift/delta resolve as an equi-JOIN on the global row\n"
+        "number (built by range partition + per-partition offsets), rsum is a\n"
+        "per-range-partition running sum plus a broadcast carry map — every\n"
+        "Window in the plan is partitioned by __pid; there is no\n"
+        "SinglePartition exchange anywhere.",
+    ))
+
+    q7 = ev.stats1_windowed(li_n, ["mean", "min", "max"], ["l_extendedprice"], 10, order_by=["__ord"])
+    sections.append((
+        "stats1 -w ungrouped (block+ghost trailing window)",
+        fmt(spark, q7),
+        "What to see: the input is duplicated into (block, block+1) with a\n"
+        "ghost flag and the trailing frame runs inside Window.partitionBy(__blk)\n"
+        "— bounded 2x data motion instead of a single-task global window; min/\n"
+        "max work because the physical rows (not just prefix sums) are present.",
+    ))
+
+    q8 = ev.rank(li.select("l_quantity").limit(100000), "l_quantity")
+    sections.append((
+        "rank ungrouped (distinct-table prefix ranks)",
+        fmt(spark, q8),
+        "What to see: ranking happens on the DISTINCT-value table (a grouped\n"
+        "count), windows are partitioned by __pid over the range-partitioned\n"
+        "value order, and the ranks join back on the value — the raw rows are\n"
+        "never globally sorted through one task.",
+    ))
+
     out = [
         "# PLANS — representative physical plans (explain audit)\n\n"
         "Generated against sf0.01 with AQE on, `local[8]`. Each section: the\n"

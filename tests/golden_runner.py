@@ -25,6 +25,35 @@ class Unsupported(Exception):
     pass
 
 
+def _parse_pprint_lines(clines: list[str]) -> list[dict]:
+    """Positional pprint parse: Miller left-aligns and pads every column
+    to its max width, so the header tokens' start offsets ARE the column
+    boundaries — values containing spaces parse correctly."""
+    header_line = clines[0]
+    starts = []
+    toks = []
+    i = 0
+    while i < len(header_line):
+        if header_line[i] != " ":
+            j = i
+            while j < len(header_line) and header_line[j] != " ":
+                j += 1
+            starts.append(i)
+            toks.append(header_line[i:j])
+            i = j
+        else:
+            i += 1
+    recs = []
+    for ln in clines[1:]:
+        rec = {}
+        for k, name in enumerate(toks):
+            lo = starts[k]
+            hi = starts[k + 1] if k + 1 < len(starts) else len(ln)
+            rec[name] = ln[lo:hi].rstrip()
+        recs.append(rec)
+    return recs
+
+
 # ---------------------------------------------------------------------------
 # input / output parsing (same formats as test_golden_reference)
 # ---------------------------------------------------------------------------
@@ -114,8 +143,7 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             clines = [ln for ln in chunk.splitlines() if ln.strip()]
             if not clines:
                 continue
-            header = clines[0].split()
-            recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
+            recs.extend(_parse_pprint_lines(clines))
         return recs
     if icsv == "xtab":
         recs, cur = [], {}
@@ -155,7 +183,7 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
     return recs
 
 
-def parse_out(text: str, fmt: str, flatsep: str = ".") -> list[dict]:
+def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None) -> list[dict]:
     if fmt == "jsonl":
         import json as _json
 
@@ -220,14 +248,14 @@ def parse_out(text: str, fmt: str, flatsep: str = ".") -> list[dict]:
         return []
     if fmt == "pprint":
         # heterogeneous output prints MULTIPLE tables separated by blank
-        # lines, each with its own header
+        # lines, each with its own header; positional parse handles
+        # values containing spaces
         recs = []
         for chunk in text.split("\n\n"):
             clines = [ln for ln in chunk.splitlines() if ln.strip()]
             if not clines:
                 continue
-            header = clines[0].split()
-            recs.extend(dict(zip(header, ln.split())) for ln in clines[1:])
+            recs.extend(_parse_pprint_lines(clines))
         return recs
     if fmt == "csv":
         # csvlite emits a fresh header block after a blank line when the
@@ -257,7 +285,7 @@ def parse_out(text: str, fmt: str, flatsep: str = ".") -> list[dict]:
     recs = []
     for ln in lines:
         rec = {}
-        for pair in ln.split(","):
+        for pair in ln.split(ofs or ","):
             k, _, v = pair.partition("=")
             rec[k] = v
         recs.append(rec)
@@ -357,18 +385,18 @@ def v_head(df, argv):
     by = _csl(fl["-g"]) if "-g" in fl else []
     d = _drop_missing_keys(df, by)
     if n < 0:
-        # negative n: all but the last |n| (golden verb-head/0004)
+        # negative n: all but the last |n| per group (head.go
+        # transformAllButLast); a kept record is EMITTED when its |n|-th
+        # successor in the group arrives, so its output position is that
+        # successor's stream position
         from pyspark.sql import Window as W
 
         w = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord")
-        wall = (W.partitionBy(*by) if by else W.partitionBy()).orderBy("__ord").rowsBetween(
-            W.unboundedPreceding, W.unboundedFollowing
-        )
         return (
-            d.withColumn("__rn", F.row_number().over(w))
-            .withColumn("__tot", F.count(F.lit(1)).over(wall))
-            .filter(F.col("__rn") <= F.col("__tot") + n)
-            .drop("__rn", "__tot")
+            d.withColumn("__emit", F.lead("__ord", -n).over(w))
+            .filter(F.col("__emit").isNotNull())
+            .withColumn("__ord", F.col("__emit"))
+            .drop("__emit")
         )
     return ev.head(d, n, by=by, order_by=["__ord"])
 
@@ -1744,8 +1772,17 @@ def v_stats2(df, argv):
         return df.withColumns(adds)
     if fl.get("--fit"):
         # --fit: append per-record fitted values instead of coefficients
-        # (stats2.go; only linreg-ols/linreg-pca produce fits)
+        # (stats2.go; only linreg-ols/linreg-pca produce fits). All
+        # records are held to end of stream and emitted in GROUP
+        # first-arrival order, stream order within each group.
         out = df
+        if by:
+            from pyspark.sql import Window as W
+
+            out = out.withColumn(
+                "__ord",
+                F.min("__ord").over(W.partitionBy(*by)) * (1 << 20) + F.col("__ord"),
+            )
         for i2 in range(0, len(fields), 2):
             x, y = fields[i2], fields[i2 + 1]
             if x not in df.columns or y not in df.columns:
@@ -1947,7 +1984,9 @@ from mlrsketch.dsl.parser import DslSyntaxError, DslUnsupported
 
 def _dsl_program(argv, case_dir=None):
     """Extract the program text: inline positional or `-f file`."""
-    fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1})
+    # -v (print parser AST and run) and -F (Miller-5 compat) are no-ops
+    fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
+                            "-v": 0, "-F": 0})
     if fl.get("-q"):
         raise Unsupported("put -q (emit-only output)")
     if "-s" in fl:
@@ -2369,10 +2408,15 @@ def v_nest(df, argv):
                     cols.append(F.col(c))
             return df.select(*cols)
         raise Unsupported("nest implode pairs")
+    # implode values across records (nest.go): records WITHOUT the field
+    # stream through immediately; records WITH it are buffered and the
+    # imploded groups emit at END of stream, in group-first-arrival order
     field = matched[0]
     others = [c for c in df.columns if c not in (field, "__ord")]
-    grouped = df.groupBy(*others).agg(
-        F.min("__ord").alias("__ord"),
+    with_f = df.filter(F.col(field).isNotNull())
+    without_f = df.filter(F.col(field).isNull())
+    grouped = with_f.groupBy(*others).agg(
+        (F.min("__ord") + F.lit(1 << 60)).alias("__ord"),
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -2385,7 +2429,7 @@ def v_nest(df, argv):
             sep,
         ).alias(field),
     )
-    return grouped
+    return grouped.unionByName(without_f, allowMissingColumns=True)
 
 
 def v_reshape(df, argv):
@@ -2577,6 +2621,7 @@ def run_case(spark, case_dir: str, to_df):
     i = 0
     no_input = False
     ifs = None
+    ofs = None
     ofmt_num = None
     flatsep = "."
     while i < len(argv):
@@ -2597,6 +2642,19 @@ def run_case(spark, case_dir: str, to_df):
         elif a == "--ifs":
             ifs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
                    "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a == "--ofs":
+            ofs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
+                   "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a == "--fs":
+            ifs = ofs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
+                         "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a in ("--jvstack", "--no-jvstack", "--jlistwrap", "--no-jlistwrap"):
+            i += 1  # JSON output layout only; json.loads doesn't care
+        elif a == "--jflatsep":
+            flatsep = argv[i + 1]
             i += 2
         elif a == "--barred":
             i += 1  # output decoration only; parse_out strips it
@@ -2712,14 +2770,12 @@ def run_case(spark, case_dir: str, to_df):
                 # nest --pairs must distinguish x="" (explodes to zero
                 # pieces -> record dropped across-records) from absent x
                 # (record passes through)
+                # nest must distinguish x="" (explodes to zero pairs /
+                # one void piece; buffered by implode) from absent x
+                # (record passes through); describe types empty-vs-absent
                 keep_void=has_dsl
                 or any(
-                    ch
-                    and (
-                        (ch[0] == "nest" and "--pairs" in ch)
-                        or ch[0] == "describe"  # empty-vs-absent typing
-                    )
-                    for ch in chains
+                    ch and ch[0] in ("nest", "describe") for ch in chains
                 ),
             )
 
@@ -2800,5 +2856,5 @@ def run_case(spark, case_dir: str, to_df):
         exp_text = raw.decode("utf-8")
     except UnicodeDecodeError:
         exp_text = raw.decode("latin-1")
-    exp = parse_out(exp_text, ofmt, flatsep=flatsep)
+    exp = parse_out(exp_text, ofmt, flatsep=flatsep, ofs=ofs)
     return got, exp, ordered
