@@ -925,12 +925,91 @@ def q_image_features(spark, sf):
     return multimodal.image_features(d)
 
 
+def q_step_global(spark, sf):
+    """Ungrouped steppers — exercises the distributed global-order path
+    (equi-join lags + per-range-partition running sums with carries; no
+    single-task window)."""
+    e = _t(spark, sf, "events")
+    s = ev.step(e, ["shift", "delta", "rsum", "counter"], ["value"],
+                order_by=["ts", "event_id"])
+    return s.select(
+        "event_id",
+        F.col("value_shift").alias("shift_v"),
+        F.round("value_delta", 6).alias("delta_v"),
+        F.round("value_rsum", 4).alias("rsum_v"),
+        F.col("value_counter").alias("counter_v"),
+    )
+
+
+def q_slwin_global(spark, sf):
+    """Ungrouped sliding-window mean via global prefix-sum differences."""
+    e = _t(spark, sf, "events")
+    s = ev.slwin(e, "value", 2, 1, order_by=["ts", "event_id"])
+    return s.select("event_id", F.round("value_slwin_2_1", 6).alias("slwin_v"))
+
+
+def q_fill_down_global(spark, sf):
+    """Ungrouped fill-down via per-partition last-non-null carries."""
+    e = _t(spark, sf, "events").withColumn(
+        "v2", F.when(F.col("value") < 100, None).otherwise(F.col("value"))
+    )
+    return ev.fill_down(e, ["v2"], order_by=["ts", "event_id"]).select(
+        "event_id", "v2"
+    )
+
+
+def q_rank_global(spark, sf):
+    """Ungrouped competition rank via distinct-value prefix counts."""
+    li = _t(spark, sf, "lineitem")
+    return ev.rank(li, "l_quantity").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "rank"
+    )
+
+
+def q_stats1_windowed_global(spark, sf):
+    """Ungrouped trailing window via block+ghost duplication."""
+    e = _t(spark, sf, "events")
+    s = ev.stats1_windowed(e, ["mean", "min", "max"], ["value"], 5,
+                           order_by=["ts", "event_id"])
+    return s.select(
+        "event_id",
+        F.round("value_mean_5", 6).alias("wmean"),
+        F.col("value_min_5").alias("wmin"),
+        F.col("value_max_5").alias("wmax"),
+    )
+
+
+def q_uniq_records(spark, sf):
+    """`mlr uniq -a -c`: whole-record dedupe with counts (uniq.go:391)."""
+    o = _t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("count")
+    )
+
+
+def q_mad_global(spark, sf):
+    """Ungrouped mad — broadcast scalar mean, no full-frame window."""
+    li = _t(spark, sf, "lineitem")
+    return ev.mad(li, "l_quantity").select(
+        F.round("l_quantity_mad", 6).alias("mad")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's DuckDB correctness gate checks the
     # FIRST 50 keys. Round 1 green-checked the 50 keys now at the BACK;
     # this round front-loads the previously-unchecked entries (plus new
     # round-2 queries) so the gate covers fresh surface.
     return {
+        # round-2 scale-path queries first: the gate should green-check
+        # the de-single-tasked ungrouped order-dependent implementations
+        "step_global": q_step_global,
+        "slwin_global": q_slwin_global,
+        "fill_down_global": q_fill_down_global,
+        "rank_global": q_rank_global,
+        "stats1_windowed_global": q_stats1_windowed_global,
+        "uniq_records": q_uniq_records,
+        "mad_global": q_mad_global,
         "dsl_put": q_dsl_put,
         "dsl_filter": q_dsl_filter,
         "dsl_put_strings": q_dsl_put_strings,
@@ -1050,6 +1129,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "step_global": """
+            SELECT event_id,
+                   lag(value) OVER w AS shift_v,
+                   round(coalesce(value - lag(value) OVER w, 0), 6) AS delta_v,
+                   round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 4) AS rsum_v,
+                   count(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS counter_v
+            FROM events
+            WINDOW w AS (ORDER BY ts, event_id)
+        """,
+        "slwin_global": """
+            SELECT event_id,
+                   round(avg(value) OVER (ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING), 6) AS slwin_v
+            FROM events
+        """,
+        "fill_down_global": """
+            SELECT event_id,
+                   last_value(v2 IGNORE NULLS) OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v2
+            FROM (SELECT event_id, ts,
+                         CASE WHEN value < 100 THEN NULL ELSE value END AS v2
+                  FROM events)
+        """,
+        "rank_global": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   rank() OVER (ORDER BY l_quantity) AS rank
+            FROM lineitem
+        """,
+        "stats1_windowed_global": """
+            SELECT event_id,
+                   round(avg(value) OVER w, 6) AS wmean,
+                   min(value) OVER w AS wmin,
+                   max(value) OVER w AS wmax
+            FROM events
+            WINDOW w AS (ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "uniq_records": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS count
+            FROM orders GROUP BY 1, 2
+        """,
+        "mad_global": """
+            SELECT round(avg(abs(l_quantity -
+                   (SELECT avg(l_quantity) FROM lineitem))), 6) AS mad
+            FROM lineitem
+        """,
         "dsl_put": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
                    l_discount, l_returnflag,
@@ -1479,7 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "step_advanced": """
             SELECT event_id,
                    round(lead(value) OVER w, 6) AS lead_v,
-                   round(value / lag(value) OVER w, 6) AS ratio_v,
+                   coalesce(round(value / lag(value) OVER w, 6), 1) AS ratio_v,
                    round(value - first_value(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS fromfirst_v,
                    round(lag(value, 2) OVER w, 6) AS lag2_v,
                    round(coalesce(value - lag(value, 2) OVER w, 0), 6) AS delta2_v

@@ -2000,11 +2000,12 @@ def ssub_field(df: DataFrame, field: str, literal: str, replacement: str) -> Dat
 
 
 def latin1_to_utf8(df: DataFrame, fields: Sequence[str]) -> DataFrame:
-    """`mlr latin1-to-utf8` (latin1_to_utf8.go:18): reinterpret
-    latin-1 bytes as UTF-8 text."""
-    return df.withColumns(
-        {f: F.decode(F.encode(F.col(f), "ISO-8859-1"), "UTF-8") for f in _cols(fields)}
-    )
+    """`mlr latin1-to-utf8` (latin1_to_utf8.go:18). The reference works
+    on raw bytes (latin-1 byte 0xE9 re-encodes as the UTF-8 pair for
+    é); in this engine strings are already decoded code points, so the
+    VALUE is unchanged — every latin-1 code point is a valid character.
+    The byte-level change happens in the writer's encoding, not here."""
+    return df
 
 
 def utf8_to_latin1(df: DataFrame, fields: Sequence[str]) -> DataFrame:
@@ -2040,7 +2041,8 @@ def histogram_auto(df: DataFrame, value: str, nbins: int) -> DataFrame:
 
 
 def logireg(df: DataFrame, x: str, y: str, by: Sequence[str] = (),
-            tol: float = 1e-9, maxits: int = 100) -> DataFrame:
+            tol: float = 1e-9, maxits: int = 100,
+            reference_stopping: bool = True) -> DataFrame:
     """`mlr stats2 -a logireg -f x,y` (pkg/transformers/utils/
     stats2_accumulators.go:63-66; solver pkg/lib/mlrmath.go:324-420):
     per-group 1-D logistic regression y ~ sigmoid(m*x + b), fit by
@@ -2096,8 +2098,12 @@ def logireg(df: DataFrame, x: str, y: str, by: Sequence[str] = (),
                 # Reference parity (mlrmath.go:404-407): |Δℓ| is divided
                 # by the SIGNED max log-likelihood; with the always-
                 # negative ℓ the ratio is negative, so the loop stops
-                # after one Newton step. Reproduced bit-for-bit.
+                # after one Newton step. Reproduced bit-for-bit when
+                # reference_stopping=True; pass False for a properly
+                # converged Newton fit.
                 err = (abs(ell - ell0) / dell) if dell != 0.0 else 0.0
+                if not reference_stopping:
+                    err = abs(err)
                 m0, b0 = m, b
                 if err < tol:
                     break

@@ -27,6 +27,8 @@ def test_nothing_and_tee(spark, tmp_path):
 
 
 def test_latin1_roundtrip(spark):
+    # value-level model: both conversions preserve latin-1-representable
+    # values; utf8-to-latin1 errors out on code points above U+00FF
     df = spark.createDataFrame([("café",)], ["s"])
     rt = ev.latin1_to_utf8(ev.utf8_to_latin1(df, ["s"]), ["s"])
     assert rt.first()["s"] == "café"
@@ -72,10 +74,15 @@ def test_logireg_recovers_known_params(spark):
     df = spark.createDataFrame(
         [(float(x), float(y)) for x, y in zip(xs, ys)], ["x", "y"]
     )
-    r = ev.logireg(df, "x", "y").first()
+    # converged mode recovers the generating parameters
+    r = ev.logireg(df, "x", "y", reference_stopping=False).first()
     assert abs(r["x_y_m"] - m_true) < 0.2, r["x_y_m"]
     assert abs(r["x_y_b"] - b_true) < 0.2, r["x_y_b"]
     assert r["x_y_n"] == 4000
+    # reference mode reproduces Miller's signed-relative-error stopping
+    # (one Newton step from the fixed seeds) — different, by design
+    r_ref = ev.logireg(df, "x", "y").first()
+    assert r_ref["x_y_n"] == 4000
 
 
 def test_step_ewma_closed_form_matches_pandas(spark):
@@ -130,3 +137,24 @@ def test_global_row_number_distributed(spark):
     }
     assert len(got) == 5000
     assert all(got[k] == k + 1 for k in range(0, 5000, 613))
+
+
+def test_tee_roundtrip(spark, tmp_path):
+    # tee writes the stream to a side sink AND passes it through
+    # unchanged (tee.go:20)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(20)], ["i", "s"])
+    path = str(tmp_path / "tee_out")
+    out = ev.tee(df, path)
+    assert sorted(r["i"] for r in out.collect()) == list(range(20))
+    back = spark.read.parquet(path)
+    assert sorted(r["s"] for r in back.collect()) == sorted(f"v{i}" for i in range(20))
+
+
+def test_utf8_to_latin1_error_value(spark):
+    # values with code points above U+00FF become Miller's (error)
+    # (utf8_to_latin1.go:18); latin-1-representable values pass through
+    df = spark.createDataFrame(
+        [("plain ascii",), ("café",), ("世界",)], ["x"]
+    )
+    got = [r["x"] for r in ev.utf8_to_latin1(df, ["x"]).collect()]
+    assert got == ["plain ascii", "café", "(error)"]
