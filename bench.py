@@ -101,6 +101,25 @@ def build_benches(spark, sf_dir):
             F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("revenue")
         )
 
+    def b_dsl_put_lineitem():
+        # round 2: the Miller-DSL string compiles to ONE Catalyst
+        # projection (whole-stage codegen, no Python in the hot path)
+        from mlrsketch.dsl import put
+        return put(
+            li,
+            '$net = $l_extendedprice * (1 - $l_discount); '
+            '$tier = $l_quantity > 30 ? "bulk" : "retail"; '
+            '$tag = toupper($l_returnflag) . "-" . $l_linestatus',
+        )
+
+    def b_step_global_events():
+        # round 2: ungrouped order-dependent steppers on the distributed
+        # global-order path (range-partition prefix + broadcast offsets,
+        # no single-task window)
+        ev_t = load_table(spark, sf_dir, "events")
+        return ev.step(ev_t, ["shift", "delta", "rsum"], ["value"],
+                       order_by=["ts", "event_id"])
+
     def b_most_frequent_doc_tokens():
         tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
         return ev.most_frequent(tok, ["token"], n=20)
@@ -142,6 +161,8 @@ def build_benches(spark, sf_dir):
         "percentiles_lineitem": b_percentiles_lineitem,
         "top_orders": b_top_orders,
         "join_orders_cust_nation": b_join_orders_cust_nation,
+        "dsl_put_lineitem": b_dsl_put_lineitem,
+        "step_global_events": b_step_global_events,
         "most_frequent_doc_tokens": b_most_frequent_doc_tokens,
         "minhash_dedup_docs": b_minhash_dedup_docs,
         "pages_hll_url_by_lang": b_pages_hll_url_by_lang,

@@ -40,6 +40,12 @@ def _lit(v, t) -> TC:
     return TC(F.lit(v), t)
 
 
+def _fcol(name: str) -> Column:
+    """F.col by EXACT name: backtick-quote so dots in Miller field names
+    (e.g. `req.id` from flattened JSON) aren't parsed as struct access."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def _null_tc() -> TC:
     return TC(F.lit(None).cast("string"), "any")
 
@@ -816,7 +822,7 @@ class Env:
         cols = visible if visible is not None else df.columns
         for c, dt in df.dtypes:
             if c in cols:
-                self.fields[c] = TC(F.col(c), _dtype_t(dt))
+                self.fields[c] = TC(_fcol(c), _dtype_t(dt))
         self.order = [c for c in cols]
         self.locals: dict[str, TC] = {}
         self.filters: list[Column] = []
@@ -922,6 +928,22 @@ def compile_expr(node, env: Env) -> TC:
             return TC(res, "any")
     if kind == "binop":
         op = node[1]
+        if op == ".":
+            # Miller map-dot access on nested JSON ($req.headers.host,
+            # reference dsl-map-dot suite): under the flattened-column
+            # model the dotted chain IS the column name. Resolve a
+            # left-nested dot chain of field + bare identifiers to the
+            # flattened column when it exists; otherwise fall through to
+            # string-concat dot.
+            parts: list[str] = []
+            cur = node
+            while cur[0] == "binop" and cur[1] == "." and cur[3][0] == "var":
+                parts.append(cur[3][1])
+                cur = cur[2]
+            if cur[0] == "field" and parts:
+                dotted = ".".join([cur[1]] + list(reversed(parts)))
+                if dotted in env.fields:
+                    return env.fields[dotted]
         a = compile_expr(node[2], env)
         b = compile_expr(node[3], env)
         if op in ("+", "-", "*", "/", "//", "%", "**"):
@@ -1118,7 +1140,7 @@ def apply_program(
         sel.append(tc.col.alias(name))
     for c in exclude:
         if c in df.columns:
-            sel.append(F.col(c))
+            sel.append(_fcol(c))
     out = df.select(*sel)
 
     conds = list(env.filters)

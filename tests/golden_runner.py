@@ -25,7 +25,7 @@ class Unsupported(Exception):
     pass
 
 
-def _parse_pprint_lines(clines: list[str]) -> list[dict]:
+def _parse_pprint_lines(clines: list[str], dedupe: bool = True) -> list[dict]:
     """Positional pprint parse: Miller left-aligns and pads every column
     to its max width, so the header tokens' start offsets ARE the column
     boundaries — values containing spaces parse correctly."""
@@ -43,8 +43,17 @@ def _parse_pprint_lines(clines: list[str]) -> list[dict]:
             i = j
         else:
             i += 1
+    if dedupe:
+        toks = _dedupe_header(toks)
     recs = []
     for ln in clines[1:]:
+        # --right prints numeric columns right-aligned, breaking the
+        # start-offset slicing; when the simple whitespace split yields
+        # exactly one token per column (no embedded spaces) trust it
+        simple = ln.split()
+        if len(simple) == len(toks):
+            recs.append(dict(zip(toks, simple)))
+            continue
         rec = {}
         for k, name in enumerate(toks):
             lo = starts[k]
@@ -83,21 +92,121 @@ def _flatten_json_value(out: dict, key: str, v, sep: str):
         out[key] = str(v)
 
 
+def _ragged_zip(header: list[str] | None, vals: list[str], ragged: bool) -> dict:
+    """CSV row -> record. header None = implicit positional keys 1..n.
+    Ragged semantics (record_reader_csvlite.go): short rows leave the
+    trailing header keys ABSENT; long rows get positional keys n+1..."""
+    if header is None:
+        return {str(i + 1): v for i, v in enumerate(vals)}
+    if len(vals) != len(header) and not ragged:
+        raise Unsupported("ragged csv without --allow-ragged-csv-input")
+    rec = dict(zip(header, vals))
+    for j in range(len(header), len(vals)):
+        k = str(j + 1)
+        n = 2
+        while k in rec:  # positional key colliding with a named column
+            k = f"{j + 1}_{n}"
+            n += 1
+        rec[k] = vals[j]
+    return rec
+
+
+_TSV_UNESCAPES = {"\\t": "\t", "\\n": "\n", "\\r": "\r", "\\\\": "\\"}
+
+
+def _tsv_decode(v: str) -> str:
+    """Spec-TSV field decode: \\t \\n \\r \\\\ escapes (the reference's
+    record_reader_tsv; TSV fields cannot contain raw tab/newline)."""
+    if "\\" not in v:
+        return v
+    out, i = [], 0
+    while i < len(v):
+        two = v[i:i + 2]
+        if two in _TSV_UNESCAPES:
+            out.append(_TSV_UNESCAPES[two])
+            i += 2
+        else:
+            out.append(v[i])
+            i += 1
+    return "".join(out)
+
+
+def _dedupe_header(header: list[str]) -> list[str]:
+    """Duplicate CSV header names become name, name_2, name_3
+    (the reference's default --dedupe-field-names behavior)."""
+    seen: dict[str, int] = {}
+    out = []
+    for h in header:
+        n = seen.get(h, 0) + 1
+        seen[h] = n
+        out.append(h if n == 1 else f"{h}_{n}")
+    return out
+
+
 def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
-                  flatsep: str = ".") -> list[dict]:
+                  flatsep: str = ".", comment_skip: str | None = None,
+                  implicit_header: bool = False, ragged: bool = False,
+                  lite: bool = False, ips: str | None = None,
+                  codec: str | None = None, barred: bool = False,
+                  dedupe: bool = True, quoted_dkvp: bool = False) -> list[dict]:
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
+    ext = full.rsplit(".", 1)[-1].lower()
+    codec = codec or {"gz": "gz", "bz2": "bz2", "z": "z"}.get(ext)
+    if ext == "zst" or codec == "zst":
+        raise Unsupported("zstd input (no stdlib codec)")
+    if codec == "gz" or raw[:2] == b"\x1f\x8b":
+        import gzip
+        raw = gzip.decompress(raw)
+    elif codec == "bz2" or raw[:3] == b"BZh":
+        import bz2 as _bz2
+        raw = _bz2.decompress(raw)
+    elif codec == "z":
+        import zlib
+        raw = zlib.decompress(raw)
     try:
         text = raw.decode("utf-8")
     except UnicodeDecodeError:
         text = raw.decode("latin-1")
+    if barred:
+        # --barred-input: strip the +--+ frame and | separators, then
+        # parse as plain pprint
+        clean = []
+        for ln in text.splitlines():
+            if ln.lstrip().startswith("+-"):
+                continue
+            s = ln.strip()
+            if s.startswith("|"):
+                s = s.strip("|").replace(" | ", " ")
+            clean.append(s)
+        text = "\n".join(clean)
+    if text.startswith("﻿"):
+        text = text[1:]  # UTF-8 BOM (io-utf8-bom)
+    if comment_skip is not None:
+        # --skip-comments[-with]: drop comment LINES before any parse
+        text = "\n".join(
+            ln for ln in text.splitlines() if not ln.startswith(comment_skip)
+        )
     if icsv == "tsv":
         lines = [ln for ln in text.splitlines() if ln.strip() != ""]
         if not lines:
             return []
+
+        def _trow(ln):
+            # tsvlite takes bytes literally; spec-TSV decodes \t \n \\
+            if lite:
+                return ln.split("\t")
+            return [_tsv_decode(v) for v in ln.split("\t")]
+
+        if implicit_header:
+            return [_ragged_zip(None, _trow(ln), True) for ln in lines]
+        # header cells keep their escape text verbatim (spec-tsv: the
+        # reference decodes \t \n \\ only in DATA cells)
         header = lines[0].split("\t")
-        return [dict(zip(header, ln.split("\t"))) for ln in lines[1:]]
+        if dedupe:
+            header = _dedupe_header(header)
+        return [_ragged_zip(header, _trow(ln), ragged) for ln in lines[1:]]
     if icsv == "nidx":
         sep = ifs if ifs else None  # None -> any-whitespace split
         recs = []
@@ -143,7 +252,22 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             clines = [ln for ln in chunk.splitlines() if ln.strip()]
             if not clines:
                 continue
-            recs.extend(_parse_pprint_lines(clines))
+            if ifs:
+                # --ifs on pprint input: plain separator split
+                rows = [ln.split(ifs) for ln in clines]
+                if implicit_header:
+                    recs.extend(_ragged_zip(None, r, True) for r in rows)
+                else:
+                    hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
+                    recs.extend(_ragged_zip(hdr, r, ragged) for r in rows[1:])
+            elif implicit_header:
+                # --hi: every line is data; positional keys from a
+                # whitespace split (values with spaces unsupported here)
+                recs.extend(
+                    _ragged_zip(None, ln.split(), True) for ln in clines
+                )
+            else:
+                recs.extend(_parse_pprint_lines(clines, dedupe=dedupe))
         return recs
     if icsv == "xtab":
         recs, cur = [], {}
@@ -153,7 +277,12 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                     recs.append(cur)
                     cur = {}
                 continue
-            k, _, v = ln.partition(" ")
+            k, _, v = ln.partition(ips or " ")
+            if dedupe and k in cur:
+                n = 2
+                while f"{k}_{n}" in cur:
+                    n += 1
+                k = f"{k}_{n}"
             cur[k] = v.strip()
         if cur:
             recs.append(cur)
@@ -161,29 +290,104 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
     lines = [ln for ln in text.splitlines() if ln.strip() != ""]
     sep = ifs or ","
     if icsv:
-        if '"' in text:
-            import csv as _csv
+        import csv as _csv
+        import io as _io
 
-            rdr = list(_csv.reader(lines, delimiter=sep))
-            return [dict(zip(rdr[0], row)) for row in rdr[1:]]
-        header = lines[0].split(sep)
-        return [dict(zip(header, ln.split(sep))) for ln in lines[1:]]
+        if lite:
+            # csvlite (record_reader_csvlite.go): a blank line starts a
+            # fresh header block (heterogeneous input); no embedded
+            # newlines inside fields
+            recs: list[dict] = []
+            for chunk in text.split("\n\n"):
+                clines = [ln for ln in chunk.splitlines() if ln.strip() != ""]
+                if not clines:
+                    continue
+                rows = (
+                    list(_csv.reader(clines, delimiter=sep))
+                    if '"' in chunk
+                    else [ln.split(sep) for ln in clines]
+                )
+                if implicit_header:
+                    recs.extend(_ragged_zip(None, r, True) for r in rows)
+                else:
+                    hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
+                    recs.extend(
+                        _ragged_zip(hdr, r, ragged) for r in rows[1:]
+                    )
+            return recs
+        # RFC csv: ONE header; quoted fields may embed separators and
+        # newlines; a fully blank line is a record with one empty field
+        rows = list(_csv.reader(_io.StringIO(text), delimiter=sep))
+        rows = [r if r else [""] for r in rows]
+        while rows and rows[-1] == [""]:
+            rows.pop()  # trailing newline artifacts
+        if not rows:
+            return []
+        if implicit_header:
+            return [_ragged_zip(None, r, True) for r in rows]
+        hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
+        return [_ragged_zip(hdr, r, ragged) for r in rows[1:]]
     recs = []
+    kvsep = ips or "="
+
+    def _pairs(ln):
+        if not quoted_dkvp:
+            return ln.split(sep)
+        return _dkvpx_pairs(ln, sep)
+
+    def _unq(v):
+        return _dkvpx_unq(v) if quoted_dkvp else v
+
     for ln in lines:
         rec = {}
-        for idx, pair in enumerate(ln.split(sep)):
-            if "=" in pair:
-                k, _, v = pair.partition("=")
+        for idx, pair in enumerate(_pairs(ln)):
+            if kvsep in pair:
+                k, _, v = pair.partition(kvsep)
             else:
-                # DKVP pair without '=': positional key 1..n (Miller
-                # record_reader_dkvp semantics)
+                # DKVP pair without the k-v separator: positional key
+                # 1..n (Miller record_reader_dkvp semantics)
                 k, v = str(idx + 1), pair
-            rec[k] = v
+            if dedupe and k in rec:
+                n = 2
+                while f"{k}_{n}" in rec:
+                    n += 1
+                k = f"{k}_{n}"
+            rec[k] = _unq(v)
         recs.append(rec)
     return recs
 
 
-def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None) -> list[dict]:
+
+def _dkvpx_pairs(ln: str, sep: str) -> list[str]:
+    """dkvpx split: separators inside "..." are literal; "" escapes a
+    quote (record_reader_dkvp quoted mode)."""
+    parts, cur, inq = [], [], False
+    k = 0
+    while k < len(ln):
+        ch = ln[k]
+        if ch == '"':
+            inq = not inq
+            cur.append(ch)
+            k += 1
+        elif not inq and ln.startswith(sep, k):
+            parts.append("".join(cur))
+            cur = []
+            k += len(sep)
+        else:
+            cur.append(ch)
+            k += 1
+    parts.append("".join(cur))
+    return parts
+
+
+def _dkvpx_unq(v: str) -> str:
+    if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
+        return v[1:-1].replace('""', '"')
+    return v
+
+
+def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
+              quoted_dkvp: bool = False) -> list[dict]:
     if fmt == "jsonl":
         import json as _json
 
@@ -205,12 +409,40 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None) -
             clines = [ln for ln in chunk.splitlines() if ln.strip()]
             if not clines:
                 continue
-            header = clines[0].split("\t")
-            recs.extend(dict(zip(header, ln.split("\t"))) for ln in clines[1:])
+            # the tsv WRITER escapes tab/newline/backslash in keys too,
+            # so decode the header here (the reader keeps input header
+            # text verbatim — see _read_records)
+            header = [_tsv_decode(v) for v in clines[0].split("\t")]
+            recs.extend(
+                dict(zip(header, (_tsv_decode(v) for v in ln.split("\t"))))
+                for ln in clines[1:]
+            )
+        return recs
+    if fmt == "markdown":
+        # | a | b | / | --- | --- | / | 1 | 2 |  (fresh table per
+        # schema-change block)
+        recs = []
+        header: list[str] | None = None
+        for ln in text.splitlines():
+            s = ln.strip()
+            if not s.startswith("|"):
+                header = None
+                continue
+            cells = [
+                c.strip().replace("\\|", "|")
+                for c in _re.split(r"(?<!\\)\|", s.strip("|"))
+            ]
+            if all(_re.fullmatch(r":?-+:?", c) for c in cells):
+                continue  # the --- / ---: alignment separator row
+            if header is None:
+                header = cells
+            else:
+                recs.append(dict(zip(header, cells)))
         return recs
     if fmt == "nidx":
         return [
-            {str(i + 1): v for i, v in enumerate(ln.split())}
+            {str(i + 1): v
+             for i, v in enumerate(ln.split(ofs) if ofs else ln.split())}
             for ln in text.splitlines()
             if ln.strip()
         ]
@@ -255,20 +487,48 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None) -
             clines = [ln for ln in chunk.splitlines() if ln.strip()]
             if not clines:
                 continue
-            recs.extend(_parse_pprint_lines(clines))
+            if ofs and ofs != " ":
+                # --ofs on pprint output: separator-joined lines; the
+                # column PADDING is still applied, so strip each cell
+                rows = [[c.strip() for c in ln.split(ofs)] for ln in clines]
+                recs.extend(dict(zip(rows[0], r)) for r in rows[1:])
+            else:
+                recs.extend(_parse_pprint_lines(clines))
         return recs
     if fmt == "csv":
-        # csvlite emits a fresh header block after a blank line when the
-        # record schema changes (het output)
+        import csv as _csv
+        import io as _io
+
+        # Parse with a real CSV reader (RFC quoting, embedded newlines).
+        # Blank rows mean het-schema blocks: csv/csvlite writers emit a
+        # blank line + fresh header when the record schema changes.
+        all_rows = list(_csv.reader(_io.StringIO(text), delimiter=","))
+        while all_rows and all_rows[-1] == []:
+            all_rows.pop()
         recs = []
-        for chunk in text.split("\n\n"):
-            clines = [ln for ln in chunk.splitlines() if ln.strip()]
-            if not clines:
+        block: list[list[str]] = []
+        for row in all_rows + [[]]:
+            if not row:
+                if block:
+                    recs.extend(dict(zip(block[0], r)) for r in block[1:])
+                    block = []
                 continue
-            header = clines[0].split(",")
-            recs.extend(dict(zip(header, ln.split(","))) for ln in clines[1:])
+            block.append(row)
         return recs
     if fmt == "xtab":
+        if ofs and ofs not in ("\n", " "):
+            # xtab --ofs replaces the NEWLINE between k-v lines; a
+            # doubled separator is the record boundary
+            recs = []
+            for chunk in text.replace("\n", "").split(ofs + ofs):
+                cur = {}
+                for pair in chunk.split(ofs):
+                    if pair.strip():
+                        k, _, v = pair.partition(" ")
+                        cur[k] = v.strip()
+                if cur:
+                    recs.append(cur)
+            return recs
         recs, cur = [], {}
         for ln in text.splitlines():
             if not ln.strip():
@@ -285,9 +545,11 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None) -
     recs = []
     for ln in lines:
         rec = {}
-        for pair in ln.split(ofs or ","):
+        pairs = (_dkvpx_pairs(ln, ofs or ",") if quoted_dkvp
+                 else ln.split(ofs or ","))
+        for pair in pairs:
             k, _, v = pair.partition("=")
-            rec[k] = v
+            rec[k] = _dkvpx_unq(v) if quoted_dkvp else v
         recs.append(rec)
     return recs
 
@@ -417,6 +679,21 @@ def v_tail(df, argv):
             .drop("__rn")
         )
     n = abs(int(raw))  # tail.go:142: negative count means its absolute value
+    if by and "__ord" in d.columns:
+        # tail.go buffers per-group lists in an insertion-ordered map and
+        # emits at end-of-stream: groups CONTIGUOUS in first-appearance
+        # order (set by the FULL stream, evicted records included),
+        # records within each group in stream order
+        from pyspark.sql import Window as W
+        d = d.withColumn("__gord", F.min("__ord").over(W.partitionBy(*by)))
+        out = ev.tail(d, n, by=by, order_by=["__ord"])
+        return (
+            out.withColumn(
+                "__ord",
+                F.row_number().over(W.partitionBy().orderBy("__gord", "__ord")),
+            )
+            .drop("__gord")
+        )
     return ev.tail(d, n, by=by, order_by=["__ord"])
 
 
@@ -1277,6 +1554,8 @@ def v_fill_down(df, argv):
         raise Unsupported("fill-down --only-if-blank")
     fields = df.columns if fl.get("--all") else _csl(fl["-f"])
     fields = [f_ for f_ in fields if f_ != "__ord" and f_ in df.columns]
+    if not fields:
+        return df  # fill-down on absent fields: records pass through
     if not fl.get("-a"):
         # default fills absent OR void (golden verb-fill-down/0001);
         # -a restricts to absent-only (0002)
@@ -1984,13 +2263,21 @@ from mlrsketch.dsl.parser import DslSyntaxError, DslUnsupported
 
 def _dsl_program(argv, case_dir=None):
     """Extract the program text: inline positional or `-f file`."""
-    # -v (print parser AST and run) and -F (Miller-5 compat) are no-ops
+    # -F (Miller-5 compat) is a no-op
     fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
                             "-v": 0, "-F": 0})
     if fl.get("-q"):
         raise Unsupported("put -q (emit-only output)")
+    if fl.get("-v"):
+        # -v prints the parser AST to stdout BEFORE the records; the
+        # expout mixes that text with data, outside the value-level model
+        raise Unsupported("put -v (AST dump in expout)")
     if "-s" in fl:
         raise Unsupported("put -s presets")
+    if str(fl.get("-e", "")).startswith("-"):
+        # `put -e -f file`: the reference's getopt takes "-f" itself as
+        # the -e expression text (a CLI quirk, dsl-multipart-scripts/0004)
+        raise Unsupported("put -e consuming a flag token")
     if "-f" in fl:
         path = fl["-f"]
         full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
@@ -2593,6 +2880,11 @@ for _a, _af in _FMT_LETTERS.items():
         _FMT_FLAGS.setdefault(f"--{_a}2{_b}", (_af, _bf))
 
 
+# separator aliases; "auto" means autodetect = each format's default
+_SEP_NAMES = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
+              "semicolon": ";", "auto": None}
+
+
 def run_case(spark, case_dir: str, to_df):
     """Execute one golden case; returns (got_records, exp_records).
     Raises Unsupported for anything outside the interpreter's surface."""
@@ -2624,32 +2916,56 @@ def run_case(spark, case_dir: str, to_df):
     ofs = None
     ofmt_num = None
     flatsep = "."
+    comment_skip = None
+    implicit_header = False
+    headerless_out = False
+    ragged = False
+    ilite = False
+    olite = False
+    ips = None
+    dedupe_names = True
+    forced_codec = None
+    barred_input = False
+    igen = False
+    gen_field = "i"
+    gen_params = {"start": 1, "stop": 100, "step": 1}
+    quoted_dkvp = False
     while i < len(argv):
         a = argv[i]
         if a in _FMT_FLAGS:
             fi, fo = _FMT_FLAGS[a]
             ifmt, ofmt = fi or ifmt, fo or ofmt
+            if "lite" in a:
+                ilite = ilite or bool(fi)
+                olite = olite or bool(fo)
             i += 1
         elif a in ("-i", "-o", "--io"):
+            if argv[i + 1] == "dkvpx":
+                if a in ("-i", "--io"):
+                    ifmt = "dkvp"
+                    quoted_dkvp = True
+                if a in ("-o", "--io"):
+                    ofmt = "dkvp"
+                i += 2
+                continue
             f_ = _FMT_NAMES.get(argv[i + 1])
             if f_ is None:
                 raise Unsupported(f"global {a} {argv[i + 1]}")
             if a in ("-i", "--io"):
                 ifmt = f_
+                ilite = ilite or "lite" in argv[i + 1]
             if a in ("-o", "--io"):
                 ofmt = f_
+                olite = olite or "lite" in argv[i + 1]
             i += 2
         elif a == "--ifs":
-            ifs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
-                   "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            ifs = _SEP_NAMES.get(argv[i + 1], argv[i + 1])
             i += 2
         elif a == "--ofs":
-            ofs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
-                   "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            ofs = _SEP_NAMES.get(argv[i + 1], argv[i + 1])
             i += 2
         elif a == "--fs":
-            ifs = ofs = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
-                         "semicolon": ";"}.get(argv[i + 1], argv[i + 1])
+            ifs = ofs = _SEP_NAMES.get(argv[i + 1], argv[i + 1])
             i += 2
         elif a in ("--jvstack", "--no-jvstack", "--jlistwrap", "--no-jlistwrap"):
             i += 1  # JSON output layout only; json.loads doesn't care
@@ -2670,14 +2986,96 @@ def run_case(spark, case_dir: str, to_df):
         elif a == "--ofmt":
             ofmt_num = argv[i + 1]  # applied to float outputs at collect
             i += 2
+        elif a in ("--irs", "--ors", "--rs"):
+            # record separators: splitlines() handles lf/crlf/cr
+            # universally, so these are value-level no-ops
+            if argv[i + 1] not in ("auto", "lf", "crlf", "cr", "\\n", "\n"):
+                raise Unsupported(f"record separator {argv[i + 1]}")
+            i += 2
+        elif a == "--skip-comments":
+            comment_skip = "#"
+            i += 1
+        elif a == "--skip-comments-with":
+            comment_skip = argv[i + 1]
+            i += 2
+        elif a in ("--pass-comments", "--pass-comments-with"):
+            # comment lines are copied to stdout interleaved with the
+            # records; the record-level compare can't express that
+            raise Unsupported("pass-comments (text interleaved in expout)")
+        elif a in ("--implicit-csv-header", "--headerless-csv-input",
+                   "--hi", "--implicit-header", "--implicit-tsv-header"):
+            implicit_header = True
+            i += 1
+        elif a in ("--headerless-csv-output", "--ho",
+                   "--headerless-tsv-output"):
+            headerless_out = True
+            i += 1
+        elif a in ("--allow-ragged-csv-input", "--ragged",
+                   "--allow-ragged-tsv-input"):
+            ragged = True
+            i += 1
+        elif a == "-N":
+            # shorthand for --implicit-csv-header + --headerless-csv-output
+            implicit_header = True
+            headerless_out = True
+            i += 1
+        elif a == "--ips":
+            ips = {"tab": "\t", "comma": ",", "space": " ", "colon": ":",
+                   "equals": "=", "semicolon": ";", "pipe": "|"}.get(
+                argv[i + 1], argv[i + 1])
+            i += 2
+        elif a in ("--right-align-numeric", "--right"):
+            i += 1  # pprint alignment only; value-level no-op
+        elif a in ("--no-dedupe-field-names",):
+            dedupe_names = False
+            i += 1
+        elif a in ("--gzin", "--bz2in", "--zin"):
+            forced_codec = {"--gzin": "gz", "--bz2in": "bz2", "--zin": "z"}[a]
+            i += 1
+        elif a == "--barred-input":
+            barred_input = True
+            i += 1
+        elif a == "--ojsonl":
+            ofmt = "jsonl"
+            i += 1
+        elif a == "--ijsonl":
+            ifmt = "jsonl"
+            i += 1
+        elif a == "--jsonl":
+            ifmt = ofmt = "jsonl"
+            i += 1
+        elif a == "--omd":
+            ofmt = "markdown"
+            i += 1
+        elif a == "-j":
+            ifmt = ofmt = "json"
+            i += 1
+        elif a == "--igen":
+            igen = True
+            i += 1
+        elif a == "--gen-field-name":
+            igen = True
+            gen_field = argv[i + 1]
+            i += 2
+        elif a in ("--gen-start", "--gen-stop", "--gen-step"):
+            igen = True
+            gen_params[a[6:]] = int(argv[i + 1])
+            i += 2
+        elif a in ("--dkvpx", "--idkvpx", "--odkvpx"):
+            if a != "--odkvpx":
+                ifmt = "dkvp"
+                quoted_dkvp = True
+            if a != "--idkvpx":
+                ofmt = "dkvp"
+            i += 1
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
             break
         continue
 
-    if ifmt == "markdown" or ofmt == "markdown":
-        raise Unsupported("markdown format")
+    if ifmt == "markdown":
+        raise Unsupported("markdown input format")
     rest = argv[i:]
 
     # split on `then`
@@ -2713,7 +3111,7 @@ def run_case(spark, case_dir: str, to_df):
     # walked right-to-left, so reverse to restore cmd order)
     files = files + list(reversed(popped))
 
-    if not files and not no_input and chains[0][0] != "seqgen":
+    if not files and not no_input and not igen and chains[0][0] != "seqgen":
         raise Unsupported("no input file resolved")
 
     has_dsl = any(chain and chain[0] in ("put", "filter") for chain in chains)
@@ -2733,15 +3131,38 @@ def run_case(spark, case_dir: str, to_df):
         for chain in chains
     )
     spark_df = None
+    if igen and not files:
+        # --igen pseudo-reader (reference record_reader_gen): counts
+        # gen_field from start to stop inclusive by step
+        start, stop, step = (gen_params["start"], gen_params["stop"],
+                             gen_params["step"])
+        if step == 0:
+            raise Unsupported("igen step 0")
+        seq = range(start, stop + (1 if step > 0 else -1), step)
+        recs = [{gen_field: str(v)} for v in seq]
+        if not recs:
+            with open(os.path.join(case_dir, "expout"), "rb") as f:
+                exp_text = f.read().decode("utf-8", "replace")
+            return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+        spark_df = to_df(spark, recs, infer=True)
     if files:
         recs: list[dict] = []
         for fidx, f_ in enumerate(files):
             rs = _read_records(
                 f_,
                 icsv=(ifmt if ifmt in ("xtab", "pprint", "tsv", "nidx") else ifmt == "csv"),
-                jsonin=(ifmt == "json"),
+                jsonin=(ifmt in ("json", "jsonl")),
                 ifs=ifs,
                 flatsep=flatsep,
+                comment_skip=comment_skip,
+                implicit_header=implicit_header,
+                ragged=ragged,
+                lite=ilite,
+                ips=ips,
+                codec=forced_codec,
+                barred=barred_input,
+                dedupe=dedupe_names,
+                quoted_dkvp=quoted_dkvp,
             )
             if needs_filectx:
                 for j, r in enumerate(rs):
@@ -2856,5 +3277,47 @@ def run_case(spark, case_dir: str, to_df):
         exp_text = raw.decode("utf-8")
     except UnicodeDecodeError:
         exp_text = raw.decode("latin-1")
-    exp = parse_out(exp_text, ofmt, flatsep=flatsep, ofs=ofs)
+    if ofmt == "nidx":
+        # nidx output prints VALUES only (keys dropped); compare
+        # positionally on both sides
+        got = [
+            {str(i + 1): v
+             for i, v in enumerate(v for v in r.values() if v is not None)}
+            for r in got
+        ]
+        exp = parse_out(exp_text, "nidx", flatsep=flatsep, ofs=ofs)
+        return got, exp, ordered
+    if headerless_out and ofmt == "pprint":
+        # -N / --ho with pprint: value rows only, whitespace-joined
+        got = [
+            {str(i + 1): v
+             for i, v in enumerate(v for v in r.values() if v is not None)}
+            for r in got
+        ]
+        exp = [
+            {str(i + 1): v for i, v in enumerate(ln.split())}
+            for ln in exp_text.splitlines()
+            if ln.strip() != ""
+        ]
+        return got, exp, ordered
+    if headerless_out and ofmt in ("csv", "tsv"):
+        # --headerless-csv-output: rows only, keys gone. Compare
+        # positionally: our records -> keys 1..n in column order, expout
+        # lines -> the same positional keys.
+        sep = "\t" if ofmt == "tsv" else ","
+        got = [
+            {str(i + 1): v
+             for i, (k, v) in enumerate(
+                 (k, v) for k, v in r.items() if v is not None
+             )}
+            for r in got
+        ]
+        exp = [
+            {str(i + 1): v for i, v in enumerate(ln.split(sep))}
+            for ln in exp_text.splitlines()
+            if ln.strip() != ""
+        ]
+        return got, exp, ordered
+    exp = parse_out(exp_text, ofmt, flatsep=flatsep, ofs=ofs,
+                    quoted_dkvp=(quoted_dkvp and ofmt == "dkvp"))
     return got, exp, ordered
