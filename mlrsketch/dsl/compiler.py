@@ -600,6 +600,83 @@ def _format(args: list[TC], raw) -> TC:
     return TC(F.concat(*pieces), "str")
 
 
+def _int_scan(s: Column) -> Column:
+    """Miller's integer literal scan over a string column: decimal,
+    0x/0X hex, 0b/0B binary, leading-0 octal (pkg/lib/mlrval parse);
+    NULL when the string is not an int literal."""
+    sign = F.when(s.startswith("-"), F.lit(-1)).otherwise(F.lit(1)).cast("long")
+    body = F.regexp_replace(s, r"^[-+]", "")
+    return (
+        F.when(body.rlike(r"^0[xX][0-9a-fA-F]+$"),
+               F.conv(F.regexp_replace(body, r"^0[xX]", ""), 16, 10).try_cast("long") * sign)
+        .when(body.rlike(r"^0[bB][01]+$"),
+              F.conv(F.regexp_replace(body, r"^0[bB]", ""), 2, 10).try_cast("long") * sign)
+        .when(body.rlike(r"^0[0-7]+$"), F.conv(body, 8, 10).try_cast("long") * sign)
+        .when(body.rlike(r"^[0-9]+$"), body.try_cast("long") * sign)
+    )
+
+
+def _cast_int(a: TC) -> TC:
+    """int(x): ints pass through; floats truncate toward zero; bools
+    0/1; strings must be INT literals (a float-looking string is
+    (error), reference dsl-type-reflect/0001)."""
+    if a.t == "int":
+        return a
+    if a.t == "float":
+        return TC(a.col.try_cast("long"), "int")
+    if a.t == "bool":
+        return TC(F.when(a.col, 1).otherwise(0).cast("long"), "int")
+    s = a.col.cast("string")
+    i = _int_scan(s)
+    res = (
+        F.when(s.isNull(), F.lit(None))
+        .when(i.isNotNull(), i.cast("string"))
+        .otherwise(F.lit(_ERROR))
+    )
+    return TC(res, "any")
+
+
+def _cast_float(a: TC) -> TC:
+    """float(x): numbers widen; bools 0/1; strings must parse as a
+    number (int literals in any base count); else (error)."""
+    if a.t in ("float", "num"):
+        return a
+    if a.t == "int":
+        return TC(a.col.cast("double"), "float")
+    if a.t == "bool":
+        return TC(F.when(a.col, 1.0).otherwise(0.0), "float")
+    s = a.col.cast("string")
+    d = F.coalesce(s.try_cast("double"), _int_scan(s).cast("double"))
+    res = (
+        F.when(s.isNull(), F.lit(None))
+        .when(s.rlike(r"^(true|false)$"), F.lit(_ERROR))
+        .when(d.isNotNull(), _num_str(d))
+        .otherwise(F.lit(_ERROR))
+    )
+    return TC(res, "any")
+
+
+def _cast_boolean(a: TC) -> TC:
+    """boolean(x): bools pass; numbers are 0=false else true; only the
+    strings "true"/"false" convert — numeric strings are (error)."""
+    if a.t == "bool":
+        return a
+    if a.t in _NUMERIC:
+        return TC(a.col != 0, "bool")
+    s = a.col.cast("string")
+    # string-column values re-infer per value (CSV/NIDX data arrives as
+    # strings): numeric strings act as numbers, like carrier arithmetic
+    n = F.coalesce(s.try_cast("double"), _int_scan(s).cast("double"))
+    res = (
+        F.when(s.isNull(), F.lit(None))
+        .when(s == "true", F.lit("true"))
+        .when(s == "false", F.lit("false"))
+        .when(n.isNotNull(), F.when(n != 0, "true").otherwise("false"))
+        .otherwise(F.lit(_ERROR))
+    )
+    return TC(res, "any")
+
+
 def _pad_repeats(a: list) -> Column:
     """Whole-pad-string repetitions for leftpad/rightpad
     (bifs/strings.go:266-268): while out+padlen <= target."""
@@ -720,11 +797,13 @@ _FUNCS = {
     ),
     "min": _minmax(False),
     "max": _minmax(True),
-    # casts
-    "int": lambda a, r: TC(to_num(a[0]).try_cast("long"), "int"),
-    "float": lambda a, r: TC(to_num(a[0]).cast("double"), "float"),
+    # casts (reference pkg/bifs/types.go: int/float/boolean return
+    # (error) for non-convertible strings; int scans 0x/0b/leading-0
+    # octal like Miller's number inference; a 2nd arg to int is ignored)
+    "int": lambda a, r: _cast_int(a[0]),
+    "float": lambda a, r: _cast_float(a[0]),
     "string": lambda a, r: TC(to_str(a[0]), "str"),
-    "boolean": lambda a, r: TC(to_bool(a[0]), "bool"),
+    "boolean": lambda a, r: _cast_boolean(a[0]),
     # type predicates
     "typeof": lambda a, r: _typeof(a[0], r[0] if r else None),
     "is_present": _is_pred(lambda a: a.col.isNotNull()),
@@ -1042,6 +1121,8 @@ _OPASSIGN_BASE = {
 
 def _assign(env: Env, target, value: TC, cond: Column | None):
     tkind, tname = target[0], target[1]
+    if tkind not in ("var", "field"):
+        raise DslUnsupported(f"assignment target {tkind}")
     if tkind == "var":
         if cond is not None:
             old = env.locals.get(tname) or _null_tc()
@@ -1071,8 +1152,16 @@ def compile_stmts(stmts, env: Env, cond: Column | None = None):
                 rhs = ("binop", base, target, rhs)
             value = compile_expr(rhs, env)
             _assign(env, target, value, cond)
+        elif kind == "decl":
+            # typed local declaration: var/str/num/... name [= expr]
+            _typ, name, rhs = st[1], st[2], st[3]
+            value = compile_expr(rhs, env) if rhs is not None else _null_tc()
+            _assign(env, ("var", name), value, cond)
         elif kind == "unset":
-            for name in st[1]:
+            for tgt in st[1]:
+                if not (isinstance(tgt, tuple) and tgt[0] == "field"):
+                    raise DslUnsupported(f"unset target {tgt!r}")
+                name = tgt[1]
                 if name not in env.fields:
                     continue
                 if cond is None:

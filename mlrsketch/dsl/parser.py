@@ -1,4 +1,4 @@
-"""Lexer + Pratt parser for the Miller DSL scalar subset.
+"""Lexer + Pratt parser for the Miller DSL — full grammar.
 
 Grammar reference: /root/reference/pkg/parsing/mlr.bnf; operator
 precedence per the reference docs (reference-dsl-operators.md), highest
@@ -21,19 +21,47 @@ first:
     ||                      left
     ?:                      right
 
+The parser accepts the whole language (oosvars, blocks, loops, emit
+family, user functions, map/array literals).  Consumers decide what they
+can execute: the Column compiler (compiler.py) raises DslUnsupported on
+cross-record constructs; the stream interpreter (interp.py) handles
+everything.
+
 AST nodes are plain tuples:
-    ("int", v) ("float", v) ("str", v) ("bool", v)
-    ("field", name) ("var", name) ("ctx", name)      # NR/NF/FILENAME/M_PI...
+    ("int", v) ("float", v) ("str", v) ("bool", v) ("null",)
+    ("field", name) ("fieldstar",) ("fieldexpr", e)
+    ("oosvar", name) ("oosvarstar",)
+    ("var", name) ("ctx", name)      # NR/NF/FILENAME/M_PI...
+    ("maplit", [(kexpr, vexpr), ...]) ("arraylit", [exprs])
+    ("index", base, idx) ("slice", base, lo|None, hi|None)
     ("unop", op, a) ("binop", op, a, b) ("ternary", c, a, b)
     ("call", fname, [args])
-    ("match", a, pattern, case_insensitive, negate)   # =~ / !=~ with literal pattern
+    ("match", a, pattern, case_insensitive, negate)   # =~ with literal
+    ("env",)                          # the ENV map
 
 Statements:
     ("assign", op, target_node, expr)   # op in {"=", "+=", ...}
-    ("unset", [field names])
+    ("decl", type, name, expr|None)     # var/str/num/int/float/bool/map/arr
+    ("unset", [target nodes])           # ("all",) clears both $* and @*
     ("filter", expr)
     ("if", [(cond, stmts), ...], else_stmts)
     ("bare", expr)                      # expression statement
+    ("for_kv", [keyvars], valvar|None, expr, body)
+    ("for_c", init_stmts, cond, update_stmts, body)
+    ("while", cond, body) ("dowhile", body, cond)
+    ("break",) ("continue",) ("return", expr|None)
+    ("emit", variant, redirect, [emittables], [name exprs])
+        variant in {"emit","emitp","emitf","emit1"}
+        redirect = (op, target_expr) | None;  op in {">",">>","|"}
+        target_expr may be ("ctx","stderr"/"stdout")
+    ("tee", redirect, expr)
+    ("print", where, redirect, expr|None, newline)  # where in {out,err}
+    ("dump", where, redirect, expr|None)
+    ("call_subr", name, [args])
+
+Top level (parse_full_program):
+    ("program", funcs, subrs, begins, mains, ends)
+    funcs/subrs: {name: (params, body)}; params = [(type|None, name)]
 """
 
 from __future__ import annotations
@@ -44,7 +72,7 @@ class DslSyntaxError(Exception):
 
 
 class DslUnsupported(Exception):
-    """Construct outside the Column-compilable subset."""
+    """Construct outside the executing engine's subset."""
 
 
 # --------------------------------------------------------------------------
@@ -67,7 +95,7 @@ _KEYWORDS = {
     "begin", "end", "filter", "unset", "emit", "emitp", "emitf", "emit1",
     "tee", "print", "printn", "eprint", "eprintn", "dump", "edump", "call",
     "true", "false", "var", "str", "num", "int", "float", "bool", "map",
-    "arr", "in", "break", "continue",
+    "arr", "in", "break", "continue", "null", "all", "ENV",
 }
 
 _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
@@ -75,8 +103,9 @@ _ID_CHARS = _ID_START | set("0123456789")
 
 
 def tokenize(src: str) -> list[tuple[str, object]]:
-    """Returns list of (kind, value); kinds: NUM, STR, FIELD, OOSVAR,
-    IDENT, KW, OP, REGEXI (string literal with trailing i flag)."""
+    """Returns list of (kind, value); kinds: NUM, STR, FIELD, FIELDSTAR,
+    OOSVAR, OOSVARSTAR, IDENT, KW, OP, REGEXI (string literal with
+    trailing i flag)."""
     toks: list[tuple[str, object]] = []
     i, n = 0, len(src)
     while i < n:
@@ -126,7 +155,9 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             continue
         if c == "$":
             if src[i : i + 2] == "$*":
-                raise DslUnsupported("$* record reference")
+                toks.append(("FIELDSTAR", None))
+                i += 2
+                continue
             if src[i : i + 2] == "${":
                 j = src.find("}", i + 2)
                 if j < 0:
@@ -135,7 +166,11 @@ def tokenize(src: str) -> list[tuple[str, object]]:
                 i = j + 1
                 continue
             if src[i : i + 2] == "$[":
-                raise DslUnsupported("computed field name $[...]")
+                # computed field name $[expr]; also the ${...} braced
+                # form with [[n]]/[[[n]]] positional references
+                toks.append(("OP", "$["))
+                i += 2
+                continue
             j = i + 1
             while j < n and src[j] in _ID_CHARS:
                 j += 1
@@ -145,7 +180,29 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             i = j
             continue
         if c == "@":
-            raise DslUnsupported("oosvar (@) — cross-record state")
+            if src[i : i + 2] == "@*":
+                toks.append(("OOSVARSTAR", None))
+                i += 2
+                continue
+            if src[i : i + 2] == "@{":
+                j = src.find("}", i + 2)
+                if j < 0:
+                    raise DslSyntaxError("unterminated @{...}")
+                toks.append(("OOSVAR", src[i + 2 : j]))
+                i = j + 1
+                continue
+            if src[i : i + 2] == "@[":
+                toks.append(("OP", "@["))
+                i += 2
+                continue
+            j = i + 1
+            while j < n and src[j] in _ID_CHARS:
+                j += 1
+            if j == i + 1:
+                raise DslSyntaxError(f"bare @ at {i}")
+            toks.append(("OOSVAR", src[i + 1 : j]))
+            i = j
+            continue
         if c.isdigit() or (c == "." and i + 1 < n and src[i + 1].isdigit()):
             j = i
             if src[i : i + 2].lower() in ("0x", "0b", "0o"):
@@ -251,6 +308,8 @@ _BP = {
     "?": (20, 19),  # ternary, right-assoc
 }
 
+_INDEX_BP = 95  # postfix [ ... ] binds tighter than any binary op
+
 _UNARY_BP = 80
 
 _ASSIGN_OPS = {
@@ -259,7 +318,10 @@ _ASSIGN_OPS = {
 }
 
 _CTX_NAMES = {"NR", "NF", "FNR", "FILENAME", "FILENUM", "M_PI", "M_E", "IPS",
-              "IFS", "IRS", "OPS", "OFS", "ORS"}
+              "IFS", "IRS", "OPS", "OFS", "ORS", "FLATSEP", "stdout", "stderr"}
+
+_TYPE_KWS = ("var", "str", "num", "int", "float", "bool", "map", "arr",
+             "funct")
 
 
 class _Parser:
@@ -287,7 +349,32 @@ class _Parser:
         left = self.nud()
         while True:
             k, v = self.peek()
-            if k != "OP" or v not in _BP:
+            if k != "OP":
+                break
+            if v == "[":
+                # postfix index / slice
+                self.next()
+                if self.peek() == ("OP", ":"):
+                    self.next()
+                    hi = self.expr(0)
+                    self.expect_op("]")
+                    left = ("slice", left, None, hi)
+                    continue
+                idx = self.expr(0)
+                if self.peek() == ("OP", ":"):
+                    self.next()
+                    if self.peek() == ("OP", "]"):
+                        self.next()
+                        left = ("slice", left, idx, None)
+                        continue
+                    hi = self.expr(0)
+                    self.expect_op("]")
+                    left = ("slice", left, idx, hi)
+                    continue
+                self.expect_op("]")
+                left = ("index", left, idx)
+                continue
+            if v not in _BP:
                 break
             lbp, next_rbp = _BP[v]
             if lbp <= rbp:
@@ -325,21 +412,57 @@ class _Parser:
             return ("regexi", v)
         if k == "FIELD":
             return ("field", v)
+        if k == "FIELDSTAR":
+            return ("fieldstar",)
+        if k == "OOSVAR":
+            return ("oosvar", v)
+        if k == "OOSVARSTAR":
+            return ("oosvarstar",)
         if k == "KW" and v in ("true", "false"):
             return ("bool", v == "true")
+        if k == "KW" and v == "null":
+            return ("null",)
+        if k == "KW" and v == "ENV":
+            return ("env",)
+        if k == "KW" and v in _TYPE_KWS:
+            # type name used as a cast-style function: int(...), float(...)
+            nk, nv = self.peek()
+            if nk == "OP" and nv == "(":
+                self.next()
+                args = self._call_args()
+                return ("call", v, args)
+            raise DslSyntaxError(f"unexpected keyword {v}")
+        if k == "KW" and v == "func":
+            # anonymous function literal: func(a, b) { ... } — passed to
+            # sort/apply/fold/reduce (reference-dsl higher-order funcs)
+            self.expect_op("(")
+            params = []
+            if self.peek() != ("OP", ")"):
+                while True:
+                    ptype = None
+                    k1, v1 = self.peek()
+                    if k1 == "KW" and v1 in _TYPE_KWS:
+                        self.next()
+                        ptype = v1
+                    k2, v2 = self.next()
+                    if k2 != "IDENT":
+                        raise DslSyntaxError(f"expected parameter, got {v2!r}")
+                    params.append((ptype, v2))
+                    if self.peek() == ("OP", ","):
+                        self.next()
+                        continue
+                    break
+            self.expect_op(")")
+            if self.peek() == ("OP", ":"):
+                self.next()
+                self.next()  # return type annotation, ignored
+            body = self.block()
+            return ("funclit", params, body)
         if k == "IDENT":
             nk, nv = self.peek()
             if nk == "OP" and nv == "(":
                 self.next()
-                args = []
-                if not (self.peek() == ("OP", ")")):
-                    while True:
-                        args.append(self.expr(0))
-                        if self.peek() == ("OP", ","):
-                            self.next()
-                            continue
-                        break
-                self.expect_op(")")
+                args = self._call_args()
                 return ("call", v, args)
             if v in _CTX_NAMES:
                 return ("ctx", v)
@@ -357,11 +480,70 @@ class _Parser:
                 return ("unop", "!", self.expr(_UNARY_BP))
             if v == "~":
                 return ("unop", "~", self.expr(_UNARY_BP))
+            if v == "$[":
+                # $[[n]] / $[[[n]]]: positional NAME / positional VALUE
+                if self.peek() == ("OP", "["):
+                    self.next()
+                    if self.peek() == ("OP", "["):
+                        self.next()
+                        e = self.expr(0)
+                        self.expect_op("]")
+                        self.expect_op("]")
+                        self.expect_op("]")
+                        return ("posval", e)
+                    e = self.expr(0)
+                    self.expect_op("]")
+                    self.expect_op("]")
+                    return ("posname", e)
+                e = self.expr(0)
+                self.expect_op("]")
+                return ("fieldexpr", e)
+            if v == "@[":
+                e = self.expr(0)
+                self.expect_op("]")
+                return ("oosvarexpr", e)
             if v == "[":
-                raise DslUnsupported("array literal")
+                items = []
+                if self.peek() != ("OP", "]"):
+                    while True:
+                        items.append(self.expr(0))
+                        if self.peek() == ("OP", ","):
+                            self.next()
+                            if self.peek() == ("OP", "]"):
+                                break  # trailing comma
+                            continue
+                        break
+                self.expect_op("]")
+                return ("arraylit", items)
             if v == "{":
-                raise DslUnsupported("map literal")
+                pairs = []
+                if self.peek() != ("OP", "}"):
+                    while True:
+                        key = self.expr(0)
+                        self.expect_op(":")
+                        val = self.expr(0)
+                        pairs.append((key, val))
+                        if self.peek() == ("OP", ","):
+                            self.next()
+                            if self.peek() == ("OP", "}"):
+                                break  # trailing comma
+                            continue
+                        break
+                self.expect_op("}")
+                return ("maplit", pairs)
         raise DslSyntaxError(f"unexpected token {k} {v!r}")
+
+    def _call_args(self):
+        args = []
+        if not (self.peek() == ("OP", ")")):
+            while True:
+                args.append(self.expr(0))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+        self.expect_op(")")
+        return args
 
     # -- statements ----------------------------------------------------------
 
@@ -381,18 +563,102 @@ class _Parser:
             out.append(self.statement())
         return out
 
+    def block(self) -> list:
+        self.expect_op("{")
+        body = self.statements(until="}")
+        self.expect_op("}")
+        return body
+
+    def _redirect(self):
+        """Optional output redirect: > expr | >> expr | '|' expr ."""
+        k, v = self.peek()
+        if k == "OP" and v in (">", ">>", "|"):
+            self.next()
+            target = self.expr(25)  # bind looser than . concat, avoid commas
+            return (v, target)
+        return None
+
     def statement(self):
         k, v = self.peek()
         if k == "KW":
             if v in ("begin", "end"):
-                raise DslUnsupported(f"{v} block — cross-record state")
+                self.next()
+                return (v, self.block())
             if v in ("func", "subr"):
-                raise DslUnsupported("user-defined function")
-            if v in ("for", "while", "do", "break", "continue", "return", "call"):
-                raise DslUnsupported(f"{v} statement")
-            if v in ("emit", "emitp", "emitf", "emit1", "tee", "print",
-                     "printn", "eprint", "eprintn", "dump", "edump"):
-                raise DslUnsupported(f"{v} statement")
+                return self.func_def()
+            if v == "for":
+                return self.for_statement()
+            if v == "while":
+                self.next()
+                self.expect_op("(")
+                cond = self.expr(0)
+                self.expect_op(")")
+                return ("while", cond, self.block())
+            if v == "do":
+                self.next()
+                body = self.block()
+                if self.peek() != ("KW", "while"):
+                    raise DslSyntaxError("expected while after do-block")
+                self.next()
+                self.expect_op("(")
+                cond = self.expr(0)
+                self.expect_op(")")
+                return ("dowhile", body, cond)
+            if v == "break":
+                self.next()
+                return ("break",)
+            if v == "continue":
+                self.next()
+                return ("continue",)
+            if v == "return":
+                self.next()
+                nk, nv = self.peek()
+                if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
+                    return ("return", None)
+                return ("return", self.expr(0))
+            if v == "call":
+                self.next()
+                nk, name = self.next()
+                if nk != "IDENT":
+                    raise DslSyntaxError("expected subroutine name after call")
+                self.expect_op("(")
+                args = self._call_args()
+                return ("call_subr", name, args)
+            if v in ("emit", "emitp", "emitf", "emit1"):
+                return self.emit_statement()
+            if v == "tee":
+                self.next()
+                redir = self._redirect()
+                if redir is None:
+                    raise DslSyntaxError("tee requires a redirect target")
+                if self.peek() == ("OP", ","):
+                    self.next()
+                e = self.expr(0)
+                return ("tee", redir, e)
+            if v in ("print", "printn", "eprint", "eprintn"):
+                self.next()
+                where = "err" if v.startswith("e") else "out"
+                nl = not v.endswith("n") or v in ("print", "eprint")
+                nl = v in ("print", "eprint")
+                redir = self._redirect()
+                if redir and redir[0] == ">" and redir[1][0] == "ctx" and \
+                        redir[1][1] in ("stdout", "stderr"):
+                    where = "err" if redir[1][1] == "stderr" else "out"
+                    redir = None
+                    if self.peek() == ("OP", ","):
+                        self.next()
+                nk, nv = self.peek()
+                if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
+                    return ("print", where, redir, None, nl)
+                return ("print", where, redir, self.expr(0), nl)
+            if v in ("dump", "edump"):
+                self.next()
+                where = "err" if v == "edump" else "out"
+                redir = self._redirect()
+                nk, nv = self.peek()
+                if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
+                    return ("dump", where, redir, None)
+                return ("dump", where, redir, self.expr(0))
             if v == "if":
                 return self.if_statement()
             if v == "filter":
@@ -400,44 +666,192 @@ class _Parser:
                 return ("filter", self.expr(0))
             if v == "unset":
                 self.next()
-                names = []
+                targets = []
                 while True:
-                    fk, fv = self.next()
-                    if fk != "FIELD":
-                        raise DslUnsupported("unset of non-field")
-                    names.append(fv)
+                    if self.peek() == ("KW", "all"):
+                        self.next()
+                        targets.append(("all",))
+                    else:
+                        targets.append(self.expr(0))
                     if self.peek() == ("OP", ","):
                         self.next()
                         continue
                     break
-                return ("unset", names)
-            if v in ("var", "str", "num", "int", "float", "bool", "map", "arr"):
-                # typed local declaration: `var x = e` (type asserted at
-                # compile where cheap; ignored otherwise)
-                if self.peek(1)[0] == "IDENT" and self.peek(2) == ("OP", "="):
+                return ("unset", targets)
+            if v in _TYPE_KWS:
+                # typed local declaration: `var x = e` / `map m` / `int i`
+                if self.peek(1)[0] == "IDENT" and (
+                    self.peek(2) == ("OP", "=")
+                    or self.peek(2) == ("OP", ";")
+                    or self.peek(2) == ("OP", "}")
+                    or self.peek(2)[0] == "EOF"
+                    or self.peek(2)[0] == "KW"  # next statement keyword
+                    or self.peek(2)[0] == "IDENT"
+                ):
                     self.next()
                     _, name = self.next()
-                    self.next()  # =
-                    return ("assign", "=", ("var", name), self.expr(0))
-                if v in ("map", "arr"):
-                    raise DslUnsupported(f"{v} declaration")
+                    if self.peek() == ("OP", "="):
+                        self.next()
+                        return ("decl", v, name, self.expr(0))
+                    return ("decl", v, name, None)
                 # fallthrough: could be int(...) call — parse as expression
         # expression-led statement: assignment / pattern-action / bare
         e = self.expr(0)
         k, v = self.peek()
         if k == "OP" and v in _ASSIGN_OPS:
             self.next()
-            if e[0] not in ("field", "var"):
-                raise DslUnsupported(f"assignment target {e[0]}")
             rhs = self.expr(0)
             return ("assign", v, e, rhs)
         if (k, v) == ("OP", "{"):
             # awk-style pattern-action
-            self.next()
-            body = self.statements(until="}")
-            self.expect_op("}")
+            body = self.block()
             return ("if", [(e, body)], [])
         return ("bare", e)
+
+    def emit_statement(self):
+        _, variant = self.next()
+        redir = self._redirect()
+        if redir is not None and self.peek() == ("OP", ","):
+            self.next()
+        lashed = []
+        if self.peek() == ("OP", "(") and variant in ("emit", "emitp"):
+            self.next()
+            while True:
+                lashed.append(self.expr(0))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+            self.expect_op(")")
+        else:
+            lashed.append(self.expr(0))
+            if variant == "emitf":
+                while self.peek() == ("OP", ","):
+                    self.next()
+                    lashed.append(self.expr(0))
+        names = []
+        if variant in ("emit", "emitp"):
+            while self.peek() == ("OP", ","):
+                self.next()
+                names.append(self.expr(0))
+        return ("emit", variant, redir, lashed, names)
+
+    def func_def(self):
+        _, kind = self.next()  # func | subr
+        nk, name = self.next()
+        if nk not in ("IDENT", "KW"):
+            raise DslSyntaxError(f"expected function name, got {name!r}")
+        self.expect_op("(")
+        params = []
+        if self.peek() != ("OP", ")"):
+            while True:
+                ptype = None
+                k1, v1 = self.peek()
+                if k1 == "KW" and v1 in _TYPE_KWS:
+                    self.next()
+                    ptype = v1
+                k2, v2 = self.next()
+                if k2 != "IDENT":
+                    raise DslSyntaxError(f"expected parameter name, got {v2!r}")
+                params.append((ptype, v2))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+        self.expect_op(")")
+        if self.peek() == ("OP", ":"):
+            self.next()
+            k3, v3 = self.next()  # return type annotation, ignored
+            if k3 not in ("KW", "IDENT"):
+                raise DslSyntaxError("expected return type")
+        body = self.block()
+        return ("funcdef" if kind == "func" else "subrdef", name, params, body)
+
+    def for_statement(self):
+        self.next()  # for
+        self.expect_op("(")
+        # disambiguate: key-value loop  for (k, v in X) / for ((k1,k2), v in X)
+        # vs C-style                    for (i = 0; i < n; i += 1)
+        save = self.i
+        try:
+            return self._for_kv()
+        except DslSyntaxError:
+            self.i = save
+        return self._for_c()
+
+    def _for_kv(self):
+        keyvars: list[str] = []
+        if self.peek() == ("OP", "("):
+            self.next()
+            while True:
+                k, v = self.next()
+                if k == "KW" and v in _TYPE_KWS:
+                    k, v = self.next()
+                if k != "IDENT":
+                    raise DslSyntaxError("expected loop variable")
+                keyvars.append(v)
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+            self.expect_op(")")
+            self.expect_op(",")
+            k, v = self.next()
+            if k == "KW" and v in _TYPE_KWS:
+                k, v = self.next()
+            if k != "IDENT":
+                raise DslSyntaxError("expected loop value variable")
+            valvar = v
+        else:
+            k, v = self.next()
+            if k == "KW" and v in _TYPE_KWS:
+                k, v = self.next()
+            if k != "IDENT":
+                raise DslSyntaxError("expected loop variable")
+            first = v
+            if self.peek() == ("OP", ","):
+                self.next()
+                k2, v2 = self.next()
+                if k2 == "KW" and v2 in _TYPE_KWS:
+                    k2, v2 = self.next()
+                if k2 != "IDENT":
+                    raise DslSyntaxError("expected loop value variable")
+                keyvars, valvar = [first], v2
+            else:
+                keyvars, valvar = [first], None
+        if self.peek() != ("KW", "in"):
+            raise DslSyntaxError("expected in")
+        self.next()
+        coll = self.expr(0)
+        self.expect_op(")")
+        body = self.block()
+        return ("for_kv", keyvars, valvar, coll, body)
+
+    def _for_c(self):
+        init: list = []
+        if self.peek() != ("OP", ";"):
+            while True:
+                init.append(self.statement())
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+        self.expect_op(";")
+        cond = None
+        if self.peek() != ("OP", ";"):
+            cond = self.expr(0)
+        self.expect_op(";")
+        update: list = []
+        if self.peek() != ("OP", ")"):
+            while True:
+                update.append(self.statement())
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    continue
+                break
+        self.expect_op(")")
+        body = self.block()
+        return ("for_c", init, cond, update, body)
 
     def if_statement(self):
         arms = []
@@ -445,9 +859,7 @@ class _Parser:
         self.expect_op("(")
         cond = self.expr(0)
         self.expect_op(")")
-        self.expect_op("{")
-        body = self.statements(until="}")
-        self.expect_op("}")
+        body = self.block()
         arms.append((cond, body))
         else_stmts: list = []
         while self.peek() == ("KW", "elif"):
@@ -455,25 +867,44 @@ class _Parser:
             self.expect_op("(")
             c2 = self.expr(0)
             self.expect_op(")")
-            self.expect_op("{")
-            b2 = self.statements(until="}")
-            self.expect_op("}")
-            arms.append((c2, b2))
+            arms.append((c2, self.block()))
         if self.peek() == ("KW", "else"):
             self.next()
-            self.expect_op("{")
-            else_stmts = self.statements(until="}")
-            self.expect_op("}")
+            else_stmts = self.block()
         return ("if", arms, else_stmts)
 
 
 def parse_program(src: str) -> list:
-    """Parse a put/filter program into a statement list."""
+    """Parse a put/filter program into a flat statement list (no
+    begin/end/func separation — the Column compiler's entry point)."""
     p = _Parser(tokenize(src))
     stmts = p.statements()
     if p.peek()[0] != "EOF":
         raise DslSyntaxError(f"trailing tokens at {p.i}")
     return stmts
+
+
+def parse_full_program(src: str):
+    """Parse into ("program", funcs, subrs, begins, mains, ends) for the
+    stream interpreter. funcs/subrs: {name: (params, body)}."""
+    stmts = parse_program(src)
+    funcs: dict = {}
+    subrs: dict = {}
+    begins: list = []
+    ends: list = []
+    mains: list = []
+    for s in stmts:
+        if s[0] == "funcdef":
+            funcs[s[1]] = (s[2], s[3])
+        elif s[0] == "subrdef":
+            subrs[s[1]] = (s[2], s[3])
+        elif s[0] == "begin":
+            begins.append(s[1])
+        elif s[0] == "end":
+            ends.append(s[1])
+        else:
+            mains.append(s)
+    return ("program", funcs, subrs, begins, mains, ends)
 
 
 def parse_expr(src: str):

@@ -114,9 +114,12 @@ class TestUnsupported:
             "$y = $*",
         ],
     )
-    def test_out_of_subset_raises(self, prog):
+    def test_out_of_subset_raises(self, prog, df):
+        # the full-grammar parser accepts these; the Column compiler is
+        # the layer that rejects cross-record / map-valued constructs
         with pytest.raises((DslUnsupported, DslSyntaxError)):
             parse_program(prog)
+            dsl.put(df, prog)
 
     def test_unknown_function_raises(self, df):
         with pytest.raises(DslUnsupported):

@@ -115,6 +115,12 @@ def parse_csv_out(case: str) -> list[dict]:
 def _infer(v: str):
     if v is None or v == "":
         return None
+    # Miller 6 keeps leading-zero integers as strings (zip codes;
+    # --infer-octal is off by default) — int("0377") then scans octal
+    if isinstance(v, str) and len(v) > 1 and (
+        v[0] == "0" and v[1:].isdigit() or v[:2] in ("-0", "+0") and v[2:].isdigit()
+    ):
+        return v
     try:
         return int(v)
     except ValueError:
