@@ -2266,14 +2266,15 @@ def _dsl_program(argv, case_dir=None):
     # -F (Miller-5 compat) is a no-op
     fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
                             "-v": 0, "-F": 0})
-    if fl.get("-q"):
-        raise Unsupported("put -q (emit-only output)")
     if fl.get("-v"):
         # -v prints the parser AST to stdout BEFORE the records; the
         # expout mixes that text with data, outside the value-level model
         raise Unsupported("put -v (AST dump in expout)")
-    if "-s" in fl:
-        raise Unsupported("put -s presets")
+    presets = {}
+    for a_i, a in enumerate(argv):
+        if a == "-s" and a_i + 1 < len(argv) and "=" in argv[a_i + 1]:
+            k, v = argv[a_i + 1].split("=", 1)
+            presets[k] = v
     if str(fl.get("-e", "")).startswith("-"):
         # `put -e -f file`: the reference's getopt takes "-f" itself as
         # the -e expression text (a CLI quirk, dsl-multipart-scripts/0004)
@@ -2293,33 +2294,144 @@ def _dsl_program(argv, case_dir=None):
         prog = pos[0]
     else:
         raise Unsupported("put program form")
-    return prog, bool(fl.get("-x")), bool(fl.get("-S"))
+    return prog, bool(fl.get("-x")), bool(fl.get("-S")), presets
+
+
+def _fmt_scalar_out(v) -> str:
+    return "" if v is None else str(v)
+
+
+class _TextResult(Exception):
+    """DSL produced raw text output (print/dump) — compare at text level."""
+
+    def __init__(self, text: str):
+        self.text = text
 
 
 def _run_dsl(df, argv, mode):
-    prog, negate, s_flag = _dsl_program(argv)
+    prog, negate, s_flag, presets = _dsl_program(argv)
     if s_flag:
         raise Unsupported("put -S string-only inference")
+    emit_only = "-q" in argv
     hidden = tuple(c for c in df.columns if c.startswith("__"))
-    try:
-        out = _dsl.apply_program(
-            df,
-            prog,
-            mode=mode,
-            nr_col="__ord",
-            fnr_col="__fnr" if "__fnr" in df.columns else None,
-            filename_col="__fname" if "__fname" in df.columns else None,
-            filenum_col="__fnum" if "__fnum" in df.columns else None,
-            exclude=hidden,
+    if not emit_only and not presets and not (mode == "put" and negate):
+        try:
+            out = _dsl.apply_program(
+                df,
+                prog,
+                mode=mode,
+                nr_col="__ord",
+                fnr_col="__fnr" if "__fnr" in df.columns else None,
+                filename_col="__fname" if "__fname" in df.columns else None,
+                filenum_col="__fnum" if "__fnum" in df.columns else None,
+                exclude=hidden,
+            )
+            if mode == "filter" and negate:
+                # -x: recompute with inverted condition by set-difference
+                # on the row ordinal (simplest correct form)
+                kept = out.select("__ord")
+                out = df.join(kept, "__ord", "left_anti")
+            return out
+        except (DslUnsupported, DslSyntaxError):
+            pass  # fall through to the stream interpreter
+    return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
+                           emit_only, presets)
+
+
+def _records_from_df(df):
+    """Collect a runner DataFrame back to Miller records + file context."""
+    rows = df.orderBy("__ord").collect()
+    has_ctx = "__fnr" in df.columns
+    recs, fctx = [], []
+    for r in rows:
+        d = r.asDict()
+        d.pop("__ord", None)
+        fnr = d.pop("__fnr", None)
+        fname = d.pop("__fname", None)
+        fnum = d.pop("__fnum", None)
+        recs.append(
+            {k: v for k, v in d.items()
+             if v is not None and not k.startswith("__")}
         )
-        if mode == "filter" and negate:
-            # -x: recompute with inverted condition by set-difference on
-            # the row ordinal (simplest correct form)
-            kept = out.select("__ord")
-            out = df.join(kept, "__ord", "left_anti")
-        return out
+        fctx.append((
+            (int(fnr) + 1) if fnr is not None else 0,
+            fname or "",
+            int(fnum) if fnum is not None else 1,
+        ))
+    return recs, (fctx if has_ctx else None)
+
+
+def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
+    """Full-language fallback: mlrsketch.dsl.interp stream execution."""
+    from mlrsketch.dsl import interp as MI
+
+    if df is not None:
+        recs, fctx = _records_from_df(df)
+    else:
+        recs, fctx = [], None
+    try:
+        items = MI.run_stream(
+            prog,
+            recs,
+            mode=mode,
+            emit_only=emit_only,
+            invert=negate,
+            file_ctx=fctx,
+            flatsep=_flatsep(),
+            presets=presets,
+            json_input=getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl"),
+        )
     except (DslUnsupported, DslSyntaxError) as e:
         raise Unsupported(f"dsl: {e}")
+    except MI.MlrRuntimeError as e:
+        raise Unsupported(f"dsl runtime: {e}")
+    txts = [p for k, p in items if k == "txt"]
+    recs_out = [p for k, p in items if k == "rec"]
+    if txts and not recs_out:
+        raise _TextResult("".join(txts))
+    if txts:
+        # interleaved print/dump + records: render records in the
+        # output format and compare the whole stream as text (only
+        # when the DSL verb is last in the chain)
+        ofmt = getattr(_TLS, "ofmt", "dkvp")
+        if not getattr(_TLS, "chain_is_last", False):
+            raise Unsupported("mixed print+record output mid-chain")
+        if ofmt == "dkvp":
+            chunks = []
+            for k, p in items:
+                if k == "txt":
+                    chunks.append(p)
+                else:
+                    chunks.append(
+                        ",".join(f"{kk}={_fmt_scalar_out(v)}"
+                                 for kk, v in p.items()) + "\n"
+                    )
+            raise _TextResult("".join(chunks))
+        if ofmt == "xtab":
+            chunks = []
+            first = True
+            for k, p in items:
+                if k == "txt":
+                    chunks.append(p)
+                else:
+                    w = max((len(str(kk)) for kk in p), default=0)
+                    block = "".join(
+                        f"{str(kk).ljust(w)} {_fmt_scalar_out(v)}\n"
+                        for kk, v in p.items()
+                    )
+                    chunks.append(("" if first else "\n") + block)
+                    first = False
+            raise _TextResult("".join(chunks))
+        raise Unsupported(f"mixed print+record output ({ofmt})")
+    to_df = _TO_DF
+    out = to_df(
+        spark,
+        [{k: ("" if v is None else str(v)) for k, v in r.items()}
+         for r in recs_out],
+        infer=True,
+        keep_void=True,
+    )
+    return out
 
 
 def v_put(df, argv):
@@ -3124,6 +3236,9 @@ def run_case(spark, case_dir: str, to_df):
                 with open(full) as fh:
                     dsl_text += fh.read()
     _TLS.flatsep = flatsep
+    _TLS.ifmt = ifmt
+    _TLS.ofmt = ofmt
+    _TLS.chain_is_last = False
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
     ) or any(
@@ -3178,10 +3293,13 @@ def run_case(spark, case_dir: str, to_df):
                 if any(
                     chain and chain[0] in ("put", "filter") for chain in chains
                 ):
-                    raise Unsupported("empty input with DSL")
-                with open(os.path.join(case_dir, "expout"), "rb") as f:
-                    exp_text = f.read().decode("utf-8", "replace")
-                return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+                    # DSL begin/end blocks can still emit on empty input:
+                    # run the chain over an empty stream
+                    spark_df = to_df(spark, [], keep_void=True)
+                else:
+                    with open(os.path.join(case_dir, "expout"), "rb") as f:
+                        exp_text = f.read().decode("utf-8", "replace")
+                    return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
         else:
             # DSL programs distinguish absent from void: keep "" values
             spark_df = to_df(
@@ -3213,9 +3331,10 @@ def run_case(spark, case_dir: str, to_df):
         return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
 
     ordered_ok = True
-    for chain in chains:
+    for chain_i, chain in enumerate(chains):
         if not chain:
             raise Unsupported("empty verb")
+        _TLS.chain_is_last = chain_i == len(chains) - 1
         verb, vargv = chain[0], chain[1:]
         if verb not in ORDER_PRESERVING:
             ordered_ok = False
@@ -3231,8 +3350,39 @@ def run_case(spark, case_dir: str, to_df):
         if verb not in VERBS:
             raise Unsupported(f"verb {verb}")
         if spark_df is None:
-            raise Unsupported("verb without input")
-        spark_df = VERBS[verb](spark_df, vargv)
+            if verb in ("put", "filter"):
+                # `mlr -n put/filter`: begin/end-only stream
+                spark_df = to_df(spark, [], keep_void=True)
+            else:
+                raise Unsupported("verb without input")
+        try:
+            spark_df = VERBS[verb](spark_df, vargv)
+        except _TextResult as tr:
+            # print/dump-only output: compare at raw-text level. The
+            # reference goldens carry floats at 8-decimal print
+            # precision; normalize float tokens on both sides.
+            with open(os.path.join(case_dir, "expout"), "rb") as f:
+                exp_text = f.read().decode("utf-8", "replace")
+
+            def _normf(text: str) -> str:
+                def q(m):
+                    try:
+                        s = ("%.8f" % float(m.group(0))).rstrip("0").rstrip(".")
+                        return s if s else "0"
+                    except (ValueError, OverflowError):
+                        return m.group(0)
+
+                return _re.sub(
+                    r"-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", q, text
+                )
+
+            g_t = _normf(tr.text.rstrip("\n"))
+            e_t = _normf(exp_text.rstrip("\n"))
+            return (
+                [{"__text__": g_t}] if g_t else [],
+                [{"__text__": e_t}] if e_t else [],
+                True,
+            )
 
     # lowercase booleans for the text compare (DSL programs can leave
     # boolean-typed columns; Miller prints true/false)
