@@ -22,6 +22,7 @@ Usage:
 
 from mlrsketch.dsl.parser import DslSyntaxError, DslUnsupported, parse_program
 from mlrsketch.dsl.compiler import apply_program, compile_filter, put, filter_records
+from mlrsketch.dsl.stream import put_stream, filter_stream
 
 __all__ = [
     "DslSyntaxError",
@@ -31,4 +32,6 @@ __all__ = [
     "compile_filter",
     "put",
     "filter_records",
+    "put_stream",
+    "filter_stream",
 ]

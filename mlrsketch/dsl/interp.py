@@ -3775,6 +3775,7 @@ def run_stream(
     presets: dict | None = None,
     json_input: bool = False,
     invert: bool = False,
+    typed: bool = False,
 ):
     """Execute a full-DSL program over a record stream.
 
@@ -3804,7 +3805,18 @@ def run_stream(
             flat: dict = {}
             for k, v in payload.items():
                 flatten_into(flat, str(format_value(k)), v, flatsep)
-            out.append(("rec", {k: format_value(v) for k, v in flat.items()}))
+            if typed:
+                # keep native int/float/bool for Spark schema alignment
+                out.append((
+                    "rec",
+                    {k: ("(error)" if isinstance(v, Err)
+                         else None if v is ABSENT else v)
+                     for k, v in flat.items()},
+                ))
+            else:
+                out.append(
+                    ("rec", {k: format_value(v) for k, v in flat.items()})
+                )
         else:
             out.append((kind, payload))
     return out

@@ -33,9 +33,10 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    prefix = os.environ.get("TALLY_PREFIX", "dsl")
     cases = sorted(
         p.rstrip("/")
-        for p in glob.glob(f"{REF}/dsl-*/*/")
+        for p in glob.glob(f"{REF}/{prefix}-*/*/")
         if os.path.exists(p + "cmd")
     )
     if filters:
