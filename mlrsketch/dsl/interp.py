@@ -413,15 +413,15 @@ def _div0(num):
 
 
 def _type_rank(v):
-    """Miller's cross-type ordering for min/max/sort:
-    numeric < boolean < string (pkg/bifs/cmp.go sort order:
-    numerics, then bool, then string; absent highest)."""
+    """Miller's cross-type ordering for min/max/sort/comparison:
+    void < numeric < boolean < string; absent highest
+    (pkg/bifs/cmp.go; dsl-min-max-types: "" <= 1 is true)."""
+    if isinstance(v, str):
+        return -1 if v == "" else 2
     if _is_num(v):
         return 0
     if isinstance(v, bool):
         return 1
-    if isinstance(v, str):
-        return 2
     if v is ABSENT:
         return 4
     return 3
@@ -433,7 +433,7 @@ def compare_values(a, b) -> int:
     ra, rb = _type_rank(a), _type_rank(b)
     if ra == rb == 0:
         return -1 if a < b else (1 if a > b else 0)
-    if ra == rb == 2:
+    if ra == rb == 2 or {ra, rb} == {-1, 2}:
         return -1 if a < b else (1 if a > b else 0)
     if ra == rb == 1:
         ai, bi = int(a), int(b)
@@ -499,12 +499,15 @@ class StreamInterp:
     def __init__(self, program_src: str, mode: str = "put",
                  emit_only: bool = False, presets: dict | None = None,
                  flatsep: str = ".", ofmt: str | None = None,
-                 invert: bool = False):
+                 invert: bool = False, tz: str | None = None,
+                 env: dict | None = None):
         (_, self.funcs, self.subrs, self.begins, self.mains,
          self.ends) = parse_full_program(program_src)
         self.mode = mode
         self.emit_only = emit_only
         self.invert = invert
+        self.tz = tz
+        self.env_overrides = env or {}
         self.flatsep = flatsep
         self.ofmt = ofmt
         self.oos: dict = {}
@@ -579,6 +582,7 @@ class StreamInterp:
                 self.out.append(("rec", self.rec))
             self.rec = None
         self._run_block_list(self.ends)
+        self._flush_pipes()
         return self.out
 
     def _run_block_list(self, blocks):
@@ -707,7 +711,11 @@ class StreamInterp:
         elif op == "dump":
             self._exec_dump(st)
         elif op == "tee":
-            raise DslUnsupported("tee redirect")
+            _, redir, expr = st
+            sink = self._redirect_sink(redir)
+            v = self._eval(expr)
+            if sink == "out" and isinstance(v, dict):
+                self._emit_rec(dict(v))
         elif op == "call_subr":
             name = st[1]
             if name not in self.subrs:
@@ -852,17 +860,23 @@ class StreamInterp:
             key = self._eval(idx)
             _container_set(container, key, val)
         elif kind == "posname":
-            # $[[n]] = "newname": RENAME the nth field
+            # $[[n]] = "newname": RENAME the nth field (negative n
+            # counts from the end)
             n = self._eval(target[1])
             if self.rec is None or not isinstance(n, int):
                 return
             keys = list(self.rec.keys())
+            if n < 0:
+                n = len(keys) + n + 1
             if 1 <= n <= len(keys):
                 old = keys[n - 1]
+                newname = str(format_value(val))
                 newrec = {}
                 for k in keys:
                     if k == old:
-                        newrec[str(format_value(val))] = self.rec[k]
+                        newrec[newname] = self.rec[k]
+                    elif k == newname:
+                        pass  # rename collision: other field is dropped
                     else:
                         newrec[k] = self.rec[k]
                 self.rec.clear()
@@ -873,8 +887,25 @@ class StreamInterp:
             if self.rec is None or not isinstance(n, int):
                 return
             keys = list(self.rec.keys())
+            if n < 0:
+                n = len(keys) + n + 1
             if 1 <= n <= len(keys):
                 self.rec[keys[n - 1]] = val
+        elif kind == "posidxname":
+            # X[[n]] = v on a general map inserts key str(n)
+            # (dsl-array-map-indexing/0005: $*[[2]]="B" adds field "2")
+            n = self._eval(target[2])
+            if target[1][0] == "fieldstar":
+                if self.rec is not None:
+                    self.rec[str(format_value(n))] = val
+            else:
+                container = self._container_for_write(target[1])
+                if container is not None:
+                    _container_set(container, n, val)
+        elif kind == "posidxval":
+            # positional-value assignment through a map is a fatal in
+            # the reference (dsl-array-map-indexing/0006,0007)
+            raise MlrRuntimeError("positional-value assignment on map")
         elif kind == "env":
             raise DslUnsupported("assignment to ENV")
         elif kind == "index_env":
@@ -966,6 +997,18 @@ class StreamInterp:
             if self.rec is not None:
                 k = self._eval(t[1])
                 self.rec.pop(str(format_value(k)), None)
+        elif kind in ("posname", "posval"):
+            # unset $[[n]] / $[[[n]]]: remove the n-th field
+            n = self._eval(t[1])
+            if self.rec is not None and isinstance(n, int):
+                keys = list(self.rec.keys())
+                i = n - 1 if n > 0 else len(keys) + n
+                if 0 <= i < len(keys):
+                    del self.rec[keys[i]]
+        elif kind in ("posidxname", "posidxval"):
+            # unset @m[[n]] on a general map: NO-OP in the reference
+            # (dsl-array-map-indexing/0035,0036 leave @m untouched)
+            pass
         else:
             raise DslUnsupported(f"unset target {kind}")
 
@@ -997,12 +1040,16 @@ class StreamInterp:
             if self.rec is None or not isinstance(n, int):
                 return ABSENT
             keys = list(self.rec.keys())
+            if n < 0:
+                n = len(keys) + n + 1
             return keys[n - 1] if 1 <= n <= len(keys) else ABSENT
         if kind == "posval":
             n = self._eval(node[1])
             if self.rec is None or not isinstance(n, int):
                 return ABSENT
             vals = list(self.rec.values())
+            if n < 0:
+                n = len(vals) + n + 1
             return vals[n - 1] if 1 <= n <= len(vals) else ABSENT
         if kind == "oosvar":
             return self.oos.get(node[1], ABSENT)
@@ -1018,7 +1065,7 @@ class StreamInterp:
         if kind == "env":
             import os
 
-            return dict(os.environ)
+            return {**os.environ, **self.env_overrides}
         if kind == "maplit":
             out = {}
             for kx, vx in node[1]:
@@ -1036,6 +1083,14 @@ class StreamInterp:
             return _container_get(base, idx)
         if kind == "slice":
             return self._eval_slice(node)
+        if kind == "posidxname":
+            base = self._eval(node[1])
+            n = self._eval(node[2])
+            return _pos_name(base, n)
+        if kind == "posidxval":
+            base = self._eval(node[1])
+            n = self._eval(node[2])
+            return _pos_val(base, n)
         if kind == "unop":
             return self._eval_unop(node[1], node[2])
         if kind == "binop":
@@ -1103,8 +1158,8 @@ class StreamInterp:
             return Err()
         if hi is not None and not isinstance(hi, int):
             return Err()
-        i = 1 if lo is None else (lo if lo > 0 else n + lo + 1)
-        j = n if hi is None else (hi if hi > 0 else n + hi + 1)
+        i = 1 if lo is None else (lo if lo > 0 else 1 if lo == 0 else n + lo + 1)
+        j = n if hi is None else (hi if hi > 0 else 0 if hi == 0 else n + hi + 1)
         i = max(i, 1)
         j = min(j, n)
         if i > j:
@@ -1167,6 +1222,10 @@ class StreamInterp:
                 return b
             if b is ABSENT:
                 return a
+            if (isinstance(a, str) and a == "") or (
+                isinstance(b, str) and b == ""
+            ):
+                return ""  # void bit-operand yields void
             an, bn = _to_num(a), _to_num(b)
             if an is None or bn is None:
                 return Err()
@@ -1308,12 +1367,91 @@ class StreamInterp:
                     break
             name = base_name
             return name, v
-        # map literal / call / anything else: evaluate, no name
+        if kind == "call":
+            # emit f(...) names the record field after the function
+            return node[1], self._eval(node)
+        if kind == "binop":
+            # emit $a . $b: named after the leftmost named operand
+            nm = self._emit_name_of(node)
+            return nm, self._eval(node)
+        # map literal / anything else: evaluate, no name
         return None, self._eval(node)
 
+    def _emit_name_of(self, node):
+        while node[0] == "binop":
+            node = node[2]
+        if node[0] in ("field", "oosvar", "var"):
+            return node[1]
+        if node[0] == "call":
+            return node[1]
+        if node[0] == "index":
+            return self._emit_name_of(node[1])
+        return None
+
+    def _redirect_sink(self, redir):
+        """Classify a redirect: None=default, "out"=stdout, "drop"=
+        stderr or file targets (only stdout is compared), or a
+        ("pipe", command) sink whose output lands on stdout."""
+        if redir is None:
+            return None
+        op, target = redir
+        if target == ("ctx", "stdout"):
+            return "out"
+        if target == ("ctx", "stderr"):
+            return "drop"
+        t = self._eval(target)  # filename/command expression
+        if op == "|":
+            return ("pipe", str(format_value(t)))
+        return "drop"
+
+    def _pipe_rec(self, cmd: str, rec: dict):
+        """Queue a record for a pipe target (rendered dkvp; the command
+        runs once at end-of-stream, mirroring Miller's per-target
+        subprocess whose output interleaves on stdout)."""
+        if not hasattr(self, "_pipes"):
+            self._pipes = {}
+        flat: dict = {}
+        for k, v in rec.items():
+            flatten_into(flat, str(format_value(k)), v, self.flatsep)
+        line = ",".join(
+            f"{k}={'' if format_value(v) is None else format_value(v)}"
+            for k, v in flat.items()
+        )
+        self._pipes.setdefault(cmd, []).append(line)
+
+    def _flush_pipes(self):
+        import subprocess
+
+        for cmd, lines in getattr(self, "_pipes", {}).items():
+            text = "\n".join(lines) + "\n" if lines else ""
+            try:
+                out = subprocess.run(
+                    cmd, shell=True, input=text.encode(),
+                    capture_output=True, timeout=10,
+                ).stdout.decode("utf-8", "replace")
+            except Exception:  # noqa: BLE001 — missing tool: drop
+                continue
+            if out:
+                self.out.append(("txt", out))
+        self._pipes = {}
+
     def _exec_emit(self, variant, redir, lashed, name_exprs):
-        if redir is not None:
-            raise DslUnsupported("emit redirect")
+        sink = self._redirect_sink(redir)
+        if sink == "drop":
+            for node in lashed:
+                self._eval(node)  # still evaluate for side effects
+            return
+        if isinstance(sink, tuple) and sink[0] == "pipe":
+            prev = self.out
+            self.out = []
+            try:
+                self._exec_emit(variant, None, lashed, name_exprs)
+                for kind, payload in self.out:
+                    if kind == "rec":
+                        self._pipe_rec(sink[1], payload)
+            finally:
+                self.out = prev
+            return
         names = [str(format_value(self._eval(nx))) for nx in name_exprs]
         if variant == "emitf":
             rec = {}
@@ -1331,7 +1469,40 @@ class StreamInterp:
             if isinstance(v, dict):
                 self._emit_rec(dict(v))
             return
+        if (
+            variant in ("emit", "emitp")
+            and len(lashed) == 1
+            and lashed[0][0] == "oosvarstar"
+        ):
+            # emit @* / emit all: each oosvar emits independently,
+            # index names applying to each in turn
+            for k, v in list(self.oos.items()):
+                if variant == "emit":
+                    if names:
+                        self._emit_plain([(str(format_value(k)), v)], names)
+                    else:
+                        self._emit_split(str(format_value(k)), v, {})
+                else:
+                    self._emitp([(str(format_value(k)), v)], names)
+            return
+        if (
+            variant == "emit"
+            and not names
+            and len(lashed) == 1
+            and lashed[0][0] == "maplit"
+        ):
+            # emit of a map LITERAL: every top-level entry is its own
+            # emittable — scalars/arrays keep their key, maps recurse
+            # (dsl-slice/0001: 22 one-field records from 4 emits)
+            m = self._eval(lashed[0])
+            for k, v in m.items():
+                self._emit_split(str(format_value(k)), v, {})
+            return
         pairs = [self._emittable(node) for node in lashed]
+        if len(pairs) > 1 and any(v is ABSENT for _, v in pairs):
+            # lashed list with an absent member: nothing is emitted
+            # (dsl-lashed-emitp-singles/0037..0048)
+            return
         pairs = [(nm, v) for nm, v in pairs if v is not ABSENT]
         if not pairs:
             return
@@ -1360,8 +1531,11 @@ class StreamInterp:
                 return
             rec = dict(idx)
             for n2, v2 in residuals:
-                rec[n2 if n2 is not None else "_"] = v2
-            self._emit_rec(rec)
+                if n2 is None:
+                    continue  # emitp of an unnamed emittable: no-op
+                rec[n2] = v2
+            if rec:
+                self._emit_rec(rec)
 
         walk(pairs, names, {})
 
@@ -1409,6 +1583,8 @@ class StreamInterp:
                 self._emit_rec(rec)
                 return
             for n2, v2 in residuals:
+                if not isinstance(v2, (dict, list)):
+                    continue  # named-scalar residual: nothing emitted
                 self._emit_split(n2, v2, idx)
 
         walk(pairs, names, {})
@@ -1426,21 +1602,28 @@ class StreamInterp:
 
     def _emit_split(self, name, v, idx):
         """Single non-prefixed emittable: descend past intermediate map
-        levels, emitting each map-of-scalars as one bare-key record."""
+        levels, emitting each map-of-scalars as one bare-key record.
+        Array-valued entries emit as their own record KEEPING their key
+        (dsl-slice/0001); map-valued entries recurse with key dropped
+        (dsl-emit/0006)."""
         if isinstance(v, dict):
             map_children = [(k, x) for k, x in v.items() if isinstance(x, dict)]
+            list_children = [(k, x) for k, x in v.items() if isinstance(x, list)]
             scalars = {
                 str(format_value(k)): x
                 for k, x in v.items()
-                if not isinstance(x, dict)
+                if not isinstance(x, (dict, list))
             }
-            if map_children:
-                if scalars:
-                    self._emit_rec({**idx, **scalars})
-                for _, x in map_children:
-                    self._emit_split(name, x, idx)
+            if map_children or list_children:
+                # any collection child: each key becomes its own record
+                # (scalars/arrays keep their key; maps recurse key-less)
+                for k, x in v.items():
+                    if isinstance(x, dict):
+                        self._emit_split(name, x, idx)
+                    else:
+                        self._emit_rec({**idx, str(format_value(k)): x})
                 return
-            if scalars or not v:
+            if scalars:
                 self._emit_rec({**idx, **scalars})
             return
         if v is ABSENT:
@@ -1451,8 +1634,10 @@ class StreamInterp:
 
     def _exec_print(self, st):
         _, where, redir, expr, nl = st
-        if redir is not None:
-            raise DslUnsupported("print redirect")
+        if redir is not None and self._redirect_sink(redir) == "drop":
+            if expr is not None:
+                self._eval(expr)
+            return
         if where == "err":
             return  # stderr not part of expout compare
         v = self._eval(expr) if expr is not None else ""
@@ -1465,8 +1650,10 @@ class StreamInterp:
 
     def _exec_dump(self, st):
         _, where, redir, expr = st
-        if redir is not None:
-            raise DslUnsupported("dump redirect")
+        if redir is not None and self._redirect_sink(redir) == "drop":
+            if expr is not None:
+                self._eval(expr)
+            return
         if where == "err":
             return
         v = self._eval(expr) if expr is not None else dict(self.oos)
@@ -1540,7 +1727,52 @@ def _dot_concat(a, b):
     return sa + sb
 
 
+def _pos_name(base, n):
+    if base is ABSENT or not isinstance(n, int) or isinstance(n, bool):
+        return ABSENT
+    if isinstance(base, dict):
+        keys = list(base.keys())
+        i = n - 1 if n > 0 else len(keys) + n
+        if 0 <= i < len(keys):
+            k = keys[i]
+            return infer_value(k) if isinstance(k, str) else k
+        return ABSENT
+    if isinstance(base, list):
+        i = n - 1 if n > 0 else len(base) + n
+        if 0 <= i < len(base):
+            return i + 1  # the "name" of an array slot is its index
+        return ABSENT
+    return ABSENT
+
+
+def _pos_val(base, n):
+    if base is ABSENT or not isinstance(n, int) or isinstance(n, bool):
+        return ABSENT
+    if isinstance(base, dict):
+        vals = list(base.values())
+        i = n - 1 if n > 0 else len(vals) + n
+        return vals[i] if 0 <= i < len(vals) else ABSENT
+    if isinstance(base, list):
+        i = n - 1 if n > 0 else len(base) + n
+        return base[i] if 0 <= i < len(base) else ABSENT
+    return ABSENT
+
+
 def _container_get(base, idx):
+    if isinstance(idx, list):
+        # array-valued index = deep path: m[["a","b"]] == m["a"]["b"]
+        cur = base
+        for k in idx:
+            if isinstance(k, list):
+                return Err()
+            cur = _container_get(cur, k)
+            if cur is ABSENT:
+                return ABSENT
+        return cur
+    return _container_get_one(base, idx)
+
+
+def _container_get_one(base, idx):
     if base is ABSENT:
         return ABSENT
     if isinstance(base, dict):
@@ -1567,6 +1799,18 @@ def _container_get(base, idx):
 
 
 def _container_set(container, key, val):
+    if isinstance(key, list):
+        # deep-path assignment with auto-vivification:
+        # m[["a","b"]] = v  ==  m["a"]["b"] = v
+        cur = container
+        for k in key[:-1]:
+            nxt = _container_get_one(cur, k)
+            if not isinstance(nxt, (dict, list)):
+                nxt = {}
+                _container_set(cur, k, nxt)
+            cur = nxt
+        _container_set(cur, key[-1] if key else "", val)
+        return
     if isinstance(container, dict):
         container[str(format_value(key))] = val
         return
@@ -1885,6 +2129,8 @@ def _bif_mmul(it, args, raw):
 @_absentify
 def _bif_mexp(it, args, raw):
     a, b, m = (_need_num(x) for x in args)
+    if int(b) < 0:
+        return Err()
     return pow(int(a), int(b), int(m))
 
 
@@ -2411,6 +2657,9 @@ def _bif_length(it, args, raw):
 
 @_reg(BUILTINS, "depth")
 def _bif_depth(it, args, raw):
+    if args[0] is ABSENT:
+        return ABSENT
+
     def d(v):
         if isinstance(v, dict):
             return 1 + max((d(x) for x in v.values()), default=0)
@@ -2423,6 +2672,9 @@ def _bif_depth(it, args, raw):
 
 @_reg(BUILTINS, "leafcount")
 def _bif_leafcount(it, args, raw):
+    if args[0] is ABSENT:
+        return ABSENT
+
     def lc(v):
         if isinstance(v, dict):
             return sum(lc(x) for x in v.values()) if v else 0
@@ -2442,7 +2694,7 @@ def _bif_haskey(it, args, raw):
         if not isinstance(k, int) or isinstance(k, bool):
             return False
         return 1 <= abs(k) <= len(c) and k != 0
-    return False
+    return Err()  # haskey on a non-collection is a type error
 
 
 @_reg(BUILTINS, "hasvalue")
@@ -2751,25 +3003,28 @@ def _cmp_from_func(f, a, b):
 
 
 def _flag_cmp(a, b, flags: str) -> int:
+    """sort() flags (reference sorting docs / dsl-sorts goldens):
+    "n" numeric (non-numerics by natural order), "f" lexical,
+    "c" case-folded lexical, "t" trimmed, "r" reverses."""
     desc = "r" in flags
-    fold = "c" in flags or "f" in flags and False
-    if "n" in flags or "f" in flags:
-        an, bn = _to_num(infer_value(a) if isinstance(a, str) else a), \
-                 _to_num(infer_value(b) if isinstance(b, str) else b)
-        if an is None:
-            an = float("inf")
-        if bn is None:
-            bn = float("inf")
-        c = -1 if an < bn else (1 if an > bn else 0)
+    if "n" in flags:
+        an = _to_num(infer_value(a) if isinstance(a, str) else a)
+        bn = _to_num(infer_value(b) if isinstance(b, str) else b)
+        if an is not None and bn is not None:
+            c = -1 if an < bn else (1 if an > bn else 0)
+        else:
+            c = compare_values(a, b)
     elif "c" in flags:
         sa, sb = _s(a).lower(), _s(b).lower()
+        c = -1 if sa < sb else (1 if sa > sb else 0)
+    elif "f" in flags:
+        sa, sb = _s(a), _s(b)
         c = -1 if sa < sb else (1 if sa > sb else 0)
     elif "t" in flags:
         sa, sb = _s(a).strip(), _s(b).strip()
         c = -1 if sa < sb else (1 if sa > sb else 0)
     else:
         c = compare_values(a, b)
-    _ = fold
     return -c if desc else c
 
 
@@ -3251,6 +3506,13 @@ import datetime as _dt
 _UTC = _dt.timezone.utc
 
 
+def _frac_str(x: float, digits: int) -> str:
+    """Truncated (not rounded) fractional part, e.g. .9 for 0.999@1."""
+    frac = x - math.floor(x)
+    scaled = int(frac * (10 ** digits) + 1e-9)
+    return "." + str(scaled).rjust(digits, "0")
+
+
 def _strftime_py(fmt: str) -> str:
     """Miller uses C strftime directives plus %1S..%9S fractional forms
     and %N/%j etc. Translate the fractional forms; pass the rest to
@@ -3295,8 +3557,7 @@ def _bif_sec2gmt(it, args, raw):
     d = _sec_to_dt(n)
     base = d.strftime("%Y-%m-%dT%H:%M:%S")
     if ndec:
-        frac = n - math.floor(n)
-        base += ("%.*f" % (ndec, frac))[1:]
+        base += _frac_str(n, ndec)
     return base + "Z"
 
 
@@ -3314,11 +3575,20 @@ def _bif_sec2gmtdate(it, args, raw):
 @_absentify
 def _bif_gmt2sec(it, args, raw):
     s = _s(args[0])
-    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S.%fZ", "%Y-%m-%d",
-                "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S"):
+    frac = 0.0
+    mfrac = re.search(r"\d{2}(\.\d+)", s)
+    if mfrac:
+        # arbitrary-precision fraction (python %f caps at 6 digits)
+        frac = float("0" + mfrac.group(1))
+        s = s[: mfrac.start(1)] + s[mfrac.end(1):]
+    for fmt in ("%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d",
+                "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d %H:%M:%S",
+                "%Y-%m-%dT%H:%MZ", "%Y-%m-%dT%HZ"):
         try:
             d = _dt.datetime.strptime(s, fmt).replace(tzinfo=_UTC)
             ts = d.timestamp()
+            if frac:
+                return ts + frac
             return int(ts) if ts == int(ts) else ts
         except ValueError:
             continue
@@ -3344,7 +3614,7 @@ def _translate_strftime(fmt: str):
             if d.isdigit() and i + 2 < len(fmt) and fmt[i + 2] == "S":
                 out.append("%S")
                 frac_digits = int(d)
-                out.append("\x00FRAC\x00")
+                out.append("\x01FRAC\x01")
                 i += 3
                 continue
             out.append("%" + d)
@@ -3366,8 +3636,7 @@ def _bif_strftime(it, args, raw):
     d = _sec_to_dt(n)
     s = d.strftime(pyfmt)
     if frac_digits is not None:
-        frac = n - math.floor(n)
-        s = s.replace("\x00FRAC\x00", ("%.*f" % (frac_digits, frac))[1:])
+        s = s.replace("\x01FRAC\x01", _frac_str(n, frac_digits))
     return s
 
 
@@ -3376,8 +3645,17 @@ def _bif_strftime(it, args, raw):
 def _bif_strptime(it, args, raw):
     s, fmt = _s(args[0]), _s(args[1])
     pyfmt = fmt
-    has_frac = "%f" in pyfmt or re.search(r"%\dS", pyfmt)
-    pyfmt = re.sub(r"%\dS", "%S.%f", pyfmt)
+    frac = 0.0
+    has_frac = False
+    if re.search(r"%\dS", pyfmt) or "%f" in pyfmt:
+        # fractional seconds: python %f caps at 6 digits — strip the
+        # fraction from the input and add it back numerically
+        has_frac = True
+        pyfmt = re.sub(r"%\dS", "%S", pyfmt).replace("%S.%f", "%S")
+        mfrac = re.search(r"\d{2}(\.\d+)", s)
+        if mfrac:
+            frac = float("0" + mfrac.group(1))
+            s = s[: mfrac.start(1)] + s[mfrac.end(1):]
     try:
         if "%s" in pyfmt:
             # epoch directive: python strptime lacks %s portably
@@ -3389,8 +3667,8 @@ def _bif_strptime(it, args, raw):
     except ValueError:
         return Err()
     ts = d.timestamp()
-    if has_frac and d.microsecond:
-        return ts
+    if has_frac and frac:
+        return ts + frac
     return int(ts)
 
 
@@ -3591,6 +3869,19 @@ def _bif_strpntime(it, args, raw):
     return int(round(r * 1e9))
 
 
+def _local_ts(naive, tz) -> float:
+    """Naive local datetime -> epoch seconds, matching Go's
+    ParseInLocation on DST edges: nonexistent (gap) times resolve with
+    the pre-gap offset (python fold=1 numerically), ambiguous times to
+    the first occurrence (fold=0)."""
+    d0 = naive.replace(tzinfo=tz)
+    ts0 = d0.timestamp()
+    back = _dt.datetime.fromtimestamp(ts0, tz).replace(tzinfo=None)
+    if back != naive:  # gap: fold=0 roundtrip moved the wall time
+        return naive.replace(tzinfo=tz, fold=1).timestamp()
+    return ts0
+
+
 # local-time variants need a TZ argument or TZ env; treat the explicit-
 # argument forms as UTC-offset computations via zoneinfo
 def _tz(name):
@@ -3611,13 +3902,14 @@ def _bif_sec2localtime(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        raise DslUnsupported("sec2localtime without explicit TZ")
+        tz = _tz(it.tz) if it.tz else None
+        if tz is None:
+            raise DslUnsupported("sec2localtime without explicit TZ")
     ndec = args[1] if len(args) > 2 else 0
     d = _dt.datetime.fromtimestamp(n, tz=tz)
     base = d.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(ndec, int) and ndec:
-        frac = n - math.floor(n)
-        base += ("%.*f" % (ndec, frac))[1:]
+        base += _frac_str(n, ndec)
     return base
 
 
@@ -3630,14 +3922,21 @@ def _bif_sec2localdate(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        raise DslUnsupported("sec2localdate without explicit TZ")
+        tz = _tz(it.tz) if it.tz else None
+        if tz is None:
+            raise DslUnsupported("sec2localdate without explicit TZ")
     return _dt.datetime.fromtimestamp(n, tz=tz).strftime("%Y-%m-%d")
 
 
 @_reg(BUILTINS, "localtime2gmt")
 @_absentify
 def _bif_localtime2gmt(it, args, raw):
-    raise DslUnsupported("localtime2gmt (TZ-env dependent)")
+    if not it.tz:
+        raise DslUnsupported("localtime2gmt without session TZ")
+    sec = _bif_localtime2sec(it, args, raw)
+    if isinstance(sec, Err):
+        return sec
+    return _bif_sec2gmt(it, [sec], raw)
 
 
 @_reg(BUILTINS, "localtime2sec")
@@ -3647,13 +3946,15 @@ def _bif_localtime2sec(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        raise DslUnsupported("localtime2sec without explicit TZ")
+        tz = _tz(it.tz) if it.tz else None
+        if tz is None:
+            raise DslUnsupported("localtime2sec without explicit TZ")
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d"):
         try:
-            d = _dt.datetime.strptime(s, fmt).replace(tzinfo=tz)
-            return int(d.timestamp())
+            naive = _dt.datetime.strptime(s, fmt)
         except ValueError:
             continue
+        return int(_local_ts(naive, tz))
     return Err()
 
 
@@ -3667,13 +3968,14 @@ def _bif_strftime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        raise DslUnsupported("strftime_local without explicit TZ")
+        tz = _tz(it.tz) if it.tz else None
+        if tz is None:
+            raise DslUnsupported("strftime_local without explicit TZ")
     pyfmt, frac_digits = _translate_strftime(fmt)
     d = _dt.datetime.fromtimestamp(n, tz=tz)
     s = d.strftime(pyfmt)
     if frac_digits is not None:
-        frac = n - math.floor(n)
-        s = s.replace("\x00FRAC\x00", ("%.*f" % (frac_digits, frac))[1:])
+        s = s.replace("\x01FRAC\x01", _frac_str(n, frac_digits))
     return s
 
 
@@ -3684,12 +3986,14 @@ def _bif_strptime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        raise DslUnsupported("strptime_local without explicit TZ")
+        tz = _tz(it.tz) if it.tz else None
+        if tz is None:
+            raise DslUnsupported("strptime_local without explicit TZ")
     try:
-        d = _dt.datetime.strptime(s, fmt).replace(tzinfo=tz)
+        naive = _dt.datetime.strptime(s, fmt)
     except ValueError:
         return Err()
-    ts = d.timestamp()
+    ts = _local_ts(naive, tz)
     return int(ts) if ts == int(ts) else ts
 
 
@@ -3776,6 +4080,8 @@ def run_stream(
     json_input: bool = False,
     invert: bool = False,
     typed: bool = False,
+    tz: str | None = None,
+    env: dict | None = None,
 ):
     """Execute a full-DSL program over a record stream.
 
@@ -3788,7 +4094,7 @@ def run_stream(
                    for k, v in presets.items()}
     interp = StreamInterp(
         program, mode=mode, emit_only=emit_only, presets=presets,
-        flatsep=flatsep, invert=invert,
+        flatsep=flatsep, invert=invert, tz=tz, env=env,
     )
     prepared = []
     for rec in records:

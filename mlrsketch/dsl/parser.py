@@ -271,6 +271,17 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             toks.append(("KW" if word in _KEYWORDS else "IDENT", word))
             i = j
             continue
+        # adjacent "[[" / "[[[" lex as positional-index tokens (the
+        # reference grammar has distinct [[ and [[[ tokens; "[ [1,2]"
+        # with a space stays a plain index of an array literal)
+        if src.startswith("[[[", i):
+            toks.append(("OP", "[[["))
+            i += 3
+            continue
+        if src.startswith("[[", i):
+            toks.append(("OP", "[["))
+            i += 2
+            continue
         for op in _OPERATORS:
             if src.startswith(op, i):
                 toks.append(("OP", op))
@@ -351,6 +362,23 @@ class _Parser:
             k, v = self.peek()
             if k != "OP":
                 break
+            if v == "[[":
+                # positional-name index: m[[n]] -> n-th key
+                self.next()
+                e = self.expr(0)
+                self.expect_op("]")
+                self.expect_op("]")
+                left = ("posidxname", left, e)
+                continue
+            if v == "[[[":
+                # positional-value index: m[[[n]]] -> n-th value
+                self.next()
+                e = self.expr(0)
+                self.expect_op("]")
+                self.expect_op("]")
+                self.expect_op("]")
+                left = ("posidxval", left, e)
+                continue
             if v == "[":
                 # postfix index / slice
                 self.next()
@@ -482,6 +510,14 @@ class _Parser:
                 return ("unop", "~", self.expr(_UNARY_BP))
             if v == "$[":
                 # $[[n]] / $[[[n]]]: positional NAME / positional VALUE
+                # (the "[[" may arrive merged as one token)
+                if self.peek() == ("OP", "[["):  # $[[[n]]]
+                    self.next()
+                    e = self.expr(0)
+                    self.expect_op("]")
+                    self.expect_op("]")
+                    self.expect_op("]")
+                    return ("posval", e)
                 if self.peek() == ("OP", "["):
                     self.next()
                     if self.peek() == ("OP", "["):
@@ -502,19 +538,14 @@ class _Parser:
                 e = self.expr(0)
                 self.expect_op("]")
                 return ("oosvarexpr", e)
+            if v in ("[[", "[[["):
+                # expression-leading "[[": an array literal whose first
+                # element is itself an array — split the merged token
+                self.toks.insert(self.i, ("OP", "[" * (len(v) - 1)))
+                v = "["
+                return self._array_literal_nud()
             if v == "[":
-                items = []
-                if self.peek() != ("OP", "]"):
-                    while True:
-                        items.append(self.expr(0))
-                        if self.peek() == ("OP", ","):
-                            self.next()
-                            if self.peek() == ("OP", "]"):
-                                break  # trailing comma
-                            continue
-                        break
-                self.expect_op("]")
-                return ("arraylit", items)
+                return self._array_literal_nud()
             if v == "{":
                 pairs = []
                 if self.peek() != ("OP", "}"):
@@ -532,6 +563,20 @@ class _Parser:
                 self.expect_op("}")
                 return ("maplit", pairs)
         raise DslSyntaxError(f"unexpected token {k} {v!r}")
+
+    def _array_literal_nud(self):
+        items = []
+        if self.peek() != ("OP", "]"):
+            while True:
+                items.append(self.expr(0))
+                if self.peek() == ("OP", ","):
+                    self.next()
+                    if self.peek() == ("OP", "]"):
+                        break  # trailing comma
+                    continue
+                break
+        self.expect_op("]")
+        return ("arraylit", items)
 
     def _call_args(self):
         args = []
@@ -645,8 +690,8 @@ class _Parser:
                         redir[1][1] in ("stdout", "stderr"):
                     where = "err" if redir[1][1] == "stderr" else "out"
                     redir = None
-                    if self.peek() == ("OP", ","):
-                        self.next()
+                if self.peek() == ("OP", ","):
+                    self.next()
                 nk, nv = self.peek()
                 if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
                     return ("print", where, redir, None, nl)
@@ -655,6 +700,8 @@ class _Parser:
                 self.next()
                 where = "err" if v == "edump" else "out"
                 redir = self._redirect()
+                if redir is not None and self.peek() == ("OP", ","):
+                    self.next()
                 nk, nv = self.peek()
                 if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
                     return ("dump", where, redir, None)
@@ -714,10 +761,18 @@ class _Parser:
         if redir is not None and self.peek() == ("OP", ","):
             self.next()
         lashed = []
-        if self.peek() == ("OP", "(") and variant in ("emit", "emitp"):
+        if self.peek() == ("KW", "all") and variant in ("emit", "emitp"):
+            # `emit all` == `emit @*`
+            self.next()
+            lashed.append(("oosvarstar",))
+        elif self.peek() == ("OP", "(") and variant in ("emit", "emitp"):
             self.next()
             while True:
-                lashed.append(self.expr(0))
+                if self.peek() == ("KW", "all"):
+                    self.next()
+                    lashed.append(("oosvarstar",))
+                else:
+                    lashed.append(self.expr(0))
                 if self.peek() == ("OP", ","):
                     self.next()
                     continue

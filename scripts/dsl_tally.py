@@ -94,6 +94,12 @@ def main():
     print("\n-- first 30 fail/err cases --")
     for c, msg in fail_cases[:30]:
         print(f"{c}\n       {msg}")
+    want = os.environ.get("PRINT_SKIPS")
+    if want:
+        print(f"\n-- cases skipped for reasons containing {want!r} --")
+        for c, (st, msg) in results.items():
+            if st == "skip" and msg and want in msg:
+                print(c)
 
 
 if __name__ == "__main__":

@@ -2298,7 +2298,12 @@ def _dsl_program(argv, case_dir=None):
 
 
 def _fmt_scalar_out(v) -> str:
-    return "" if v is None else str(v)
+    from mlrsketch.dsl.interp import format_value
+
+    if v is None:
+        return ""
+    fv = format_value(v)
+    return "" if fv is None else str(fv)
 
 
 class _TextResult(Exception):
@@ -2361,11 +2366,39 @@ def _records_from_df(df):
     return recs, (fctx if has_ctx else None)
 
 
+class _RecordsResult(Exception):
+    """DSL interpreter output when it is the last verb — the records
+    ARE the final answer; skip the to_df/collect round-trip."""
+
+    def __init__(self, records: list[dict]):
+        self.records = records
+
+
 def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
     """Full-language fallback: mlrsketch.dsl.interp stream execution."""
     from mlrsketch.dsl import interp as MI
 
-    if df is not None:
+    if getattr(_TLS, "df_pristine", False):
+        # the DataFrame is still the untouched input: feed the original
+        # parsed records straight in (no Spark collect)
+        recs, fctx = [], []
+        has_ctx = False
+        for r in getattr(_TLS, "orig_records", []):
+            r = dict(r)
+            fnr = r.pop("__fnr", None)
+            fname = r.pop("__fname", None)
+            fnum = r.pop("__fnum", None)
+            if fnr is not None:
+                has_ctx = True
+            recs.append({k: v for k, v in r.items() if v is not None})
+            fctx.append((
+                (int(fnr) + 1) if fnr is not None else 0,
+                fname or "",
+                int(fnum) if fnum is not None else 1,
+            ))
+        if not has_ctx:
+            fctx = None
+    elif df is not None:
         recs, fctx = _records_from_df(df)
     else:
         recs, fctx = [], None
@@ -2380,6 +2413,9 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
             flatsep=_flatsep(),
             presets=presets,
             json_input=getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl"),
+            tz=getattr(_TLS, "tz", None),
+            env=getattr(_TLS, "env_overrides", None),
+            typed=True,
         )
     except (DslUnsupported, DslSyntaxError) as e:
         raise Unsupported(f"dsl: {e}")
@@ -2422,11 +2458,29 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
                     chunks.append(("" if first else "\n") + block)
                     first = False
             raise _TextResult("".join(chunks))
+        if ofmt == "json":
+            chunks = []
+            recs_j = []
+            for k, p in items:
+                if k == "txt":
+                    if recs_j:
+                        raise Unsupported("text after records (json)")
+                    chunks.append(p)
+                else:
+                    recs_j.append(MI.unflatten_record(p, _flatsep()))
+            body = ",\n".join(MI.dump_text(r) for r in recs_j)
+            chunks.append("[\n" + body + "\n]\n" if recs_j else "[\n]\n")
+            raise _TextResult("".join(chunks))
         raise Unsupported(f"mixed print+record output ({ofmt})")
+    if getattr(_TLS, "chain_is_last", False):
+        raise _RecordsResult(
+            [{k: MI.format_value(v) for k, v in r.items()}
+             for r in recs_out]
+        )
     to_df = _TO_DF
     out = to_df(
         spark,
-        [{k: ("" if v is None else str(v)) for k, v in r.items()}
+        [{k: _fmt_scalar_out(v) for k, v in r.items()}
          for r in recs_out],
         infer=True,
         keep_void=True,
@@ -3003,8 +3057,19 @@ def run_case(spark, case_dir: str, to_df):
     run_case.__globals__["_TO_DF"] = to_df
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    if os.path.exists(os.path.join(case_dir, "env")) or "should-fail" in os.listdir(case_dir):
-        raise Unsupported("env/should-fail")
+    if "should-fail" in os.listdir(case_dir):
+        raise Unsupported("should-fail case")
+    env_overrides = {}
+    envf = os.path.join(case_dir, "env")
+    if os.path.exists(envf):
+        with open(envf) as fh:
+            for line in fh:
+                k, _, v = line.strip().partition("=")
+                if k:
+                    env_overrides[k] = v
+        if any(k.startswith("MLR") for k in env_overrides):
+            raise Unsupported("mlrrc/shell env")
+    _TLS.env_overrides = env_overrides
     experr = os.path.join(case_dir, "experr")
     expout_path = os.path.join(case_dir, "expout")
     if (
@@ -3027,6 +3092,7 @@ def run_case(spark, case_dir: str, to_df):
     ifs = None
     ofs = None
     ofmt_num = None
+    tz_name = None
     flatsep = "."
     comment_skip = None
     implicit_header = False
@@ -3180,6 +3246,9 @@ def run_case(spark, case_dir: str, to_df):
             if a != "--idkvpx":
                 ofmt = "dkvp"
             i += 1
+        elif a == "--tz":
+            tz_name = argv[i + 1]
+            i += 2
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
@@ -3239,6 +3308,9 @@ def run_case(spark, case_dir: str, to_df):
     _TLS.ifmt = ifmt
     _TLS.ofmt = ofmt
     _TLS.chain_is_last = False
+    _TLS.df_pristine = False
+    _TLS.orig_records = []
+    _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
     ) or any(
@@ -3260,6 +3332,8 @@ def run_case(spark, case_dir: str, to_df):
                 exp_text = f.read().decode("utf-8", "replace")
             return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
         spark_df = to_df(spark, recs, infer=True)
+        _TLS.orig_records = recs
+        _TLS.df_pristine = True
     if files:
         recs: list[dict] = []
         for fidx, f_ in enumerate(files):
@@ -3296,6 +3370,8 @@ def run_case(spark, case_dir: str, to_df):
                     # DSL begin/end blocks can still emit on empty input:
                     # run the chain over an empty stream
                     spark_df = to_df(spark, [], keep_void=True)
+                    _TLS.orig_records = []
+                    _TLS.df_pristine = True
                 else:
                     with open(os.path.join(case_dir, "expout"), "rb") as f:
                         exp_text = f.read().decode("utf-8", "replace")
@@ -3317,6 +3393,8 @@ def run_case(spark, case_dir: str, to_df):
                     ch and ch[0] in ("nest", "describe") for ch in chains
                 ),
             )
+            _TLS.orig_records = recs
+            _TLS.df_pristine = True
 
     if (
         no_input
@@ -3331,6 +3409,7 @@ def run_case(spark, case_dir: str, to_df):
         return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
 
     ordered_ok = True
+    got_override = None
     for chain_i, chain in enumerate(chains):
         if not chain:
             raise Unsupported("empty verb")
@@ -3340,12 +3419,14 @@ def run_case(spark, case_dir: str, to_df):
             ordered_ok = False
         if verb == "seqgen":
             spark_df = v_seqgen(spark, vargv).withColumn("__ord", F.monotonically_increasing_id())
+            _TLS.df_pristine = False
             continue
         if verb == "join":
             # join emission order is not modeled; __ord only seeds
             # downstream window verbs (ordered_ok already False)
             spark_df = v_join(spark, spark_df, vargv, to_df, ifmt)
             spark_df = spark_df.withColumn("__ord", F.monotonically_increasing_id())
+            _TLS.df_pristine = False
             continue
         if verb not in VERBS:
             raise Unsupported(f"verb {verb}")
@@ -3353,10 +3434,16 @@ def run_case(spark, case_dir: str, to_df):
             if verb in ("put", "filter"):
                 # `mlr -n put/filter`: begin/end-only stream
                 spark_df = to_df(spark, [], keep_void=True)
+                _TLS.orig_records = []
+                _TLS.df_pristine = True
             else:
                 raise Unsupported("verb without input")
         try:
             spark_df = VERBS[verb](spark_df, vargv)
+            _TLS.df_pristine = False
+        except _RecordsResult as rr:
+            got_override = rr.records
+            break
         except _TextResult as tr:
             # print/dump-only output: compare at raw-text level. The
             # reference goldens carry floats at 8-decimal print
@@ -3384,20 +3471,28 @@ def run_case(spark, case_dir: str, to_df):
                 True,
             )
 
-    # lowercase booleans for the text compare (DSL programs can leave
-    # boolean-typed columns; Miller prints true/false)
-    for c, t in spark_df.dtypes:
-        if t == "boolean":
-            spark_df = spark_df.withColumn(
-                c, F.when(F.col(c), "true").when(~F.col(c), "false")
-            )
-    ordered = ordered_ok and "__ord" in spark_df.columns
-    if "__ord" in spark_df.columns:
-        spark_df = spark_df.orderBy("__ord")
-    got = [
-        {k: v for k, v in r.asDict().items() if not k.startswith("__")}
-        for r in spark_df.collect()
-    ]
+    if got_override is not None:
+        # DSL-last fast path: the interpreter's records are final
+        got = [
+            {k: v for k, v in r.items() if v is not None}
+            for r in got_override
+        ]
+        ordered = ordered_ok
+    else:
+        # lowercase booleans for the text compare (DSL programs can
+        # leave boolean-typed columns; Miller prints true/false)
+        for c, t in spark_df.dtypes:
+            if t == "boolean":
+                spark_df = spark_df.withColumn(
+                    c, F.when(F.col(c), "true").when(~F.col(c), "false")
+                )
+        ordered = ordered_ok and "__ord" in spark_df.columns
+        if "__ord" in spark_df.columns:
+            spark_df = spark_df.orderBy("__ord")
+        got = [
+            {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+            for r in spark_df.collect()
+        ]
     if ofmt_num:
         # --ofmt: floats print through this format; quantize ours the
         # same way so the numeric compare sees print-precision values

@@ -197,6 +197,11 @@ def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = Fals
 # ---------------------------------------------------------------------------
 
 
+import re as _canon_re
+
+_FLOAT_TOKEN = _canon_re.compile(r"-?\d+\.\d+(?:[eE][+-]?\d+)?")
+
+
 def _canon(v):
     if v is None or v == "-" or v == "":
         return None
@@ -205,7 +210,21 @@ def _canon(v):
     try:
         return float(v)
     except (TypeError, ValueError):
-        return str(v)
+        pass
+    s = str(v)
+    if any(c.isdigit() for c in s):
+        # the reference regtester compares floats at 8-decimal print
+        # precision; normalize float tokens EMBEDDED in strings (e.g.
+        # "0.34679014_0.72680286" from dot-concat) the same way
+        def q(m):
+            try:
+                t = ("%.8f" % float(m.group(0))).rstrip("0").rstrip(".")
+                return t if t else "0"
+            except (ValueError, OverflowError):
+                return m.group(0)
+
+        s = _FLOAT_TOKEN.sub(q, s)
+    return s
 
 
 def _vals_close(a, b) -> bool:
