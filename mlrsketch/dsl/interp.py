@@ -462,10 +462,12 @@ def cmp_op(op: str, a, b):
 
 def collections_equal(a, b) -> bool:
     if isinstance(a, dict) and isinstance(b, dict):
+        # map equality is KEY-SET based, insertion order irrelevant
+        # (dsl-collection-equality/0012)
         if len(a) != len(b):
             return False
-        for (ka, va), (kb, vb) in zip(a.items(), b.items()):
-            if str(ka) != str(kb) or not _eq_scalar_or_coll(va, vb):
+        for ka, va in a.items():
+            if ka not in b or not _eq_scalar_or_coll(va, b[ka]):
                 return False
         return True
     if isinstance(a, list) and isinstance(b, list):
@@ -555,13 +557,17 @@ class StreamInterp:
 
     # -- record stream ----------------------------------------------------
 
-    def run(self, records: list[dict], file_ctx: list | None = None) -> list:
-        """file_ctx: optional parallel list of (fnr, filename, filenum)."""
+    def run(self, records: list[dict], file_ctx: list | None = None,
+            nrs: list | None = None, final_nr: int | None = None) -> list:
+        """file_ctx: optional parallel list of (fnr, filename, filenum).
+        nrs: per-record original input NR (upstream filters drop records
+        but NR travels with each record); final_nr: the reader's last NR
+        as seen by end-blocks (total records read)."""
         self.out = []
         self.rec = None
         self._run_block_list(self.begins)
         for i, rec in enumerate(records):
-            self.nr = i + 1
+            self.nr = nrs[i] if nrs else i + 1
             if file_ctx is not None:
                 self.fnr, self.filename, self.filenum = file_ctx[i]
             else:
@@ -581,6 +587,8 @@ class StreamInterp:
             if keep and not self.emit_only:
                 self.out.append(("rec", self.rec))
             self.rec = None
+        if final_nr is not None:
+            self.nr = final_nr
         self._run_block_list(self.ends)
         self._flush_pipes()
         return self.out
@@ -803,6 +811,10 @@ class StreamInterp:
 
     def _exec_assign(self, aop, target, rhsexpr):
         rhs = self._eval(rhsexpr)
+        if isinstance(rhs, (dict, list)):
+            import copy
+
+            rhs = copy.deepcopy(rhs)  # mlrval assignment copies
         if aop != "=":
             cur = self._eval_lvalue_current(target)
             rhs = _compound_op(aop, cur, rhs, self._eval)
@@ -828,6 +840,8 @@ class StreamInterp:
             if self.rec is None:
                 raise MlrRuntimeError("$[...] outside record context")
             k = self._eval(target[1])
+            if k is ABSENT:
+                return
             self.rec[str(format_value(k))] = val
         elif kind == "fieldstar":
             if not isinstance(val, dict):
@@ -841,6 +855,8 @@ class StreamInterp:
             self.oos[target[1]] = val
         elif kind == "oosvarexpr":
             k = self._eval(target[1])
+            if k is ABSENT:
+                return
             self.oos[str(format_value(k))] = val
         elif kind == "oosvarstar":
             if not isinstance(val, dict):
@@ -854,10 +870,14 @@ class StreamInterp:
             self._assign_var(target[1], val)
         elif kind == "index":
             base, idx = target[1], target[2]
+            key = self._eval(idx)
+            if key is ABSENT or (
+                isinstance(key, list) and any(k is ABSENT for k in key)
+            ):
+                return  # absent index: assignment is a no-op
             container = self._container_for_write(base)
             if container is None:
                 return
-            key = self._eval(idx)
             _container_set(container, key, val)
         elif kind == "posname":
             # $[[n]] = "newname": RENAME the nth field (negative n
@@ -942,10 +962,12 @@ class StreamInterp:
                 self._assign_var(node[1], cur)
             return cur
         if kind == "index":
+            key = self._eval(node[2])
+            if key is ABSENT:
+                return None  # absent path segment: no auto-vivify
             parent = self._container_for_write(node[1])
             if parent is None:
                 return None
-            key = self._eval(node[2])
             cur = _container_get(parent, key)
             if not isinstance(cur, (dict, list)):
                 cur = {}
@@ -1474,16 +1496,22 @@ class StreamInterp:
             and len(lashed) == 1
             and lashed[0][0] == "oosvarstar"
         ):
-            # emit @* / emit all: each oosvar emits independently,
-            # index names applying to each in turn
-            for k, v in list(self.oos.items()):
+            # emit @* / emit all: each oosvar emits independently in
+            # order (dsl-emit-basic-indexing 0053..0075); with index
+            # names, a single non-map oosvar suppresses the whole emit
+            # (dsl-parameterized-emit/0058..0060)
+            all_pairs = [(str(format_value(k)), v)
+                         for k, v in self.oos.items()]
+            if names and any(not isinstance(v, dict) for _, v in all_pairs):
+                return
+            for k, v in all_pairs:
                 if variant == "emit":
                     if names:
-                        self._emit_plain([(str(format_value(k)), v)], names)
+                        self._emit_plain([(k, v)], names)
                     else:
-                        self._emit_split(str(format_value(k)), v, {})
+                        self._emit_split(k, v, {})
                 else:
-                    self._emitp([(str(format_value(k)), v)], names)
+                    self._emitp([(k, v)], names)
             return
         if (
             variant == "emit"
@@ -1517,7 +1545,7 @@ class StreamInterp:
         under ITS NAME as a map value (auto-flattened at write with the
         output flatsep): dsl-emit/0004,0008,0013,0021."""
 
-        def walk(residuals, names_left, idx):
+        def walk(residuals, names_left, idx, depth):
             if names_left and all(isinstance(v, dict) for _, v in residuals):
                 nm = names_left[0]
                 first = residuals[0][1]
@@ -1527,17 +1555,22 @@ class StreamInterp:
                         if isinstance(v2, dict) and k in v2
                     ]
                     if nxt:
-                        walk(nxt, names_left[1:], {**idx, nm: k})
+                        walk(nxt, names_left[1:], {**idx, nm: k}, depth + 1)
                 return
             rec = dict(idx)
             for n2, v2 in residuals:
                 if n2 is None:
                     continue  # emitp of an unnamed emittable: no-op
+                if depth == 0 and names_left:
+                    # unconsumed index names at the top: nothing emits
+                    # (dsl-parameterized-emit/0021,0058; deeper scalars
+                    # keep emitting with extra names ignored — 0075)
+                    continue
                 rec[n2] = v2
             if rec:
                 self._emit_rec(rec)
 
-        walk(pairs, names, {})
+        walk(pairs, names, {}, 0)
 
     def _emit_plain(self, pairs, names):
         """emit (non-p): after consuming `names` levels, leaf maps are
@@ -1583,8 +1616,6 @@ class StreamInterp:
                 self._emit_rec(rec)
                 return
             for n2, v2 in residuals:
-                if not isinstance(v2, (dict, list)):
-                    continue  # named-scalar residual: nothing emitted
                 self._emit_split(n2, v2, idx)
 
         walk(pairs, names, {})
@@ -1608,27 +1639,25 @@ class StreamInterp:
         (dsl-emit/0006)."""
         if isinstance(v, dict):
             map_children = [(k, x) for k, x in v.items() if isinstance(x, dict)]
-            list_children = [(k, x) for k, x in v.items() if isinstance(x, list)]
             scalars = {
                 str(format_value(k)): x
                 for k, x in v.items()
-                if not isinstance(x, (dict, list))
+                if not isinstance(x, dict)
             }
-            if map_children or list_children:
-                # any collection child: each key becomes its own record
-                # (scalars/arrays keep their key; maps recurse key-less)
-                for k, x in v.items():
-                    if isinstance(x, dict):
-                        self._emit_split(name, x, idx)
-                    else:
-                        self._emit_rec({**idx, str(format_value(k)): x})
+            if map_children:
+                if scalars:
+                    self._emit_rec({**idx, **scalars})
+                for _k, x in map_children:
+                    self._emit_split(name, x, idx)
                 return
             if scalars:
                 self._emit_rec({**idx, **scalars})
             return
         if v is ABSENT:
             return
-        self._emit_rec({**idx, (name or "value"): v})
+        if name is None:
+            return  # unnamed scalar emittable: nothing to emit
+        self._emit_rec({**idx, name: v})
 
     # -- print / dump ------------------------------------------------------
 
@@ -2914,6 +2943,15 @@ def _bif_every(it, args, raw):
     return Err()
 
 
+def _acc_pair(acc):
+    """Map-reduce accumulator is a single-entry map passed to the
+    callback as (acck, accv) (reference-dsl higher-order functions)."""
+    if isinstance(acc, dict) and acc:
+        k = next(iter(acc))
+        return k, acc[k]
+    return ABSENT, ABSENT
+
+
 @_reg(BUILTINS, "fold")
 def _bif_fold(it, args, raw):
     c, f = args[0], _callable_arg(it, args[1])
@@ -2924,8 +2962,8 @@ def _bif_fold(it, args, raw):
         return acc
     if isinstance(c, dict):
         for k, v in c.items():
-            r = f(acc, {k: v}) if False else f(acc, {"key": k, "value": v}) if False else f(acc, k, v)
-            acc = r
+            ak, av = _acc_pair(acc)
+            acc = f(ak, av, infer_value(k) if isinstance(k, str) else k, v)
         return acc
     return Err()
 
@@ -2946,7 +2984,8 @@ def _bif_reduce(it, args, raw):
             return ABSENT
         acc = {items[0][0]: items[0][1]}
         for k, v in items[1:]:
-            acc = f(acc, k, v)
+            ak, av = _acc_pair(acc)
+            acc = f(ak, av, infer_value(k) if isinstance(k, str) else k, v)
         return acc
     return Err()
 
@@ -2991,6 +3030,20 @@ def _bif_sort(it, args, raw):
     return Err()
 
 
+def _natural_cmp(a: str, b: str) -> int:
+    """Natural order: digit runs compare numerically (X2 < X10)."""
+    ta = [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", a) if t]
+    tb = [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", b) if t]
+    for x, y in zip(ta, tb):
+        if x == y:
+            continue
+        if isinstance(x, int) and isinstance(y, int):
+            return -1 if x < y else 1
+        sx, sy = str(x), str(y)
+        return -1 if sx < sy else (1 if sx > sy else 0)
+    return -1 if len(ta) < len(tb) else (1 if len(ta) > len(tb) else 0)
+
+
 def _cmp_val(r):
     n = _to_num(r)
     if n is None:
@@ -3021,8 +3074,7 @@ def _flag_cmp(a, b, flags: str) -> int:
         sa, sb = _s(a), _s(b)
         c = -1 if sa < sb else (1 if sa > sb else 0)
     elif "t" in flags:
-        sa, sb = _s(a).strip(), _s(b).strip()
-        c = -1 if sa < sb else (1 if sa > sb else 0)
+        c = _natural_cmp(_s(a), _s(b))
     else:
         c = compare_values(a, b)
     return -c if desc else c
@@ -4082,6 +4134,7 @@ def run_stream(
     typed: bool = False,
     tz: str | None = None,
     env: dict | None = None,
+    **kwargs,
 ):
     """Execute a full-DSL program over a record stream.
 
@@ -4096,6 +4149,8 @@ def run_stream(
         program, mode=mode, emit_only=emit_only, presets=presets,
         flatsep=flatsep, invert=invert, tz=tz, env=env,
     )
+    nrs = kwargs.get("nrs")
+    final_nr = kwargs.get("final_nr")
     prepared = []
     for rec in records:
         r2 = {}
@@ -4104,7 +4159,8 @@ def run_stream(
         if json_input:
             r2 = unflatten_record(r2, flatsep)
         prepared.append(r2)
-    items = interp.run(prepared, file_ctx=file_ctx)
+    items = interp.run(prepared, file_ctx=file_ctx, nrs=nrs,
+                       final_nr=final_nr)
     out = []
     for kind, payload in items:
         if kind == "rec":

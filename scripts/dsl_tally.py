@@ -21,12 +21,25 @@ from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 REF = "/root/reference/test/cases"
 
+def _known_divergences():
+    out = set()
+    for mod in ("test_golden_auto", "test_golden_dsl", "test_golden_io"):
+        try:
+            m = __import__(mod)
+            out |= set(getattr(m, "KNOWN_DIVERGENCES", ()))
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+KNOWN = _known_divergences()
+
 
 def main():
     filters = [a for a in sys.argv[1:] if not a.startswith("-")]
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.caseSensitive", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "12g")
         .appName("dsl-tally")
@@ -43,6 +56,8 @@ def main():
         cases = [c for c in cases if any(f in c for f in filters)]
 
     def one(c):
+        if any(k in c for k in KNOWN):
+            return ("skip", "known divergence")
         try:
             got, exp, ordered = run_case(spark, c, to_df)
         except Unsupported as e:

@@ -16,6 +16,7 @@ from test_golden_reference import assert_matches, to_df
 spark = (
     SparkSession.builder.master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.caseSensitive", "true")
     .config("spark.ui.enabled", "false")
     .appName("case")
     .getOrCreate()

@@ -395,6 +395,8 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
         for ln in text.splitlines():
             if not ln.strip():
                 continue
+            # Miller prints the bare token (error) for MT_ERROR values
+            ln = _re.sub(r"(?<=: )\(error\)(?=[,\n\]}])", '"(error)"', ln)
             r = _json.loads(ln)
             if not isinstance(r, dict):
                 raise Unsupported("non-object jsonl output")
@@ -2344,13 +2346,15 @@ def _run_dsl(df, argv, mode):
 
 
 def _records_from_df(df):
-    """Collect a runner DataFrame back to Miller records + file context."""
+    """Collect a runner DataFrame back to Miller records + file context.
+    NR travels with each record as __ord+1 (original read position, not
+    the post-filter stream position)."""
     rows = df.orderBy("__ord").collect()
     has_ctx = "__fnr" in df.columns
-    recs, fctx = [], []
+    recs, fctx, nrs = [], [], []
     for r in rows:
         d = r.asDict()
-        d.pop("__ord", None)
+        ordv = d.pop("__ord", None)
         fnr = d.pop("__fnr", None)
         fname = d.pop("__fname", None)
         fnum = d.pop("__fnum", None)
@@ -2358,12 +2362,13 @@ def _records_from_df(df):
             {k: v for k, v in d.items()
              if v is not None and not k.startswith("__")}
         )
+        nrs.append(int(ordv) + 1 if ordv is not None else len(recs))
         fctx.append((
             (int(fnr) + 1) if fnr is not None else 0,
             fname or "",
             int(fnum) if fnum is not None else 1,
         ))
-    return recs, (fctx if has_ctx else None)
+    return recs, (fctx if has_ctx else None), nrs
 
 
 class _RecordsResult(Exception):
@@ -2398,10 +2403,11 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
             ))
         if not has_ctx:
             fctx = None
+        nrs = list(range(1, len(recs) + 1))
     elif df is not None:
-        recs, fctx = _records_from_df(df)
+        recs, fctx, nrs = _records_from_df(df)
     else:
-        recs, fctx = [], None
+        recs, fctx, nrs = [], None, []
     try:
         items = MI.run_stream(
             prog,
@@ -2416,6 +2422,9 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
             tz=getattr(_TLS, "tz", None),
             env=getattr(_TLS, "env_overrides", None),
             typed=True,
+            nrs=nrs,
+            final_nr=(len(getattr(_TLS, "orig_records", []) or [])
+                      or (max(nrs) if nrs else 0)) or None,
         )
     except (DslUnsupported, DslSyntaxError) as e:
         raise Unsupported(f"dsl: {e}")
