@@ -23,6 +23,7 @@ import hashlib
 import json
 import math
 import re
+import threading
 import zlib
 
 from mlrsketch.dsl.parser import (
@@ -45,6 +46,20 @@ class _Absent:
 
 
 ABSENT = _Absent()
+
+
+class _NullType(str):
+    """MT_NULL (JSON null / the `null` literal): behaves as void ("")
+    in value contexts, but prints as "null" and is not legit for =~
+    (mlrval_type.go MT_NULL, dsl-regex-matching/null-reset)."""
+
+    __slots__ = ()
+
+    def __repr__(self):
+        return "null"
+
+
+NULL = _NullType("")
 
 
 class Err:
@@ -85,15 +100,20 @@ class _Return(Exception):
 class _Closure:
     """Anonymous `func(a,b){...}` literal bound to its defining env."""
 
-    __slots__ = ("params", "body", "interp")
+    __slots__ = ("params", "body", "interp", "fenced")
 
-    def __init__(self, params, body, interp):
+    def __init__(self, params, body, interp, fenced=True):
         self.params = params
         self.body = body
         self.interp = interp
+        # function LITERALS see the containing scope (dsl-first-class-
+        # functions/aaa-setup-0006: `cap` resolves at call time); named
+        # functions are fenced off from ambient locals
+        self.fenced = fenced
 
     def __call__(self, *args):
-        return self.interp._call_user(self.params, self.body, list(args))
+        return self.interp._call_user(self.params, self.body, list(args),
+                                      fenced=self.fenced)
 
 
 # --------------------------------------------------------------------------
@@ -138,11 +158,28 @@ def infer_value(v):
     return f
 
 
+_OFMT_TLS = threading.local()
+
+
+def set_ofmt(fmt: str | None):
+    """Install a float output format (python %-style) for this thread —
+    the analogue of MLR_OFMT, which the reference regtest harness sets
+    to %.8f for every golden case (regtester.go:161)."""
+    _OFMT_TLS.fmt = fmt
+
+
+def current_ofmt():
+    return getattr(_OFMT_TLS, "fmt", None)
+
+
 def format_value(v):
     """Render a Miller value the way the reference prints it in records:
-    floats drop a trailing .0; bools lowercase; maps/arrays JSON."""
+    floats drop a trailing .0 (or print through the thread's OFMT);
+    bools lowercase; maps/arrays JSON."""
     if v is ABSENT:
         return None
+    if v is NULL:
+        return "null"
     if isinstance(v, Err):
         return "(error)"
     if isinstance(v, bool):
@@ -154,6 +191,9 @@ def format_value(v):
             return "+Inf"
         if v == float("-inf"):
             return "-Inf"
+        fmt = getattr(_OFMT_TLS, "fmt", None)
+        if fmt:
+            return fmt % v
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -163,26 +203,48 @@ def format_value(v):
 
 
 def json_encode(v, indent=None):
-    def enc(x):
+    """Hand-rolled JSON text so float rendering honors the thread OFMT
+    (json.dumps' C encoder bypasses any float hook)."""
+
+    def enc(x, level):
         if x is ABSENT:
-            return "(absent)"
+            return '"(absent)"'
         if isinstance(x, Err):
-            return "(error)"
+            return '"(error)"'
         if isinstance(x, bool):
-            return x
+            return "true" if x else "false"
         if isinstance(x, float):
             if x != x or x in (float("inf"), float("-inf")):
-                return str(format_value(x))
-            if x == int(x) and abs(x) < 1e15:
-                return int(x)
-            return x
+                return json.dumps(str(format_value(x)))
+            return str(format_value(x))
+        if isinstance(x, int):
+            return str(x)
         if isinstance(x, dict):
-            return {str(format_value(k)): enc(v2) for k, v2 in x.items()}
+            if not x:
+                return "{}"
+            items = [
+                (json.dumps(str(format_value(k)), ensure_ascii=False),
+                 enc(v2, level + 1))
+                for k, v2 in x.items()
+            ]
+            if indent is None:
+                return "{" + ", ".join(f"{k}: {s}" for k, s in items) + "}"
+            pad, pad2 = " " * indent * level, " " * indent * (level + 1)
+            body = ",\n".join(f"{pad2}{k}: {s}" for k, s in items)
+            return "{\n" + body + "\n" + pad + "}"
         if isinstance(x, list):
-            return [enc(v2) for v2 in x]
-        return x
+            if not x:
+                return "[]"
+            parts = [enc(v2, level + 1) for v2 in x]
+            if indent is None:
+                return "[" + ", ".join(parts) + "]"
+            pad, pad2 = " " * indent * level, " " * indent * (level + 1)
+            return ("[\n" + ",\n".join(pad2 + p for p in parts)
+                    + "\n" + pad + "]")
+        return json.dumps(str(x) if not isinstance(x, str) else x,
+                          ensure_ascii=False)
 
-    return json.dumps(enc(v), indent=indent, ensure_ascii=False)
+    return enc(v, 0)
 
 
 def flatten_into(out: dict, key: str, v, sep: str = "."):
@@ -509,7 +571,10 @@ class StreamInterp:
         self.emit_only = emit_only
         self.invert = invert
         self.tz = tz
-        self.env_overrides = env or {}
+        self.env_overrides = dict(env or {})
+        if tz and "TZ" not in self.env_overrides:
+            # mlr --tz does os.Setenv("TZ", ...) — visible via ENV
+            self.env_overrides["TZ"] = tz
         self.flatsep = flatsep
         self.ofmt = ofmt
         self.oos: dict = {}
@@ -605,7 +670,7 @@ class StreamInterp:
 
     # -- user functions ----------------------------------------------------
 
-    def _call_user(self, params, body, args):
+    def _call_user(self, params, body, args, fenced=True):
         if len(args) > len(params):
             raise MlrRuntimeError("too many arguments")
         frame = {}
@@ -614,7 +679,13 @@ class StreamInterp:
         for ptype, pname in params[len(args):]:
             frame[pname] = ABSENT
         self.scopes.append(frame)
-        self.fence.append(len(self.scopes) - 1)
+        self.fence.append(len(self.scopes) - 1 if fenced
+                          else self.fence[-1])
+        # each function call gets its own regex-captures frame
+        # (runtime/state.go PushRegexCapturesFrame; dsl-regex-matching/
+        # 0017: a match inside f() must not leak to the caller)
+        saved_caps = getattr(self, "_captures", None)
+        self._captures = None
         try:
             for st in body:
                 self._exec(st)
@@ -622,6 +693,7 @@ class StreamInterp:
         except _Return as r:
             return r.value if r.value is not None else ABSENT
         finally:
+            self._captures = saved_caps
             self.fence.pop()
             self.scopes.pop()
 
@@ -690,7 +762,14 @@ class StreamInterp:
                     self._exec(s2)
                 while True:
                     if cond is not None:
-                        c = self._eval(cond)
+                        if cond[0] == "condseq":
+                            # pre-continuation assignments run every
+                            # iteration before the bare-boolean test
+                            for s2 in cond[1]:
+                                self._exec(s2)
+                            c = self._eval(cond[2])
+                        else:
+                            c = self._eval(cond)
                         if not (c is True or c == "true"):
                             break
                     try:
@@ -754,8 +833,13 @@ class StreamInterp:
         if isinstance(coll, dict):
             # map keys re-infer their scalar type when bound to loop
             # variables (reference: mlrmap string keys, typed iteration)
-            items = [(infer_value(k) if isinstance(k, str) else k, v)
-                     for k, v in coll.items()]
+            # — EXCEPT over $*: record field names are always strings
+            # (dsl-split-join-more/0007: typeof(k) is "string")
+            if collexpr[0] == "fieldstar":
+                items = list(coll.items())
+            else:
+                items = [(infer_value(k) if isinstance(k, str) else k, v)
+                         for k, v in coll.items()]
             if valvar is None and len(keyvars) == 1:
                 pairs = [(k, None) for k, _ in items]
             elif len(keyvars) == 1:
@@ -780,10 +864,10 @@ class StreamInterp:
                 pairs = [(v, None) for v in coll]
             else:
                 pairs = [(i + 1, v) for i, v in enumerate(coll)]
-        elif isinstance(coll, str):
-            pairs = [(c, None) for c in coll]
         else:
-            raise MlrRuntimeError("for-loop over non-collection")
+            # looped-over item is not a map or array: silent no-op
+            # (reference cst/for.go:193 — the fatal is commented out)
+            return
         broke = False
         for k, v in pairs:
             self._push()
@@ -1001,7 +1085,14 @@ class StreamInterp:
                     return
         elif kind == "index":
             try:
-                parent = self._eval(t[1])
+                if t[1][0] == "fieldstar":
+                    # $* evaluates to a COPY; unset $*["a"] must hit
+                    # the live record (dsl-unset/0047)
+                    parent = self.rec if self.rec is not None else ABSENT
+                elif t[1][0] == "oosvarstar":
+                    parent = self.oos
+                else:
+                    parent = self._eval(t[1])
             except MlrRuntimeError:
                 return
             if parent is ABSENT:
@@ -1043,7 +1134,10 @@ class StreamInterp:
         if kind in ("int", "float", "bool"):
             return node[1]
         if kind == "null":
-            return ""  # JSON null reads back as void in flat model
+            return NULL  # void-valued, but prints "null" / not legit
+        if kind == "panic":
+            # %%%panic%%% (mlr.bnf:96): must never be evaluated
+            raise MlrRuntimeError("panic token evaluated")
         if kind == "regexi":
             return node[1]
         if kind == "field":
@@ -1081,7 +1175,13 @@ class StreamInterp:
         if kind == "oosvarstar":
             return dict(self.oos)
         if kind == "var":
-            return self._lookup(node[1])
+            v = self._lookup(node[1])
+            if v is ABSENT and node[1] in self.funcs:
+                # bare user-function name as a value (dsl-sorts/
+                # sortaf-within: sort(xs, forward))
+                params, body = self.funcs[node[1]]
+                return _Closure(params, body, self)
+            return v
         if kind == "ctx":
             return self._ctx_value(node[1])
         if kind == "env":
@@ -1131,7 +1231,7 @@ class StreamInterp:
         if kind == "call":
             return self._eval_call(node[1], node[2])
         if kind == "funclit":
-            return _Closure(node[1], node[2], self)
+            return _Closure(node[1], node[2], self, fenced=False)
         raise DslUnsupported(f"expression {kind}")
 
     def _ctx_value(self, name):
@@ -1232,10 +1332,18 @@ class StreamInterp:
             if absentish:
                 return self._eval(rn)
             return a
+        if op == ".":
+            # double-purpose dot (reference cst/builtin_functions.go:551):
+            # map LHS -> attribute access by the RHS token literal;
+            # otherwise string concatenation
+            a = self._eval(ln)
+            if isinstance(a, dict):
+                lit = _token_literal(rn)
+                if lit is not None:
+                    return a.get(lit, ABSENT)
+            return _dot_concat(a, self._eval(rn))
         a = self._eval(ln)
         b = self._eval(rn)
-        if op == ".":
-            return _dot_concat(a, b)
         if op in ("+", "-", "*", "/", "//", "%", "**",
                   ".+", ".-", ".*", "./"):
             return arith(op, a, b)
@@ -1260,8 +1368,12 @@ class StreamInterp:
             return compare_values(a, b)
         if op in ("=~", "!=~"):
             # dynamic (non-literal) regex match
-            if a is ABSENT or b is ABSENT:
-                return ABSENT
+            if a is ABSENT or a is NULL:
+                self._captures = None
+                return a
+            if b is ABSENT or b is NULL:
+                self._captures = None
+                return b
             s = str(format_value(a))
             pat = str(format_value(b))
             try:
@@ -1314,9 +1426,12 @@ class StreamInterp:
     def _eval_match(self, node):
         _, subj, pat, ci, negate = node
         s = self._eval(subj)
-        if s is ABSENT:
-            self._set_captures(None)
-            return ABSENT
+        if s is ABSENT or s is NULL:
+            # non-legit operand: result is the operand itself, and the
+            # capture state resets to never-matched (cst
+            # builtin_functions.go:547 with nil captures)
+            self._captures = None
+            return s
         text = str(format_value(s))
         flags = re.IGNORECASE if ci else 0
         try:
@@ -1328,9 +1443,12 @@ class StreamInterp:
         return (not found) if negate else found
 
     def _set_captures(self, m):
-        """\\0..\\9 capture variables from the last =~ (reference
-        pkg/dsl/cst: captures persist until the next match)."""
+        """\\0..\\9 capture variables from the last =~. The state is
+        ALWAYS rewritten: a failed match sets ten empty strings
+        (lib/regex.go:408), a match sets the groups; only a non-legit
+        operand resets to None = never-matched literal passthrough."""
         if m is None:
+            self._captures = [""] * 10
             return
         caps = [m.group(0)] + [
             (m.group(i) if i <= (m.re.groups or 0) and m.group(i) is not None
@@ -1514,6 +1632,25 @@ class StreamInterp:
                     self._emitp([(k, v)], names)
             return
         if (
+            variant in ("emit", "emitp")
+            and names
+            and len(lashed) == 1
+            and lashed[0][0] == "fieldstar"
+        ):
+            # emit $*, "name": $* explodes into per-field lashed
+            # emittables (EMITX_NAMELESS_NODE_TYPES); with index names
+            # the scalar-valued leading entry makes indexed-lashed a
+            # no-op (dsl-redirects/0127,0128: empty expout)
+            rec = dict(self.rec) if self.rec is not None else {}
+            if any(not isinstance(v, dict) for v in rec.values()):
+                return
+            pairs2 = [(str(format_value(k)), v) for k, v in rec.items()]
+            if variant == "emit":
+                self._emit_plain(pairs2, names)
+            else:
+                self._emitp(pairs2, names)
+            return
+        if (
             variant == "emit"
             and not names
             and len(lashed) == 1
@@ -1573,10 +1710,12 @@ class StreamInterp:
         walk(pairs, names, {}, 0)
 
     def _emit_plain(self, pairs, names):
-        """emit (non-p): after consuming `names` levels, leaf maps are
-        unwrapped to bare keys. Lashed emittables WITH names merge into
-        one record per combo (dsl-emit/0024, later keys win); without
-        names each emittable splits sequentially (dsl-emit/0010)."""
+        """emit (non-p): without names, each emittable splits into one
+        bare-key record per map-of-scalars level (dsl-emit/0006,0010);
+        with names, each key-combo yields one record whose residual
+        flattens with the output flatsep, oosvar name dropped
+        (dsl-prefixed-unprefixed-emit/0016, dsl-emit/0013-want-shape),
+        scalars landing under their emittable's name (0030)."""
         if not names:
             if len(pairs) > 1 and all(
                 not isinstance(v, (dict, list)) for _, v in pairs
@@ -1591,34 +1730,81 @@ class StreamInterp:
                 self._emit_split(n2, v2, {})
             return
 
-        def walk(residuals, names_left, idx):
-            if names_left and all(isinstance(v, dict) for _, v in residuals):
-                nm = names_left[0]
-                first = residuals[0][1]
-                for k in first:
-                    nxt = [
-                        (n2, v2[k]) for n2, v2 in residuals
-                        if isinstance(v2, dict) and k in v2
-                    ]
-                    if nxt:
-                        walk(nxt, names_left[1:], {**idx, nm: k})
+        # -- with index names: mirror the reference executors exactly
+        # (cst/emit_emitp.go:792 executeIndexedNonLashedEmitAux,
+        # :1011 ...EmitPAux, :940 ...LashedEmitAux)
+
+        def emitp_indexed(template, name, m, names_left):
+            # below the first index level the non-lashed EMIT switches
+            # to emitP semantics: residual lands UNDER the emittable
+            # name and flattens with it as prefix ("sum.hatwye")
+            nm = names_left[0]
+            for k, v in m.items():
+                rec = {**template, nm: k}
+                if len(names_left) > 1 and isinstance(v, dict):
+                    emitp_indexed(rec, name, v, names_left[1:])
+                else:
+                    if v is not ABSENT:
+                        rec[name] = v
+                    self._emit_rec(rec)
+
+        def emit_nonlashed(name, m, names_left, idx):
+            nm = names_left[0]
+            for k, v in m.items():
+                rec = {**idx, nm: k}
+                if len(names_left) == 1:
+                    if isinstance(v, dict):
+                        for k2, v2 in v.items():  # one-level bare unwrap
+                            rec[k2] = v2
+                    elif v is not ABSENT:
+                        rec[name if name is not None else "value"] = v
+                    self._emit_rec(rec)
+                elif isinstance(v, dict):
+                    emitp_indexed(rec, name, v, names_left[1:])
+                else:
+                    if v is not ABSENT:
+                        rec[name if name is not None else "value"] = v
+                    self._emit_rec(rec)
+
+        def emit_lashed(residuals, names_left, idx):
+            nm = names_left[0]
+            lead = residuals[0][1]
+            if not isinstance(lead, dict):
                 return
-            if len(residuals) > 1:
-                # lashed with names: one record per key-combo — map
-                # residuals unwrap to bare keys (dsl-emit/0024), scalar
-                # residuals land under their own name (dsl-emit/0020)
-                rec = dict(idx)
+            for k, vlead in lead.items():
+                rec = {**idx, nm: k}
+                ks = str(format_value(k))
+                nxt = []
                 for n2, v2 in residuals:
                     if isinstance(v2, dict):
-                        self._merge_leaves(rec, v2)
-                    elif v2 is not ABSENT:
-                        rec[n2 if n2 is not None else "value"] = v2
-                self._emit_rec(rec)
-                return
-            for n2, v2 in residuals:
-                self._emit_split(n2, v2, idx)
+                        x = v2.get(k, v2.get(ks, None))
+                    else:
+                        x = None
+                    nxt.append((n2, x))
+                lead_next = nxt[0][1]
+                if len(names_left) > 1 and isinstance(lead_next, dict):
+                    # recursion carries only the map-valued residuals
+                    emit_lashed(
+                        [(n2, x if isinstance(x, dict) else None)
+                         for n2, x in nxt],
+                        names_left[1:], rec,
+                    )
+                else:
+                    for n2, x in nxt:
+                        if x is None or x is ABSENT:
+                            continue
+                        if isinstance(x, dict):
+                            rec.update(x)  # one-level merge, later wins
+                        elif n2 is not None:
+                            rec[n2] = x
+                    self._emit_rec(rec)
 
-        walk(pairs, names, {})
+        if len(pairs) > 1:
+            emit_lashed(pairs, names, {})
+            return
+        name, top = pairs[0]
+        if isinstance(top, dict):
+            emit_nonlashed(name, top, names, {})
 
     def _merge_leaves(self, rec, v):
         """Collapse a subtree's leaf maps into rec with bare keys."""
@@ -1669,12 +1855,16 @@ class StreamInterp:
             return
         if where == "err":
             return  # stderr not part of expout compare
-        v = self._eval(expr) if expr is not None else ""
-        if isinstance(v, (dict, list)):
-            text = dump_text(v)
-        else:
+        def render(v):
+            if isinstance(v, (dict, list)):
+                return dump_text(v)
             fv = format_value(v)
-            text = "" if fv is None else str(fv)
+            return "" if fv is None else str(fv)
+
+        if expr is not None and expr[0] == "printargs":
+            text = " ".join(render(self._eval(x)) for x in expr[1])
+        else:
+            text = render(self._eval(expr) if expr is not None else "")
         self.out.append(("txt", text + ("\n" if nl else "")))
 
     def _exec_dump(self, st):
@@ -1754,6 +1944,21 @@ def _dot_concat(a, b):
     sa = "" if a is ABSENT else str(format_value(a))
     sb = "" if b is ABSENT else str(format_value(b))
     return sa + sb
+
+
+def _token_literal(node):
+    """The raw token text of a simple AST node, mirroring the
+    reference's tokenLit for dot-operator map access."""
+    kind = node[0]
+    if kind == "var":
+        return node[1]
+    if kind == "str":
+        return node[1]
+    if kind in ("int", "float", "bool"):
+        return str(format_value(node[1]))
+    if kind == "field":
+        return node[1]
+    return None
 
 
 def _pos_name(base, n):
@@ -2023,34 +2228,54 @@ def _bif_truncate(it, args, raw):
     return s[:n]
 
 
-@_reg(BUILTINS, "min")
-def _bif_min(it, args, raw):
-    vals = [a for a in args if a is not ABSENT]
-    for v in vals:
-        if isinstance(v, Err):
-            return v
+def _minmax_rank(v):
+    """Miller min/max collation (bifs/arithmetic.go min/max
+    dispositions): numerics < booleans < void < strings."""
+    if _is_num(v):
+        return 0
+    if isinstance(v, bool):
+        return 1
+    if isinstance(v, str) and v == "":
+        return 2
+    return 3
+
+
+def _minmax_pick(args, want_max):
+    vals, nulls = [], 0
+    for a in args:
+        if a is ABSENT:
+            continue
+        if a is NULL:
+            nulls += 1
+            continue
+        if isinstance(a, Err):
+            return a
+        vals.append(a)
     if not vals:
-        return ABSENT
+        return NULL if nulls else ABSENT
+    if want_max and nulls:
+        return NULL  # max(x, null) is null (max_dispositions _null row)
     best = vals[0]
     for v in vals[1:]:
-        if compare_values(v, best) < 0:
+        ra, rb = _minmax_rank(v), _minmax_rank(best)
+        if ra != rb:
+            take = ra > rb if want_max else ra < rb
+        else:
+            c = compare_values(v, best)
+            take = c > 0 if want_max else c < 0
+        if take:
             best = v
     return best
+
+
+@_reg(BUILTINS, "min")
+def _bif_min(it, args, raw):
+    return _minmax_pick(args, want_max=False)
 
 
 @_reg(BUILTINS, "max")
 def _bif_max(it, args, raw):
-    vals = [a for a in args if a is not ABSENT]
-    for v in vals:
-        if isinstance(v, Err):
-            return v
-    if not vals:
-        return ABSENT
-    best = vals[0]
-    for v in vals[1:]:
-        if compare_values(v, best) > 0:
-            best = v
-    return best
+    return _minmax_pick(args, want_max=True)
 
 
 @_reg(BUILTINS, "int")
@@ -2113,8 +2338,10 @@ def _bif_boolean(it, args, raw):
 
 
 @_reg(BUILTINS, "string")
-@_absentify
 def _bif_string(it, args, raw):
+    if args[0] is ABSENT:
+        # mlrval ABSENT String() is "(absent)" (mlrval_type.go:66)
+        return "(absent)"
     return _s(args[0])
 
 
@@ -2359,14 +2586,16 @@ def _bif_regextract_or_else(it, args, raw):
 
 
 @_reg(BUILTINS, "strmatch")
-@_absentify
 def _bif_strmatch(it, args, raw):
+    if any(a is ABSENT for a in args):
+        return Err()  # absent operand is a type error (dsl-match/0001)
     return re.search(_go_regex(_s(args[1])), _s(args[0])) is not None
 
 
 @_reg(BUILTINS, "strmatchx")
-@_absentify
 def _bif_strmatchx(it, args, raw):
+    if any(a is ABSENT for a in args):
+        return Err()
     m = re.search(_go_regex(_s(args[1])), _s(args[0]))
     if not m:
         return {"matched": False}
@@ -2533,6 +2762,13 @@ def _bif_fmtnum(it, args, raw):
 @_reg(BUILTINS, "fmtifnum")
 def _bif_fmtifnum(it, args, raw):
     v = args[0]
+    if isinstance(v, dict):
+        # collection input: format every numeric leaf, keep the rest
+        # (dsl-number-formatting/0006: fmtifnum($*, "%8.3e"))
+        return {k: _bif_fmtifnum(it, [x, args[1]], raw)
+                for k, x in v.items()}
+    if isinstance(v, list):
+        return [_bif_fmtifnum(it, [x, args[1]], raw) for x in v]
     if _to_num(v) is None:
         return v
     r = _fmtnum(v, args[1])
@@ -2562,8 +2798,17 @@ def _fmtnum(v, fmt):
                     body = body.rjust(int(width), "0" if "0" in flags else " ")
                 return pre + body + post
             return pre + (spec + verb.replace("o", "o")) % iv + post
-        # float verbs
-        return pre + (spec + verb) % float(n) + post
+        # float verbs: the result is NUMERIC (mlrval float with a
+        # printrep); under MLR_OFMT the output re-renders by value, so
+        # carry the quantized value (dsl-number-formatting/0006:
+        # %8.3e of 0.34679 prints as 0.34680000 under %.8f)
+        s = pre + (spec + verb) % float(n) + post
+        if not pre and not post:
+            try:
+                return float(s)
+            except ValueError:
+                return s
+        return s
     except (ValueError, OverflowError):
         return Err()
 
@@ -2611,12 +2856,14 @@ def _bif_splitkv(it, args, raw):
     out = {}
     if s == "":
         return out
-    for pair in s.split(fs):
+    for i, pair in enumerate(s.split(fs)):
         if ps in pair:
             k, v = pair.split(ps, 1)
             out[k] = infer_value(v)
         else:
-            out[pair] = ""
+            # pairless piece: positional 1-up key, the piece is the
+            # value (dsl-split-join-more/0008: "c" -> 3=c)
+            out[str(i + 1)] = infer_value(pair)
     return out
 
 
@@ -2627,12 +2874,12 @@ def _bif_splitkvx(it, args, raw):
     out = {}
     if s == "":
         return out
-    for pair in s.split(fs):
+    for i, pair in enumerate(s.split(fs)):
         if ps in pair:
             k, v = pair.split(ps, 1)
             out[k] = v
         else:
-            out[pair] = ""
+            out[str(i + 1)] = pair
     return out
 
 
@@ -2784,6 +3031,10 @@ def _bif_flatten(it, args, raw):
     else:
         v, sep = args[0], _s(args[1])
         prefix = ""
+    if not isinstance(v, (dict, list)):
+        # non-collection passes through unchanged (bifs/collections.go
+        # BIF_flatten tail)
+        return v
     out: dict = {}
     if isinstance(v, dict):
         for k, v2 in v.items():
@@ -2856,7 +3107,10 @@ def _bif_mapselect(it, args, raw):
 @_reg(BUILTINS, "json_encode")
 def _bif_json_encode(it, args, raw):
     if len(args) > 1:
-        return json_encode(args[0], indent=2)
+        # second arg: multiline flag (json_stringify($x, false) ->
+        # single-line; dsl-json-parse-json-stringify/0002)
+        multi = args[1] is True or args[1] == "true"
+        return json_encode(args[0], indent=2 if multi else None)
     v = args[0]
     if v is ABSENT:
         return ABSENT
@@ -3530,25 +3784,33 @@ def _bif_hexd(it, args, raw):
 @_reg(BUILTINS, "latin1_to_utf8")
 @_absentify
 def _bif_l2u(it, args, raw):
+    """Value-level identity (the byte re-encoding happens at write
+    time in the reference, lib/latin1.go); recurses over collections.
+    Standalone byte-view mojibake is unrepresentable in the str value
+    model — same stance as the latin1-to-utf8 verb (exact.py)."""
     v = args[0]
-    if not isinstance(v, str):
-        return v
-    try:
-        return v.encode("latin-1").decode("utf-8")
-    except (UnicodeDecodeError, UnicodeEncodeError):
-        return v
+    if isinstance(v, dict):
+        return {k: _bif_l2u(it, [x], raw) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_bif_l2u(it, [x], raw) for x in v]
+    return v
 
 
 @_reg(BUILTINS, "utf8_to_latin1")
 @_absentify
 def _bif_u2l(it, args, raw):
+    """Identity when every code point fits latin-1, (error) otherwise
+    (lib/latin1.go TryUTF8ToLatin1); recurses over collections."""
     v = args[0]
+    if isinstance(v, dict):
+        return {k: _bif_u2l(it, [x], raw) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_bif_u2l(it, [x], raw) for x in v]
     if not isinstance(v, str):
         return v
-    try:
-        return v.encode("utf-8").decode("latin-1")
-    except (UnicodeDecodeError, UnicodeEncodeError):
-        return v
+    if any(ord(c) > 0xFF for c in v):
+        return Err()
+    return v
 
 
 # ---- time (UTC; reference pkg/bifs/time.go, lib/timeutil) ----------------
@@ -3653,6 +3915,16 @@ def _bif_sec2date(it, args, raw):
     return _bif_sec2gmtdate(it, args, raw)
 
 
+def _strftime_nanos_sub(s: str, n) -> str:
+    """Fill the %N / %O placeholders with the timestamp's nanoseconds."""
+    if "\x01NANO" not in s:
+        return s
+    nanos = int(round((n - math.floor(n)) * 1e9))
+    return s.replace("\x01NANO9\x01", "%09d" % nanos).replace(
+        "\x01NANOU\x01", "%d" % nanos
+    )
+
+
 def _translate_strftime(fmt: str):
     """C-strftime with Miller extensions %NS (N=1..9 fractional digits),
     %s epoch, %N nanoseconds."""
@@ -3668,6 +3940,14 @@ def _translate_strftime(fmt: str):
                 frac_digits = int(d)
                 out.append("\x01FRAC\x01")
                 i += 3
+                continue
+            if d == "N":  # nanoseconds, 9-digit (bifs/datetime.go:432)
+                out.append("\x01NANO9\x01")
+                i += 2
+                continue
+            if d == "O":  # nanoseconds, unpadded (bifs/datetime.go:438)
+                out.append("\x01NANOU\x01")
+                i += 2
                 continue
             out.append("%" + d)
             i += 2
@@ -3689,7 +3969,7 @@ def _bif_strftime(it, args, raw):
     s = d.strftime(pyfmt)
     if frac_digits is not None:
         s = s.replace("\x01FRAC\x01", _frac_str(n, frac_digits))
-    return s
+    return _strftime_nanos_sub(s, n)
 
 
 @_reg(BUILTINS, "strptime")
@@ -3698,16 +3978,20 @@ def _bif_strptime(it, args, raw):
     s, fmt = _s(args[0]), _s(args[1])
     pyfmt = fmt
     frac = 0.0
-    has_frac = False
-    if re.search(r"%\dS", pyfmt) or "%f" in pyfmt:
-        # fractional seconds: python %f caps at 6 digits — strip the
-        # fraction from the input and add it back numerically
-        has_frac = True
-        pyfmt = re.sub(r"%\dS", "%S", pyfmt).replace("%S.%f", "%S")
-        mfrac = re.search(r"\d{2}(\.\d+)", s)
-        if mfrac:
-            frac = float("0" + mfrac.group(1))
-            s = s[: mfrac.start(1)] + s[mfrac.end(1):]
+    # fractional seconds parse leniently: %S absorbs a trailing
+    # fraction even without an explicit %f directive (reference
+    # strptime; python %f also caps at 6 digits) — strip the fraction
+    # from the input and add it back numerically
+    pyfmt = re.sub(r"%\dS", "%S", pyfmt).replace("%S.%f", "%S")
+    mfrac = re.search(r"\d(\.\d+)", s)
+    if mfrac:
+        frac = float("0" + mfrac.group(1))
+        s = s[: mfrac.start(1)] + s[mfrac.end(1):]
+    has_frac = bool(mfrac)
+    for alias, exp in (("%F", "%Y-%m-%d"), ("%T", "%H:%M:%S"),
+                       ("%D", "%m/%d/%y"), ("%R", "%H:%M"),
+                       ("%r", "%I:%M:%S %p")):
+        pyfmt = pyfmt.replace(alias, exp)
     try:
         if "%s" in pyfmt:
             # epoch directive: python strptime lacks %s portably
@@ -3715,9 +3999,23 @@ def _bif_strptime(it, args, raw):
             if not m:
                 return Err()
             return int(m.group(1))
-        d = _dt.datetime.strptime(s, pyfmt).replace(tzinfo=_UTC)
+        d = _dt.datetime.strptime(s, pyfmt)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_UTC)
     except ValueError:
-        return Err()
+        if "%Z" in pyfmt:
+            # Go time.Parse accepts ANY zone abbreviation for %Z and,
+            # lacking location info, treats it as offset 0
+            # (dsl-local-date-time-functions/strptime-*: "... EST" ->
+            # 0.345); python rejects unknown names — strip the token
+            try:
+                pyfmt2 = re.sub(r"\s*%Z\s*$", "", pyfmt)
+                s2 = re.sub(r"\s*[A-Za-z][A-Za-z_/+-]*\s*$", "", s)
+                d = _dt.datetime.strptime(s2, pyfmt2).replace(tzinfo=_UTC)
+            except ValueError:
+                return Err()
+        else:
+            return Err()
     ts = d.timestamp()
     if has_frac and frac:
         return ts + frac
@@ -3806,11 +4104,11 @@ def _bif_dhms2sec(it, args, raw):
     neg = s.startswith("-")
     if neg:
         s = s[1:]
-    m = re.fullmatch(r"(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:(\d+)s)?", s)
-    if not m:
-        return Err()
-    d, h, mm, ss = (int(x) if x else 0 for x in m.groups())
-    total = d * 86400 + h * 3600 + mm * 60 + ss
+    if not re.fullmatch(r"(?:\d+[dhms])+", s):
+        return Err()  # "123" / "-" / "" are not dhms forms
+    total = 0
+    for num, unit in re.findall(r"(\d+)([dhms])", s):
+        total += int(num) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
     return -total if neg else total
 
 
@@ -3821,12 +4119,11 @@ def _bif_dhms2fsec(it, args, raw):
     neg = s.startswith("-")
     if neg:
         s = s[1:]
-    m = re.fullmatch(r"(?:(\d+)d)?(?:(\d+)h)?(?:(\d+)m)?(?:([\d.]+)s)?", s)
-    if not m:
+    if not re.fullmatch(r"(?:[\d.]+[dhms])+", s):
         return Err()
-    d, h, mm = (int(x) if x else 0 for x in m.groups()[:3])
-    ss = float(m.group(4)) if m.group(4) else 0.0
-    total = d * 86400 + h * 3600 + mm * 60 + ss
+    total = 0.0
+    for num, unit in re.findall(r"([\d.]+)([dhms])", s):
+        total += float(num) * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
     return -total if neg else total
 
 
@@ -3889,8 +4186,10 @@ def _bif_nsec2gmt(it, args, raw):
     d = _sec_to_dt(math.floor(sec))
     base = d.strftime("%Y-%m-%dT%H:%M:%S")
     if ndec:
-        frac = (int(n) % 1_000_000_000) / 1e9
-        base += ("%.*f" % (ndec, frac))[1:]
+        # decimals TRUNCATE the nanosecond digits, never round
+        # (dsl-sec2gmt/0004n: 05.123456789 @4 -> 05.1234)
+        digits = "%09d" % (int(n) % 1_000_000_000)
+        base += "." + digits[:ndec]
     return base + "Z"
 
 
@@ -3957,7 +4256,8 @@ def _bif_sec2localtime(it, args, raw):
         tz = _tz(it.tz) if it.tz else None
         if tz is None:
             raise DslUnsupported("sec2localtime without explicit TZ")
-    ndec = args[1] if len(args) > 2 else 0
+    ndec = (args[1] if len(args) >= 2 and isinstance(args[1], int)
+            and not isinstance(args[1], bool) else 0)
     d = _dt.datetime.fromtimestamp(n, tz=tz)
     base = d.strftime("%Y-%m-%d %H:%M:%S")
     if isinstance(ndec, int) and ndec:
@@ -4028,7 +4328,7 @@ def _bif_strftime_local(it, args, raw):
     s = d.strftime(pyfmt)
     if frac_digits is not None:
         s = s.replace("\x01FRAC\x01", _frac_str(n, frac_digits))
-    return s
+    return _strftime_nanos_sub(s, n)
 
 
 @_reg(BUILTINS, "strptime_local")
@@ -4151,37 +4451,63 @@ def run_stream(
     )
     nrs = kwargs.get("nrs")
     final_nr = kwargs.get("final_nr")
+    native = kwargs.get("native", False)
+    prev_ofmt = current_ofmt()
+    set_ofmt(kwargs.get("ofmt"))
     prepared = []
     for rec in records:
+        if native:
+            # nested typed records (JSON reader): no re-inference, no
+            # flatten round-trip — shape and scalar types are exact
+            prepared.append(dict(rec))
+            continue
         r2 = {}
         for k, v in rec.items():
             r2[k] = infer_value(v) if isinstance(v, str) else v
         if json_input:
             r2 = unflatten_record(r2, flatsep)
         prepared.append(r2)
-    items = interp.run(prepared, file_ctx=file_ctx, nrs=nrs,
-                       final_nr=final_nr)
-    out = []
-    for kind, payload in items:
-        if kind == "rec":
-            flat: dict = {}
-            for k, v in payload.items():
-                flatten_into(flat, str(format_value(k)), v, flatsep)
-            if typed:
-                # keep native int/float/bool for Spark schema alignment
-                out.append((
-                    "rec",
-                    {k: ("(error)" if isinstance(v, Err)
-                         else None if v is ABSENT else v)
-                     for k, v in flat.items()},
-                ))
+    fmt = kwargs.get("ofmt")
+
+    def _typed_out(v):
+        if isinstance(v, Err):
+            return "(error)"
+        if v is ABSENT:
+            return None
+        if fmt and isinstance(v, float) and v == v and v not in (
+            float("inf"), float("-inf")
+        ):
+            # quantize to print precision so value-compare sees what
+            # the reference printed (MLR_OFMT)
+            return float(fmt % v)
+        return v
+
+    try:
+        items = interp.run(prepared, file_ctx=file_ctx, nrs=nrs,
+                           final_nr=final_nr)
+        out = []
+        for kind, payload in items:
+            if kind == "rec":
+                flat: dict = {}
+                for k, v in payload.items():
+                    flatten_into(flat, str(format_value(k)), v, flatsep)
+                if typed:
+                    # keep native int/float/bool for Spark schema
+                    # alignment
+                    out.append((
+                        "rec",
+                        {k: _typed_out(v) for k, v in flat.items()},
+                    ))
+                else:
+                    out.append(
+                        ("rec",
+                         {k: format_value(v) for k, v in flat.items()})
+                    )
             else:
-                out.append(
-                    ("rec", {k: format_value(v) for k, v in flat.items()})
-                )
-        else:
-            out.append((kind, payload))
-    return out
+                out.append((kind, payload))
+        return out
+    finally:
+        set_ofmt(prev_ofmt)
 
 
 def dump_text(v, level: int = 0) -> str:
@@ -4210,6 +4536,8 @@ def dump_text(v, level: int = 0) -> str:
 def _dump_scalar(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
+    if v is NULL:
+        return "null"
     if v is ABSENT:
         return "(absent)"
     if isinstance(v, Err):

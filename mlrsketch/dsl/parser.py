@@ -95,7 +95,7 @@ _KEYWORDS = {
     "begin", "end", "filter", "unset", "emit", "emitp", "emitf", "emit1",
     "tee", "print", "printn", "eprint", "eprintn", "dump", "edump", "call",
     "true", "false", "var", "str", "num", "int", "float", "bool", "map",
-    "arr", "in", "break", "continue", "null", "all", "ENV",
+    "arr", "funct", "in", "break", "continue", "null", "all", "ENV",
 }
 
 _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
@@ -116,6 +116,12 @@ def tokenize(src: str) -> list[tuple[str, object]]:
         if c == "#":
             while i < n and src[i] != "\n":
                 i += 1
+            continue
+        if c == "%" and src.startswith("%%%panic%%%", i):
+            # grammar token for short-circuit tests (mlr.bnf:96-97):
+            # parses fine, panics only if evaluated
+            toks.append(("PANIC", None))
+            i += len("%%%panic%%%")
             continue
         if c == '"':
             j = i + 1
@@ -450,6 +456,8 @@ class _Parser:
             return ("bool", v == "true")
         if k == "KW" and v == "null":
             return ("null",)
+        if k == "PANIC":
+            return ("panic",)
         if k == "KW" and v == "ENV":
             return ("env",)
         if k == "KW" and v in _TYPE_KWS:
@@ -582,9 +590,18 @@ class _Parser:
         args = []
         if not (self.peek() == ("OP", ")")):
             while True:
+                if self.peek() == ("OP", ","):
+                    # empty slot / trailing comma(s): f($x,,) parses as
+                    # one-arg call (dsl-trailing-commas/0016)
+                    self.next()
+                    if self.peek() == ("OP", ")"):
+                        break
+                    continue
                 args.append(self.expr(0))
                 if self.peek() == ("OP", ","):
                     self.next()
+                    if self.peek() == ("OP", ")"):
+                        break  # trailing comma
                     continue
                 break
         self.expect_op(")")
@@ -695,7 +712,16 @@ class _Parser:
                 nk, nv = self.peek()
                 if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
                     return ("print", where, redir, None, nl)
-                return ("print", where, redir, self.expr(0), nl)
+                e = self.expr(0)
+                if self.peek() == ("OP", ","):
+                    # print a, b, c: space-joined (dsl-contains/0001,
+                    # strptime-z: `print "TZ       ", tz`)
+                    parts = [e]
+                    while self.peek() == ("OP", ","):
+                        self.next()
+                        parts.append(self.expr(0))
+                    e = ("printargs", parts)
+                return ("print", where, redir, e, nl)
             if v in ("dump", "edump"):
                 self.next()
                 where = "err" if v == "edump" else "out"
@@ -811,6 +837,8 @@ class _Parser:
                 params.append((ptype, v2))
                 if self.peek() == ("OP", ","):
                     self.next()
+                    if self.peek() == ("OP", ")"):
+                        break  # trailing comma in the param list
                     continue
                 break
         self.expect_op(")")
@@ -894,7 +922,28 @@ class _Parser:
         self.expect_op(";")
         cond = None
         if self.peek() != ("OP", ";"):
-            cond = self.expr(0)
+            # continuation block: zero or more assignments, then a bare
+            # boolean LAST (reference cst/for.go:784 — enforced there,
+            # not in the grammar)
+            items = [self.statement()]
+            while self.peek() == ("OP", ","):
+                self.next()
+                items.append(self.statement())
+            if items[-1][0] != "bare":
+                raise DslSyntaxError(
+                    "the final triple-for continuation statement must be "
+                    "a bare boolean"
+                )
+            for it in items[:-1]:
+                if it[0] != "assign":
+                    raise DslSyntaxError(
+                        "the non-final triple-for continuation statements "
+                        "must be assignments"
+                    )
+            if len(items) == 1:
+                cond = items[0][1]
+            else:
+                cond = ("condseq", items[:-1], items[-1][1])
         self.expect_op(";")
         update: list = []
         if self.peek() != ("OP", ")"):

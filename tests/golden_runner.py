@@ -68,6 +68,23 @@ def _parse_pprint_lines(clines: list[str], dedupe: bool = True) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
+def _sanitize_json_native(v):
+    """Nested JSON record -> interp value model: bools stay bool, null
+    keys drop (absent), array nulls become void. Keeps map-vs-array
+    distinction that the flat column model cannot (dsl-sorts/sortmv:
+    {"1":6,"2":5} is a MAP, not an array)."""
+    if isinstance(v, dict):
+        return {
+            k: _sanitize_json_native(x)
+            for k, x in v.items() if x is not None
+        }
+    if isinstance(v, list):
+        return [
+            "" if x is None else _sanitize_json_native(x) for x in v
+        ]
+    return v
+
+
 def _flatten_json_value(out: dict, key: str, v, sep: str):
     """Miller flatten semantics (flatten.go / mlrval flatten): nested
     maps -> sep-joined keys, arrays -> 1-based indices, empty
@@ -148,7 +165,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                   implicit_header: bool = False, ragged: bool = False,
                   lite: bool = False, ips: str | None = None,
                   codec: str | None = None, barred: bool = False,
-                  dedupe: bool = True, quoted_dkvp: bool = False) -> list[dict]:
+                  dedupe: bool = True, quoted_dkvp: bool = False,
+                  native_sink: list | None = None) -> list[dict]:
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
@@ -245,6 +263,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             for k, v in r.items():
                 _flatten_json_value(flat, k, v, flatsep)
             recs.append(flat)
+            if native_sink is not None:
+                native_sink.append(_sanitize_json_native(r))
         return recs
     if icsv == "pprint":
         recs = []
@@ -2281,17 +2301,27 @@ def _dsl_program(argv, case_dir=None):
         # `put -e -f file`: the reference's getopt takes "-f" itself as
         # the -e expression text (a CLI quirk, dsl-multipart-scripts/0004)
         raise Unsupported("put -e consuming a flag token")
-    if "-f" in fl:
-        path = fl["-f"]
-        full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
-        if not os.path.isfile(full):
-            raise Unsupported("put -f file missing")
-        with open(full) as fh:
-            prog = fh.read()
-        if "-e" in fl:
-            prog += ";" + fl["-e"]
-    elif "-e" in fl:
-        prog = fl["-e"]
+    parts = []
+    j = 0
+    while j < len(argv):
+        a = argv[j]
+        if a == "-f" and j + 1 < len(argv):
+            path = argv[j + 1]
+            full = path if os.path.isfile(path) else os.path.join(
+                "/root/reference", path)
+            if not os.path.isfile(full):
+                raise Unsupported("put -f file missing")
+            with open(full) as fh:
+                parts.append(fh.read())
+            j += 2
+            continue
+        if a == "-e" and j + 1 < len(argv):
+            parts.append(argv[j + 1])
+            j += 2
+            continue
+        j += 1
+    if parts:
+        prog = ";\n".join(parts)
     elif len(pos) == 1:
         prog = pos[0]
     else:
@@ -2299,11 +2329,23 @@ def _dsl_program(argv, case_dir=None):
     return prog, bool(fl.get("-x")), bool(fl.get("-S")), presets
 
 
+def _py_ofmt(fmt: str) -> str:
+    """Go %-format -> python: drop the length modifier (%.4lf -> %.4f)."""
+    return _re.sub(r"l+([eEfFgGd])", r"\1", fmt)
+
+
 def _fmt_scalar_out(v) -> str:
     from mlrsketch.dsl.interp import format_value
 
     if v is None:
         return ""
+    if isinstance(v, float) and v == v and v not in (
+        float("inf"), float("-inf")
+    ):
+        # text-rendered records print floats through the case OFMT
+        # (MLR_OFMT=%.8f in the reference regtest; no zero-stripping:
+        # dsl-type-reflect/0001 expects 0.00000000)
+        return _py_ofmt(getattr(_TLS, "ofmt_go", "%.8f")) % v
     fv = format_value(v)
     return "" if fv is None else str(fv)
 
@@ -2386,16 +2428,28 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
     if getattr(_TLS, "df_pristine", False):
         # the DataFrame is still the untouched input: feed the original
         # parsed records straight in (no Spark collect)
+        orig = getattr(_TLS, "orig_records", [])
+        nested = getattr(_TLS, "orig_json", [])
+        # JSON input with the pristine stream: use the parsed nested
+        # records verbatim — typed scalars, true map-vs-array shape —
+        # instead of the lossy flatten/unflatten round trip
+        json_native = (
+            getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl")
+            and len(nested) == len(orig)
+        )
         recs, fctx = [], []
         has_ctx = False
-        for r in getattr(_TLS, "orig_records", []):
+        for i, r in enumerate(orig):
             r = dict(r)
             fnr = r.pop("__fnr", None)
             fname = r.pop("__fname", None)
             fnum = r.pop("__fnum", None)
             if fnr is not None:
                 has_ctx = True
-            recs.append({k: v for k, v in r.items() if v is not None})
+            if json_native:
+                recs.append(nested[i])
+            else:
+                recs.append({k: v for k, v in r.items() if v is not None})
             fctx.append((
                 (int(fnr) + 1) if fnr is not None else 0,
                 fname or "",
@@ -2405,8 +2459,10 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
             fctx = None
         nrs = list(range(1, len(recs) + 1))
     elif df is not None:
+        json_native = False
         recs, fctx, nrs = _records_from_df(df)
     else:
+        json_native = False
         recs, fctx, nrs = [], None, []
     try:
         items = MI.run_stream(
@@ -2418,7 +2474,11 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
             file_ctx=fctx,
             flatsep=_flatsep(),
             presets=presets,
-            json_input=getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl"),
+            json_input=(not json_native
+                        and getattr(_TLS, "ifmt", "dkvp")
+                        in ("json", "jsonl")),
+            native=json_native,
+            ofmt=_py_ofmt(getattr(_TLS, "ofmt_go", "%.8f")),
             tz=getattr(_TLS, "tz", None),
             env=getattr(_TLS, "env_overrides", None),
             typed=True,
@@ -2466,6 +2526,51 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
                     )
                     chunks.append(("" if first else "\n") + block)
                     first = False
+            raise _TextResult("".join(chunks))
+        if ofmt == "pprint":
+            # aligned blocks; a schema change or interleaved text starts
+            # a new block (header re-printed)
+            chunks = []
+            block: list[dict] = []
+
+            def flush_block():
+                if not block:
+                    return
+                keys = list(block[0].keys())
+                rows = [keys] + [
+                    [(lambda s: "-" if s == "" else s)(_fmt_scalar_out(r.get(c)))
+                     for c in keys]
+                    for r in block
+                ]
+                widths = [max(len(row[i]) for row in rows)
+                          for i in range(len(keys))]
+                for row in rows:
+                    line = " ".join(
+                        cell.ljust(widths[i]) if i < len(keys) - 1 else cell
+                        for i, cell in enumerate(row)
+                    )
+                    chunks.append(line + "\n")
+                block.clear()
+
+            # the pprint writer BUFFERS records (column widths need the
+            # whole block); prints flush immediately, the block flushes
+            # on schema change or at end-of-stream
+            prev_keys = None
+            first_block_done = False
+            for k, p in items:
+                if k == "txt":
+                    chunks.append(p)
+                    continue
+                keys = tuple(p.keys())
+                if prev_keys is not None and keys != prev_keys:
+                    flush_block()
+                    chunks.append("\n")
+                    first_block_done = True
+                prev_keys = keys
+                block.append(p)
+            if block and first_block_done:
+                pass
+            flush_block()
             raise _TextResult("".join(chunks))
         if ofmt == "json":
             chunks = []
@@ -3319,6 +3424,10 @@ def run_case(spark, case_dir: str, to_df):
     _TLS.chain_is_last = False
     _TLS.df_pristine = False
     _TLS.orig_records = []
+    _TLS.orig_json = []
+    # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
+    # (regtester.go:161); an explicit --ofmt overrides it
+    _TLS.ofmt_go = ofmt_num or "%.8f"
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
@@ -3361,6 +3470,8 @@ def run_case(spark, case_dir: str, to_df):
                 barred=barred_input,
                 dedupe=dedupe_names,
                 quoted_dkvp=quoted_dkvp,
+                native_sink=(_TLS.orig_json
+                             if ifmt in ("json", "jsonl") else None),
             )
             if needs_filectx:
                 for j, r in enumerate(rs):

@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 620
+MIN_PASS = 2150
 
 KNOWN_DIVERGENCES = {
     # Miller's sub() does NOT treat a "\\t" (backslash-t) pattern as a
@@ -42,6 +42,12 @@ KNOWN_DIVERGENCES = {
     # string-column model both are "0"; per-value re-inference (the CSV
     # semantic) is the coherent choice, so this one JSON case diverges.
     "dsl-type-reflect/0001",
+    # utf8_to_latin1's reference output is RAW latin-1 bytes (invalid
+    # utf-8 in the expout file); a Spark string column cannot carry
+    # non-utf8 bytes, so the library keeps value-level identity
+    # semantics (same stance as the utf8-to-latin1 verb). The
+    # round-trip case (dsl-latin1/0002) does pass.
+    "dsl-latin1/0001",
 }
 
 
