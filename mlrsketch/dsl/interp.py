@@ -1336,6 +1336,10 @@ class StreamInterp:
             # double-purpose dot (reference cst/builtin_functions.go:551):
             # map LHS -> attribute access by the RHS token literal;
             # otherwise string concatenation
+            if ln[0] == "regexi" or rn[0] == "regexi":
+                # a case-insensitive regex literal is not a concatenable
+                # value (dsl-regex-matching/0013: filter keeps nothing)
+                return Err()
             a = self._eval(ln)
             if isinstance(a, dict):
                 lit = _token_literal(rn)

@@ -421,10 +421,17 @@ class _Parser:
                 left = ("ternary", left, a, b)
             elif v in ("=~", "!=~", "!~"):
                 k2, v2 = self.peek()
-                if k2 == "STR":
+                k3, v3 = self.peek(1)
+                # literal fast path only when the pattern is a LONE
+                # literal — `=~ "^a.*" . "d$"` must parse the full
+                # concat expression (dsl-regex-matching/0006)
+                extends = k3 == "OP" and (
+                    v3 == "[" or (v3 in _BP and _BP[v3][0] > next_rbp)
+                )
+                if k2 == "STR" and not extends:
                     self.next()
                     left = ("match", left, v2, False, v in ("!=~", "!~"))
-                elif k2 == "REGEXI":
+                elif k2 == "REGEXI" and not extends:
                     self.next()
                     left = ("match", left, v2, True, v in ("!=~", "!~"))
                 else:

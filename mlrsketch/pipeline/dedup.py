@@ -60,6 +60,14 @@ def minhash_signature(
     re-hashing string shingles n times through interpreted higher-order
     functions.
     """
+    # Shingle hashing is COMPUTE-bound, not IO-bound: a small parquet
+    # file arrives as one input partition, which would serialize the
+    # whole hashing stage on one core (measured 2.5s -> 1.4s at sf0.1).
+    # At 100 TB the input already has >> defaultParallelism partitions
+    # and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
     sh_h = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
     ex = df.select(F.col(id_col), F.explode(sh_h).alias("__h"))
     aggs = [

@@ -2288,10 +2288,7 @@ def _dsl_program(argv, case_dir=None):
     # -F (Miller-5 compat) is a no-op
     fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
                             "-v": 0, "-F": 0})
-    if fl.get("-v"):
-        # -v prints the parser AST to stdout BEFORE the records; the
-        # expout mixes that text with data, outside the value-level model
-        raise Unsupported("put -v (AST dump in expout)")
+    verbose = bool(fl.get("-v"))  # echo "DSL EXPRESSION:" + AST first
     presets = {}
     for a_i, a in enumerate(argv):
         if a == "-s" and a_i + 1 < len(argv) and "=" in argv[a_i + 1]:
@@ -2326,7 +2323,11 @@ def _dsl_program(argv, case_dir=None):
         prog = pos[0]
     else:
         raise Unsupported("put program form")
-    return prog, bool(fl.get("-x")), bool(fl.get("-S")), presets
+    if verbose and len(parts) > 1:
+        # the echo must reproduce Miller's exact source string; a
+        # multi-part join would not
+        raise Unsupported("put -v with multiple program sources")
+    return prog, bool(fl.get("-x")), bool(fl.get("-S")), presets, verbose
 
 
 def _py_ofmt(fmt: str) -> str:
@@ -2358,10 +2359,20 @@ class _TextResult(Exception):
 
 
 def _run_dsl(df, argv, mode):
-    prog, negate, s_flag, presets = _dsl_program(argv)
+    prog, negate, s_flag, presets, verbose = _dsl_program(argv)
     if s_flag:
         raise Unsupported("put -S string-only inference")
     emit_only = "-q" in argv
+    pre_text = None
+    if verbose:
+        from mlrsketch.dsl.astdump import AstUnsupported, verbose_header
+
+        try:
+            pre_text = verbose_header(prog)
+        except AstUnsupported as e:
+            raise Unsupported(f"put -v ast: {e}")
+        return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
+                               emit_only, presets, pre_text=pre_text)
     hidden = tuple(c for c in df.columns if c.startswith("__"))
     if not emit_only and not presets and not (mode == "put" and negate):
         try:
@@ -2421,7 +2432,8 @@ class _RecordsResult(Exception):
         self.records = records
 
 
-def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
+def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
+                    pre_text=None):
     """Full-language fallback: mlrsketch.dsl.interp stream execution."""
     from mlrsketch.dsl import interp as MI
 
@@ -2490,6 +2502,9 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None):
         raise Unsupported(f"dsl: {e}")
     except MI.MlrRuntimeError as e:
         raise Unsupported(f"dsl runtime: {e}")
+    if pre_text:
+        # put -v: the AST echo precedes every other output
+        items = [("txt", pre_text)] + list(items)
     txts = [p for k, p in items if k == "txt"]
     recs_out = [p for k, p in items if k == "rec"]
     if txts and not recs_out:
@@ -3165,13 +3180,13 @@ _SEP_NAMES = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
               "semicolon": ";", "auto": None}
 
 
-def run_case(spark, case_dir: str, to_df):
+def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     """Execute one golden case; returns (got_records, exp_records).
     Raises Unsupported for anything outside the interpreter's surface."""
     run_case.__globals__["_TO_DF"] = to_df
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    if "should-fail" in os.listdir(case_dir):
+    if "should-fail" in os.listdir(case_dir) and not allow_should_fail:
         raise Unsupported("should-fail case")
     env_overrides = {}
     envf = os.path.join(case_dir, "env")
@@ -3187,7 +3202,8 @@ def run_case(spark, case_dir: str, to_df):
     experr = os.path.join(case_dir, "experr")
     expout_path = os.path.join(case_dir, "expout")
     if (
-        os.path.exists(experr)
+        not allow_should_fail
+        and os.path.exists(experr)
         and os.path.getsize(experr) > 0
         and (not os.path.exists(expout_path) or os.path.getsize(expout_path) == 0)
     ):
