@@ -856,17 +856,8 @@ _FUNCS = {
     "length": lambda a, r: TC(F.when(a[0].col.isNull(), 0).otherwise(1), "int"),
     "depth": lambda a, r: TC(F.when(a[0].col.isNotNull(), 0), "int"),
     "leafcount": lambda a, r: TC(F.when(a[0].col.isNotNull(), 1), "int"),
-    "asserting_absent": lambda a, r: a[0],
-    "asserting_present": lambda a, r: a[0],
-    "asserting_empty": lambda a, r: a[0],
-    "asserting_not_empty": lambda a, r: a[0],
-    "asserting_null": lambda a, r: a[0],
-    "asserting_not_null": lambda a, r: a[0],
-    "asserting_int": lambda a, r: a[0],
-    "asserting_float": lambda a, r: a[0],
-    "asserting_numeric": lambda a, r: a[0],
-    "asserting_string": lambda a, r: a[0],
-    "asserting_boolean": lambda a, r: a[0],
+    # asserting_* must FATAL on violation — only the stream
+    # interpreter can do that; never claim them here
 }
 
 

@@ -564,9 +564,26 @@ class StreamInterp:
                  emit_only: bool = False, presets: dict | None = None,
                  flatsep: str = ".", ofmt: str | None = None,
                  invert: bool = False, tz: str | None = None,
-                 env: dict | None = None):
+                 env: dict | None = None, allow_filter_stmt: bool = False):
         (_, self.funcs, self.subrs, self.begins, self.mains,
          self.ends) = parse_full_program(program_src)
+        if mode == "filter" and not allow_filter_stmt:
+            def has_filter_stmt(node):
+                if isinstance(node, tuple):
+                    if node and node[0] == "filter":
+                        return True
+                    return any(has_filter_stmt(s) for s in node[1:])
+                if isinstance(node, list):
+                    return any(has_filter_stmt(s) for s in node)
+                return False
+
+            if any(has_filter_stmt(s) for s in self.mains):
+                # mlr filter 'filter ...' is a fatal in the reference
+                # (dsl-context-specific-validation/0024)
+                raise MlrRuntimeError(
+                    'filter expressions must not also contain the '
+                    '"filter" keyword'
+                )
         self.mode = mode
         self.emit_only = emit_only
         self.invert = invert
@@ -618,6 +635,12 @@ class StreamInterp:
 
     def _declare_var(self, name, val):
         if self.scopes:
+            if name in self.scopes[-1]:
+                # `var x = 1; var x = 2` in one scope is a fatal in the
+                # reference (dsl-for-oosvar-loops/0005 et al.)
+                raise MlrRuntimeError(
+                    f"redefinition of variable {name} in the same scope"
+                )
             self.scopes[-1][name] = val
 
     # -- record stream ----------------------------------------------------
@@ -719,12 +742,7 @@ class StreamInterp:
                 if c is True:
                     self._exec_block(body)
                     return
-                if c is not False and c is not ABSENT and not (
-                    isinstance(c, str) and c in ("true", "false")
-                ):
-                    # non-boolean condition: the reference errors; treat
-                    # falsy-but-typed as skip-arm to stay permissive
-                    pass
+                _cond_check(c)
                 if isinstance(c, str) and c == "true":
                     self._exec_block(body)
                     return
@@ -732,6 +750,7 @@ class StreamInterp:
         elif op == "while":
             while True:
                 c = self._eval(st[1])
+                _cond_check(c)
                 if not (c is True or c == "true"):
                     break
                 try:
@@ -1907,6 +1926,20 @@ class StreamInterp:
 _SKIP = object()
 
 
+def _cond_check(c):
+    """Conditions must be boolean: the reference fatals on a numeric,
+    string, or collection condition (dsl-line-number-column-number/
+    cond). Absent and error skip the arm (kept permissive: both arise
+    from missing fields in heterogeneous data)."""
+    if c is True or c is False or c is ABSENT or isinstance(c, Err):
+        return
+    if isinstance(c, str) and c in ("true", "false"):
+        return
+    raise MlrRuntimeError(
+        "conditional expression did not evaluate to boolean"
+    )
+
+
 def _compound_op(aop, cur, rhs, eval_fn):
     op = aop[:-1]  # strip trailing "="
     if op in ("&&", "||", "^^"):
@@ -2067,9 +2100,31 @@ def _container_set(container, key, val):
     raise MlrRuntimeError("cannot index this type")
 
 
+_DECL_CHECKS = {
+    "str": lambda v: isinstance(v, str),
+    "num": lambda v: _is_num(v),
+    "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
+    "float": lambda v: isinstance(v, (int, float))
+    and not isinstance(v, bool),
+    "bool": lambda v: isinstance(v, bool),
+    "map": lambda v: isinstance(v, dict),
+    "arr": lambda v: isinstance(v, list),
+    "funct": lambda v: isinstance(v, _Closure) or callable(v),
+}
+
+
 def _coerce_decl(ptype, val):
-    """Typed declarations: the reference type-checks; we pass through
-    (type errors in the corpus are should-fail cases, already skipped)."""
+    """Typed declarations/parameters: the reference FATALS on a type
+    mismatch (dsl-argpass-typedecl, dsl-typedecl should-fail suites).
+    Absent passes (unfilled optional parameter)."""
+    if ptype in (None, "var") or val is ABSENT:
+        return val
+    check = _DECL_CHECKS.get(ptype)
+    if check and not check(val):
+        raise MlrRuntimeError(
+            f"couldn't assign variable {ptype} from value "
+            f"{mlr_typeof(val)} {format_value(val)}"
+        )
     return val
 
 
@@ -3156,47 +3211,114 @@ def _callable_arg(it, v):
     raise _TypeErr()
 
 
+def _hof_func(it, v, name, arity):
+    """Higher-order-function argument validation: the reference FATALS
+    (not error-value) on a non-function argument or an arity mismatch
+    (dsl-first-class-functions/*-errors-* should-fail suites)."""
+    if isinstance(v, _Closure):
+        n = len(v.params)
+        if n != arity:
+            raise MlrRuntimeError(
+                f"{name}: argument function has arity {n}; need {arity}"
+            )
+        return v
+    if isinstance(v, str) and v in it.funcs:
+        params, body = it.funcs[v]
+        if len(params) != arity:
+            raise MlrRuntimeError(
+                f"{name}: argument function {v} has arity "
+                f"{len(params)}; need {arity}"
+            )
+        return lambda *a: it._call_user(params, body, list(a))
+    raise MlrRuntimeError(
+        f"{name}: second argument must be a function; got {mlr_typeof(v)}."
+    )
+
+
+def _hof_argc(name, args, want):
+    if len(args) != want:
+        s = "" if len(args) == 1 else "s"
+        raise MlrRuntimeError(
+            f"function {name} invoked with {len(args)} argument{s}; "
+            f"expected {want}"
+        )
+
+
 @_reg(BUILTINS, "apply")
 def _bif_apply(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("apply", args, 2)
+    c = args[0]
     if isinstance(c, list):
-        return [f(v) for v in c]
+        f = _hof_func(it, args[1], "apply", 1)
+        out = []
+        for v in c:
+            r = f(v)
+            if r is ABSENT:
+                raise MlrRuntimeError(
+                    "apply: second-argument function must return a "
+                    "value; got (absent)"
+                )
+            out.append(r)
+        return out
     if isinstance(c, dict):
+        f = _hof_func(it, args[1], "apply", 2)
         out = {}
         for k, v in c.items():
             r = f(k, v)
-            if isinstance(r, dict):
-                out.update(r)
+            if not isinstance(r, dict) or len(r) != 1:
+                raise MlrRuntimeError(
+                    "apply: second-argument function must return "
+                    f"single-element map; got {mlr_typeof(r)}"
+                )
+            out.update(r)
         return out
     return Err()
 
 
 @_reg(BUILTINS, "select")
 def _bif_select(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("select", args, 2)
+    c = args[0]
+
+    def pred(name, r):
+        if not isinstance(r, bool):
+            raise MlrRuntimeError(
+                f"select: function returned non-boolean "
+                f"\"{format_value(r)}\"."
+            )
+        return r
+
     if isinstance(c, list):
-        return [v for v in c if f(v) is True]
+        f = _hof_func(it, args[1], "select", 1)
+        return [v for v in c if pred("select", f(v))]
     if isinstance(c, dict):
-        return {k: v for k, v in c.items() if f(k, v) is True}
+        f = _hof_func(it, args[1], "select", 2)
+        return {k: v for k, v in c.items() if pred("select", f(k, v))}
     return Err()
 
 
 @_reg(BUILTINS, "any")
 def _bif_any(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("any", args, 2)
+    c = args[0]
     if isinstance(c, list):
+        f = _hof_func(it, args[1], "any", 1)
         return any(f(v) is True for v in c)
     if isinstance(c, dict):
+        f = _hof_func(it, args[1], "any", 2)
         return any(f(k, v) is True for k, v in c.items())
     return Err()
 
 
 @_reg(BUILTINS, "every")
 def _bif_every(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("every", args, 2)
+    c = args[0]
     if isinstance(c, list):
+        f = _hof_func(it, args[1], "every", 1)
         return all(f(v) is True for v in c)
     if isinstance(c, dict):
+        f = _hof_func(it, args[1], "every", 2)
         return all(f(k, v) is True for k, v in c.items())
     return Err()
 
@@ -3210,26 +3332,46 @@ def _acc_pair(acc):
     return ABSENT, ABSENT
 
 
+def _single_entry(name, r):
+    if not isinstance(r, dict) or len(r) != 1:
+        raise MlrRuntimeError(
+            f"{name}: second-argument function must return "
+            f"single-element map; got {mlr_typeof(r)}"
+        )
+    return r
+
+
 @_reg(BUILTINS, "fold")
 def _bif_fold(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("fold", args, 3)
+    c = args[0]
     acc = args[2]
     if isinstance(c, list):
+        f = _hof_func(it, args[1], "fold", 2)
         for v in c:
             acc = f(acc, v)
         return acc
     if isinstance(c, dict):
+        f = _hof_func(it, args[1], "fold", 4)
+        if not isinstance(acc, dict) or len(acc) != 1:
+            raise MlrRuntimeError(
+                "fold: third argument must be a single-element map; "
+                f"got {mlr_typeof(acc)}"
+            )
         for k, v in c.items():
             ak, av = _acc_pair(acc)
-            acc = f(ak, av, infer_value(k) if isinstance(k, str) else k, v)
+            acc = _single_entry("fold", f(
+                ak, av, infer_value(k) if isinstance(k, str) else k, v))
         return acc
     return Err()
 
 
 @_reg(BUILTINS, "reduce")
 def _bif_reduce(it, args, raw):
-    c, f = args[0], _callable_arg(it, args[1])
+    _hof_argc("reduce", args, 2)
+    c = args[0]
     if isinstance(c, list):
+        f = _hof_func(it, args[1], "reduce", 2)
         if not c:
             return ABSENT
         acc = c[0]
@@ -3237,13 +3379,15 @@ def _bif_reduce(it, args, raw):
             acc = f(acc, v)
         return acc
     if isinstance(c, dict):
+        f = _hof_func(it, args[1], "reduce", 4)
         items = list(c.items())
         if not items:
             return ABSENT
         acc = {items[0][0]: items[0][1]}
         for k, v in items[1:]:
             ak, av = _acc_pair(acc)
-            acc = f(ak, av, infer_value(k) if isinstance(k, str) else k, v)
+            acc = _single_entry("reduce", f(
+                ak, av, infer_value(k) if isinstance(k, str) else k, v))
         return acc
     return Err()
 
@@ -3252,6 +3396,10 @@ def _bif_reduce(it, args, raw):
 def _bif_sort(it, args, raw):
     import functools
 
+    if len(args) > 2:
+        raise MlrRuntimeError(
+            f"function sort takes maximum argument count 2; got {len(args)}"
+        )
     c = args[0]
     if len(args) == 1:
         flags = ""
@@ -3259,9 +3407,17 @@ def _bif_sort(it, args, raw):
     elif isinstance(args[1], str) and not isinstance(args[1], _Closure):
         flags = args[1]
         f = None
-    else:
+    elif isinstance(c, list):
+        f = _hof_func(it, args[1], "sort", 2)
         flags = ""
-        f = _callable_arg(it, args[1])
+    elif isinstance(c, dict):
+        try:
+            f = _hof_func(it, args[1], "sort", 4)
+        except MlrRuntimeError:
+            f = _hof_func(it, args[1], "sort", 2)  # key comparator
+        flags = ""
+    else:
+        return Err()  # sort of a scalar is an error VALUE, not fatal
     if isinstance(c, list):
         if f is not None:
             key = functools.cmp_to_key(lambda a, b: _cmp_from_func(f, a, b))
@@ -3305,7 +3461,10 @@ def _natural_cmp(a: str, b: str) -> int:
 def _cmp_val(r):
     n = _to_num(r)
     if n is None:
-        raise _TypeErr()
+        raise MlrRuntimeError(
+            f"sort: comparator function returned non-number "
+            f"\"{format_value(r)}\"."
+        )
     return -1 if n < 0 else (1 if n > 0 else 0)
 
 
@@ -4452,6 +4611,7 @@ def run_stream(
     interp = StreamInterp(
         program, mode=mode, emit_only=emit_only, presets=presets,
         flatsep=flatsep, invert=invert, tz=tz, env=env,
+        allow_filter_stmt=kwargs.get("allow_filter_stmt", False),
     )
     nrs = kwargs.get("nrs")
     final_nr = kwargs.get("final_nr")

@@ -618,6 +618,7 @@ class _Parser:
 
     def statements(self, until: str | None = None) -> list:
         out = []
+        need_sep = False
         while True:
             k, v = self.peek()
             if k == "EOF":
@@ -628,8 +629,17 @@ class _Parser:
                 break
             if (k, v) == ("OP", ";"):
                 self.next()
+                need_sep = False
                 continue
+            if need_sep:
+                # two statements need a ';' between them unless the
+                # first ended in a block (reference grammar; the
+                # `x x` tail of test/input/parse-error.mlr must reject)
+                raise DslSyntaxError(
+                    f"expected ';' between statements, got {v!r}"
+                )
             out.append(self.statement())
+            need_sep = self.toks[self.i - 1] != ("OP", "}")
         return out
 
     def block(self) -> list:
@@ -914,6 +924,14 @@ class _Parser:
         self.next()
         coll = self.expr(0)
         self.expect_op(")")
+        allvars = keyvars + ([valvar] if valvar else [])
+        if len(set(allvars)) != len(allvars):
+            # for (k, k in $*): duplicate bindings fatal in the
+            # reference (dsl-for-oosvar-loops/0005)
+            dup = next(v for v in allvars if allvars.count(v) > 1)
+            raise DslSyntaxError(
+                f"redefinition of variable {dup} in the same scope"
+            )
         body = self.block()
         return ("for_kv", keyvars, valvar, coll, body)
 
@@ -1004,16 +1022,78 @@ def parse_full_program(src: str):
     begins: list = []
     ends: list = []
     mains: list = []
+    def check_break(node, in_loop):
+        # break/continue only inside for/do/while — enforced at build
+        # time in the reference (dsl-context-validation/0009..0012:
+        # `func f() { break }` fatals without ever being called)
+        if isinstance(node, list):
+            for s2 in node:
+                check_break(s2, in_loop)
+            return
+        if not isinstance(node, tuple) or not node:
+            return
+        k = node[0]
+        if k in ("break", "continue") and not in_loop:
+            raise DslSyntaxError(
+                f"{k} statements are only valid within for/do/while loops"
+            )
+        if k in ("while", "dowhile", "for_kv", "for_c"):
+            for sub in node[1:]:
+                check_break(sub, True)
+            return
+        if k in ("funcdef", "subrdef"):
+            check_break(node[3], False)
+            return
+        if k == "funclit":
+            check_break(node[2], False)
+            return
+        for sub in node[1:]:
+            check_break(sub, in_loop)
+
+    for s in stmts:
+        check_break(s, False)
+
+    def forbid(node, kinds):
+        # func/subr (and begin/end inside func bodies) are top-level
+        # only — the reference fatals (dsl-context-validation/0005,
+        # 0006; dsl-user-defined-functions-and-subroutines/0010,0011).
+        # NOTE: "funclit" nodes are expressions, not definitions.
+        if isinstance(node, tuple):
+            if node and node[0] in kinds:
+                label = {"funcdef": "func", "subrdef": "subr",
+                         "begin": "begin", "end": "end"}[node[0]]
+                raise DslSyntaxError(
+                    f"{label} blocks can only be at top level"
+                )
+            for sub in node[1:]:
+                forbid(sub, kinds)
+        elif isinstance(node, list):
+            for sub in node:
+                forbid(sub, kinds)
+
     for s in stmts:
         if s[0] == "funcdef":
+            if s[1] in funcs:
+                raise DslSyntaxError(
+                    f'function named "{s[1]}" has already been defined'
+                )
+            forbid(s[3], ("funcdef", "subrdef", "begin", "end"))
             funcs[s[1]] = (s[2], s[3])
         elif s[0] == "subrdef":
+            if s[1] in subrs:
+                raise DslSyntaxError(
+                    f'subroutine named "{s[1]}" has already been defined'
+                )
+            forbid(s[3], ("funcdef", "subrdef", "begin", "end"))
             subrs[s[1]] = (s[2], s[3])
         elif s[0] == "begin":
+            forbid(s[1], ("funcdef", "subrdef"))
             begins.append(s[1])
         elif s[0] == "end":
+            forbid(s[1], ("funcdef", "subrdef"))
             ends.append(s[1])
         else:
+            forbid(s, ("funcdef", "subrdef", "begin", "end"))
             mains.append(s)
     return ("program", funcs, subrs, begins, mains, ends)
 

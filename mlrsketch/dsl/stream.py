@@ -67,8 +67,11 @@ def _run_group(pdf, prog: str, mode: str, emit_only: bool, in_cols,
                 continue
             rec[k] = MI.infer_value(v) if isinstance(v, str) else v
         records.append(rec)
+    # library API stance: the `filter` statement IS allowed inside
+    # filter_stream programs (the mlr-CLI restriction is a golden-replay
+    # concern only)
     items = MI.run_stream(prog, records, mode=mode, emit_only=emit_only,
-                          typed=True)
+                          typed=True, allow_filter_stmt=True)
     out_rows = []
     for kind, payload in items:
         if kind != "rec":
