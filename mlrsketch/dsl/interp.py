@@ -822,6 +822,11 @@ class StreamInterp:
             v = self._eval(expr)
             if sink == "out" and isinstance(v, dict):
                 self._emit_rec(dict(v))
+            elif (isinstance(sink, tuple) and sink[0] == "pipe"
+                  and isinstance(v, dict)):
+                # tee | cmd: records flow through the subprocess, whose
+                # stdout interleaves at end-of-stream (dsl-redirects/0010)
+                self._pipe_rec(sink[1], dict(v))
         elif op == "call_subr":
             name = st[1]
             if name not in self.subrs:
@@ -935,6 +940,14 @@ class StreamInterp:
 
     def _store(self, target, val):
         kind = target[0]
+        if kind == "binop" and target[1] == ".":
+            # dot-operator lvalue: $req.headers.host = v is
+            # $req["headers"]["host"] = v (cst/lvalues.go:43)
+            lit = _token_literal(target[3])
+            if lit is None:
+                raise DslUnsupported("assignment target binop")
+            self._store(("index", target[2], ("str", lit)), val)
+            return
         if kind == "field":
             if self.rec is None:
                 raise MlrRuntimeError("$field outside record context")
@@ -1040,6 +1053,12 @@ class StreamInterp:
         """Resolve the container for `node[...] = v`, auto-vivifying maps
         along the path (Miller auto-deepens on assignment)."""
         kind = node[0]
+        if kind == "binop" and node[1] == ".":
+            lit = _token_literal(node[3])
+            if lit is None:
+                raise DslUnsupported("assignment target binop")
+            return self._container_for_write(
+                ("index", node[2], ("str", lit)))
         if kind == "field":
             if self.rec is None:
                 raise MlrRuntimeError("$field outside record")
@@ -1058,6 +1077,14 @@ class StreamInterp:
             return cur
         if kind == "oosvarstar":
             return self.oos
+        if kind == "oosvarexpr":
+            # @["name"][...] = v: indirect oosvar, auto-vivified
+            k = str(format_value(self._eval(node[1])))
+            cur = self.oos.get(k, ABSENT)
+            if not isinstance(cur, (dict, list)):
+                cur = {}
+                self.oos[k] = cur
+            return cur
         if kind == "var":
             cur = self._lookup(node[1])
             if not isinstance(cur, (dict, list)):
@@ -1077,7 +1104,9 @@ class StreamInterp:
                 _container_set(parent, key, cur)
             return cur
         if kind == "env":
-            raise DslUnsupported("ENV writes")
+            # ENV["X"] = v: lands in the override map (the reference
+            # os.Setenvs; TZ changes affect later localtime calls)
+            return self.env_overrides
         raise DslUnsupported(f"indexed assignment into {kind}")
 
     def _exec_unset(self, t):
@@ -1568,11 +1597,17 @@ class StreamInterp:
         return "drop"
 
     def _pipe_rec(self, cmd: str, rec: dict):
-        """Queue a record for a pipe target (rendered dkvp; the command
-        runs once at end-of-stream, mirroring Miller's per-target
-        subprocess whose output interleaves on stdout)."""
+        """Queue a record for a pipe target (rendered in the redirect
+        format, dkvp by default or `put -o json`; the command runs once
+        at end-of-stream, mirroring Miller's per-target subprocess
+        whose output interleaves on stdout)."""
         if not hasattr(self, "_pipes"):
             self._pipes = {}
+        if getattr(self, "redirect_ofmt", None) == "json":
+            self._pipes.setdefault(cmd, []).append(
+                json_encode(rec, indent=2)
+            )
+            return
         flat: dict = {}
         for k, v in rec.items():
             flatten_into(flat, str(format_value(k)), v, self.flatsep)
@@ -1586,7 +1621,10 @@ class StreamInterp:
         import subprocess
 
         for cmd, lines in getattr(self, "_pipes", {}).items():
-            text = "\n".join(lines) + "\n" if lines else ""
+            if getattr(self, "redirect_ofmt", None) == "json":
+                text = "[\n" + ",\n".join(lines) + "\n]\n" if lines else ""
+            else:
+                text = "\n".join(lines) + "\n" if lines else ""
             try:
                 out = subprocess.run(
                     cmd, shell=True, input=text.encode(),
@@ -1898,10 +1936,13 @@ class StreamInterp:
             return
         if where == "err":
             return
-        v = self._eval(expr) if expr is not None else dict(self.oos)
-        if v is ABSENT:
-            return  # dump of an absent variable prints nothing
-        self.out.append(("txt", dump_text(v) + "\n"))
+        exprs = (expr[1] if expr is not None and expr[0] == "printargs"
+                 else [expr])
+        for ex in exprs:
+            v = self._eval(ex) if ex is not None else dict(self.oos)
+            if v is ABSENT:
+                continue  # dump of an absent variable prints nothing
+            self.out.append(("txt", dump_text(v) + "\n"))
 
     # -- function calls ----------------------------------------------------
 
@@ -2092,10 +2133,20 @@ def _container_set(container, key, val):
         i = key - 1 if key > 0 else n + key
         if 0 <= i < n:
             container[i] = val
-        elif i == n:  # 1-past-end append (reference semantics)
-            container.append(val)
+        elif key > 0:
+            # positive past-end assignment auto-lengthens, null-filling
+            # the gap (mlrval_collections.go LengthenMlrvalArray;
+            # dsl-begin-end/0007: @sum[2] += $x on an empty array)
+            container.extend([NULL] * (key - n))
+            container[key - 1] = val
+        elif key == 0:
+            raise MlrRuntimeError(
+                "zero indices are not supported. Indices are 1-up"
+            )
         else:
-            raise MlrRuntimeError("array index out of bounds")
+            raise MlrRuntimeError(
+                "cannot use negative indices to auto-lengthen arrays"
+            )
         return
     raise MlrRuntimeError("cannot index this type")
 
@@ -2341,6 +2392,15 @@ def _bif_max(it, args, raw):
 @_absentify
 def _bif_int(it, args, raw):
     v = args[0]
+    if len(args) > 1:
+        # int(x, base): explicit-radix parse (dsl-int-function/0002+)
+        base = args[1]
+        if not isinstance(base, int) or isinstance(base, bool):
+            return Err()
+        try:
+            return int(str(format_value(v)).strip(), base)
+        except (ValueError, TypeError):
+            return Err()
     if isinstance(v, bool):
         return 1 if v else 0
     if isinstance(v, int):
@@ -2352,12 +2412,18 @@ def _bif_int(it, args, raw):
     if isinstance(v, str):
         iv = infer_value(v)
         if isinstance(iv, bool) or not isinstance(iv, (int, float)):
-            # try harder: leading-zero decimal / 0x forms
+            # explicit int() uses Go strconv base-0 rules: 0x hex,
+            # 0b binary, and LEADING-ZERO OCTAL ("0377" -> 255,
+            # dsl-int-function/0001) — unlike record inference, which
+            # keeps leading-zero values as strings
+            s = v.strip()
+            if re.fullmatch(r"[+-]?0[0-7]+", s):
+                return int(s, 8)
             try:
-                return int(v, 0)
+                return int(s, 0)
             except ValueError:
                 try:
-                    return int(v, 10)
+                    return int(s, 10)
                 except ValueError:
                     return Err()
         return int(iv)
@@ -2815,6 +2881,14 @@ def _unformat(fmt, s, infer):
 @_reg(BUILTINS, "fmtnum")
 @_absentify
 def _bif_fmtnum(it, args, raw):
+    v = args[0]
+    if isinstance(v, dict):
+        # recurses over collections (bifs/strings.go:604); non-numeric
+        # leaves become (error) (dsl-number-formatting/0005)
+        return {k: _bif_fmtnum(it, [x, args[1]], raw)
+                for k, x in v.items()}
+    if isinstance(v, list):
+        return [_bif_fmtnum(it, [x, args[1]], raw) for x in v]
     return _fmtnum(args[0], args[1])
 
 
@@ -4398,6 +4472,12 @@ def _local_ts(naive, tz) -> float:
 
 # local-time variants need a TZ argument or TZ env; treat the explicit-
 # argument forms as UTC-offset computations via zoneinfo
+def _cur_tz(it):
+    """Session timezone: a runtime ENV["TZ"] write overrides --tz
+    (dsl-local-date-time-functions/strptime-z loops over zones)."""
+    return it.env_overrides.get("TZ") or it.tz
+
+
 def _tz(name):
     from zoneinfo import ZoneInfo
 
@@ -4416,7 +4496,7 @@ def _bif_sec2localtime(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(it.tz) if it.tz else None
+        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("sec2localtime without explicit TZ")
     ndec = (args[1] if len(args) >= 2 and isinstance(args[1], int)
@@ -4437,7 +4517,7 @@ def _bif_sec2localdate(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(it.tz) if it.tz else None
+        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("sec2localdate without explicit TZ")
     return _dt.datetime.fromtimestamp(n, tz=tz).strftime("%Y-%m-%d")
@@ -4446,7 +4526,7 @@ def _bif_sec2localdate(it, args, raw):
 @_reg(BUILTINS, "localtime2gmt")
 @_absentify
 def _bif_localtime2gmt(it, args, raw):
-    if not it.tz:
+    if not _cur_tz(it):
         raise DslUnsupported("localtime2gmt without session TZ")
     sec = _bif_localtime2sec(it, args, raw)
     if isinstance(sec, Err):
@@ -4461,7 +4541,7 @@ def _bif_localtime2sec(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(it.tz) if it.tz else None
+        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("localtime2sec without explicit TZ")
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d"):
@@ -4483,7 +4563,7 @@ def _bif_strftime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        tz = _tz(it.tz) if it.tz else None
+        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("strftime_local without explicit TZ")
     pyfmt, frac_digits = _translate_strftime(fmt)
@@ -4501,7 +4581,7 @@ def _bif_strptime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        tz = _tz(it.tz) if it.tz else None
+        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("strptime_local without explicit TZ")
     try:
@@ -4613,6 +4693,7 @@ def run_stream(
         flatsep=flatsep, invert=invert, tz=tz, env=env,
         allow_filter_stmt=kwargs.get("allow_filter_stmt", False),
     )
+    interp.redirect_ofmt = kwargs.get("redirect_ofmt")
     nrs = kwargs.get("nrs")
     final_nr = kwargs.get("final_nr")
     native = kwargs.get("native", False)

@@ -748,7 +748,16 @@ class _Parser:
                 nk, nv = self.peek()
                 if (nk, nv) in (("OP", ";"), ("OP", "}"), ("EOF", None)):
                     return ("dump", where, redir, None)
-                return ("dump", where, redir, self.expr(0))
+                e = self.expr(0)
+                if self.peek() == ("OP", ","):
+                    # dump a, b: one dump per argument, each on its own
+                    # line (dsl-dump-print/0003)
+                    parts = [e]
+                    while self.peek() == ("OP", ","):
+                        self.next()
+                        parts.append(self.expr(0))
+                    e = ("printargs", parts)
+                return ("dump", where, redir, e)
             if v == "if":
                 return self.if_statement()
             if v == "filter":

@@ -2286,8 +2286,12 @@ from mlrsketch.dsl.parser import DslSyntaxError, DslUnsupported
 def _dsl_program(argv, case_dir=None):
     """Extract the program text: inline positional or `-f file`."""
     # -F (Miller-5 compat) is a no-op
+    # -S/-F are documented no-ops in Miller 6 (put_or_filter.go:25-26);
+    # -w/-W emit warnings on STDERR (not compared; warning-triggering
+    # cases are should-fail and handled there); -o sets the format of
+    # REDIRECTED output only (files/pipes — dropped by this harness)
     fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
-                            "-v": 0, "-F": 0})
+                            "-v": 0, "-F": 0, "-w": 0, "-W": 0, "-o": 1})
     verbose = bool(fl.get("-v"))  # echo "DSL EXPRESSION:" + AST first
     presets = {}
     for a_i, a in enumerate(argv):
@@ -2327,7 +2331,8 @@ def _dsl_program(argv, case_dir=None):
         # the echo must reproduce Miller's exact source string; a
         # multi-part join would not
         raise Unsupported("put -v with multiple program sources")
-    return prog, bool(fl.get("-x")), bool(fl.get("-S")), presets, verbose
+    return (prog, bool(fl.get("-x")), bool(fl.get("-S")), presets, verbose,
+            fl.get("-o"))
 
 
 def _py_ofmt(fmt: str) -> str:
@@ -2359,9 +2364,7 @@ class _TextResult(Exception):
 
 
 def _run_dsl(df, argv, mode):
-    prog, negate, s_flag, presets, verbose = _dsl_program(argv)
-    if s_flag:
-        raise Unsupported("put -S string-only inference")
+    prog, negate, s_flag, presets, verbose, red_ofmt = _dsl_program(argv)
     emit_only = "-q" in argv
     pre_text = None
     if verbose:
@@ -2372,7 +2375,18 @@ def _run_dsl(df, argv, mode):
         except AstUnsupported as e:
             raise Unsupported(f"put -v ast: {e}")
         return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
-                               emit_only, presets, pre_text=pre_text)
+                               emit_only, presets, pre_text=pre_text,
+                               redirect_ofmt=red_ofmt)
+    if red_ofmt:
+        # -o affects redirected output only — needs the interp's sinks
+        return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
+                               emit_only, presets, redirect_ofmt=red_ofmt)
+    if getattr(_TLS, "str_only", False):
+        # global -S: values must stay strings — the interp honors that
+        # (native mode skips inference); the compiler plans on inferred
+        # column types, so bypass it
+        return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
+                               emit_only, presets)
     hidden = tuple(c for c in df.columns if c.startswith("__"))
     if not emit_only and not presets and not (mode == "put" and negate):
         try:
@@ -2433,7 +2447,7 @@ class _RecordsResult(Exception):
 
 
 def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
-                    pre_text=None):
+                    pre_text=None, redirect_ofmt=None):
     """Full-language fallback: mlrsketch.dsl.interp stream execution."""
     from mlrsketch.dsl import interp as MI
 
@@ -2489,7 +2503,8 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
             json_input=(not json_native
                         and getattr(_TLS, "ifmt", "dkvp")
                         in ("json", "jsonl")),
-            native=json_native,
+            native=json_native or getattr(_TLS, "str_only", False),
+            redirect_ofmt=redirect_ofmt,
             ofmt=_py_ofmt(getattr(_TLS, "ofmt_go", "%.8f")),
             tz=getattr(_TLS, "tz", None),
             env=getattr(_TLS, "env_overrides", None),
@@ -3041,6 +3056,23 @@ def v_reshape(df, argv):
     return melted.unionByName(passthrough, allowMissingColumns=True)
 
 
+def v_clean_whitespace(df, argv):
+    """`mlr clean-whitespace` (-k keys only / -v values only): values
+    via exact.clean_whitespace; keys = column renames (the reference
+    trims + collapses whitespace in field NAMES too)."""
+    fl, _ = _flags(argv, {"-k": 0, "-v": 0})
+    if not fl.get("-k"):
+        df = ev.clean_whitespace(df)
+    if not fl.get("-v"):
+        for c in list(df.columns):
+            if c.startswith("__"):
+                continue
+            c2 = _re.sub(r"\s+", " ", c.strip())
+            if c2 != c:
+                df = df.withColumnRenamed(c, c2)
+    return df
+
+
 VERBS = {
     "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut_regex, "sort": v_sort,
     "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
@@ -3069,6 +3101,7 @@ VERBS = {
 
     "regularize": v_regularize, "sparsify": v_sparsify, "nest": v_nest,
     "rank": v_rank, "tee": v_tee, "group-by": v_group_by, "unspace": v_unspace,
+    "clean-whitespace": v_clean_whitespace,
     "altkv": v_altkv, "remove-empty-columns": v_remove_empty_columns,
     "format-values": v_format_values, "split": v_split, "summary": v_summary,
     "flatten": v_flatten, "unflatten": v_unflatten, "json-parse": v_json_parse,
@@ -3222,6 +3255,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     ifs = None
     ofs = None
     ofmt_num = None
+    str_only = False
     tz_name = None
     flatsep = "."
     comment_skip = None
@@ -3334,6 +3368,11 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             i += 2
         elif a in ("--right-align-numeric", "--right"):
             i += 1  # pprint alignment only; value-level no-op
+        elif a == "-S":
+            # global -S: all field values import as STRINGS (no type
+            # inference; dsl-int-function suite)
+            str_only = True
+            i += 1
         elif a in ("--no-dedupe-field-names",):
             dedupe_names = False
             i += 1
@@ -3444,6 +3483,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
     # (regtester.go:161); an explicit --ofmt overrides it
     _TLS.ofmt_go = ofmt_num or "%.8f"
+    _TLS.str_only = str_only
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
@@ -3517,7 +3557,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             spark_df = to_df(
                 spark,
                 recs,
-                infer=(ifmt not in ("csv", "tsv")),
+                infer=(ifmt not in ("csv", "tsv")) and not str_only,
                 # nest --pairs must distinguish x="" (explodes to zero
                 # pieces -> record dropped across-records) from absent x
                 # (record passes through)
