@@ -29,6 +29,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _sig9(c):
+    """Canonical 9-significant-digit string encoding of a double.
+
+    Renders ``<round(x * 10^(8-floor(log10|x|)))>e<floor(log10|x|)-8>``
+    — an integer mantissa plus a base-10 exponent.  Unlike fixed-decimal
+    ``round(x, 6)``, this is stable across engines whose float64
+    summation orders differ in the last ULP: cross-engine agreement is
+    only required at the 9th significant digit, never the 15th.  The
+    DuckDB side of each oracle uses the byte-identical encoding via
+    ``_sig9_sql``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    c = c.cast("double")
+    mag = F.floor(F.log10(F.abs(c)))
+    d = (F.lit(8) - mag).cast("double")
+    r = F.round(c * F.pow(F.lit(10.0), d)).cast("long")
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(F.isnan(c), F.lit("nan"))
+        .when(c == 0.0, F.lit("0"))
+        .otherwise(
+            F.concat(r.cast("string"), F.lit("e"), (mag - F.lit(8)).cast("long").cast("string"))
+        )
+    )
+
+
+def _sig9_sql(x: str) -> str:
+    """DuckDB SQL rendering identical to `_sig9` (see its docstring)."""
+    return (
+        f"CASE WHEN ({x}) IS NULL THEN NULL "
+        f"WHEN isnan({x}) THEN 'nan' "
+        f"WHEN ({x}) = 0 THEN '0' "
+        f"ELSE CAST(CAST(round(({x}) * pow(10, 8 - floor(log10(abs({x}))))) AS BIGINT) AS VARCHAR) "
+        f"|| 'e' || CAST(CAST(floor(log10(abs({x}))) AS BIGINT) - 8 AS VARCHAR) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -568,9 +605,9 @@ def q_stats1_extended(spark, sf):
         F.col("l_quantity_distinct_count").alias("dist_cnt"),
         F.col("l_quantity_minlen").alias("minlen"),
         F.col("l_quantity_maxlen").alias("maxlen"),
-        F.round("l_quantity_meaneb", 6).alias("meaneb"),
-        F.round("l_quantity_skewness", 6).alias("skew"),
-        F.round("l_quantity_kurtosis", 6).alias("kurt"),
+        _sig9("l_quantity_meaneb").alias("meaneb"),
+        _sig9("l_quantity_skewness").alias("skew"),
+        _sig9("l_quantity_kurtosis").alias("kurt"),
     )
 
 
@@ -613,12 +650,12 @@ def q_stats2_linreg(spark, sf):
     )
     return s.select(
         "l_returnflag",
-        F.round("l_quantity_l_extendedprice_m", 6).alias("ols_m"),
-        F.round("l_quantity_l_extendedprice_b", 6).alias("ols_b"),
-        F.round("l_quantity_l_extendedprice_pca_m", 6).alias("pca_m"),
-        F.round("l_quantity_l_extendedprice_pca_b", 6).alias("pca_b"),
+        _sig9("l_quantity_l_extendedprice_m").alias("ols_m"),
+        _sig9("l_quantity_l_extendedprice_b").alias("ols_b"),
+        _sig9("l_quantity_l_extendedprice_pca_m").alias("pca_m"),
+        _sig9("l_quantity_l_extendedprice_pca_b").alias("pca_b"),
         F.col("l_quantity_l_extendedprice_pca_n").alias("pca_n"),
-        F.round("l_quantity_l_extendedprice_pca_quality", 6).alias("pca_q"),
+        _sig9("l_quantity_l_extendedprice_pca_quality").alias("pca_q"),
     )
 
 
@@ -674,13 +711,13 @@ def q_summary(spark, sf):
         "count",
         "null_count",
         "distinct_count",
-        F.round("sum", 4).alias("sum"),
-        F.round("mean", 6).alias("mean"),
-        F.round("min", 4).alias("min"),
-        F.round("max", 4).alias("max"),
-        F.round("var", 4).alias("var"),
-        F.round("stddev", 6).alias("stddev"),
-        F.round("median", 4).alias("median"),
+        _sig9("sum").alias("sum"),
+        _sig9("mean").alias("mean"),
+        _sig9("min").alias("min"),
+        _sig9("max").alias("max"),
+        _sig9("var").alias("var"),
+        _sig9("stddev").alias("stddev"),
+        _sig9("median").alias("median"),
         "minlen",
         "maxlen",
     )
@@ -783,7 +820,7 @@ def q_surv_km(spark, sf):
         (F.col("event_type") == "purchase").cast("int").alias("status"),
     )
     s = ev.surv(e, "t", "status")
-    return s.select("t", "n_risk", "n_events", F.round("survival", 6).alias("survival"))
+    return s.select("t", "n_risk", "n_events", _sig9("survival").alias("survival"))
 
 
 def q_merge_fields_var(spark, sf):
@@ -1515,7 +1552,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], qv) DESC, vec_id ASC
             LIMIT 10
         """,
-        "stats1_extended": """
+        "stats1_extended": f"""
             WITH m AS (
               SELECT l_returnflag,
                      count(l_quantity) AS n,
@@ -1533,11 +1570,9 @@ def oracle_sql() -> dict[str, str]:
                    nullc AS null_cnt,
                    distc AS dist_cnt,
                    minlen, maxlen,
-                   round(sqrt(vs / n), 6) AS meaneb,
-                   round(((s3 - (s1/n)*(3.0*s2 - 2.0*n*(s1/n)*(s1/n))) / n)
-                         / pow((s2 - n*(s1/n)*(s1/n)) / (n-1), 1.5), 6) AS skew,
-                   round(((s4 - (s1/n)*(4.0*s3 - (s1/n)*(6.0*s2 - 3.0*n*(s1/n)*(s1/n)))) / n)
-                         / pow((s2 - n*(s1/n)*(s1/n)) / n, 2) - 3.0, 6) AS kurt
+                   {_sig9_sql("sqrt(vs / n)")} AS meaneb,
+                   {_sig9_sql("((s3 - (s1/n)*(3.0*s2 - 2.0*n*(s1/n)*(s1/n))) / n) / pow((s2 - n*(s1/n)*(s1/n)) / (n-1), 1.5)")} AS skew,
+                   {_sig9_sql("((s4 - (s1/n)*(4.0*s3 - (s1/n)*(6.0*s2 - 3.0*n*(s1/n)*(s1/n)))) / n) / pow((s2 - n*(s1/n)*(s1/n)) / n, 2) - 3.0")} AS kurt
             FROM m
         """,
         "stats1_mad": """
@@ -1571,7 +1606,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY cnt ASC, first_seen ASC) AS rn FROM counted)
             WHERE rn = 1 ORDER BY l_returnflag
         """,
-        "stats2_linreg": """
+        "stats2_linreg": f"""
             WITH m AS (
               SELECT l_returnflag,
                      count(*) AS n,
@@ -1588,12 +1623,12 @@ def oracle_sql() -> dict[str, str]:
                      (sxx + syy - sqrt((sxx-syy)*(sxx-syy) + 4*sxy*sxy)) / 2 AS l2
               FROM m)
             SELECT l_returnflag,
-                   round(cxy_p / vx_p, 6) AS ols_m,
-                   round(ybar - (cxy_p / vx_p) * xbar, 6) AS ols_b,
-                   round((l1 - sxx) / sxy, 6) AS pca_m,
-                   round(ybar - ((l1 - sxx) / sxy) * xbar, 6) AS pca_b,
+                   {_sig9_sql("cxy_p / vx_p")} AS ols_m,
+                   {_sig9_sql("ybar - (cxy_p / vx_p) * xbar")} AS ols_b,
+                   {_sig9_sql("(l1 - sxx) / sxy")} AS pca_m,
+                   {_sig9_sql("ybar - ((l1 - sxx) / sxy) * xbar")} AS pca_b,
                    n AS pca_n,
-                   round(CASE WHEN abs(l1) = 0 THEN 0.0 ELSE 1.0 - abs(l2)/abs(l1) END, 6) AS pca_q
+                   {_sig9_sql("CASE WHEN abs(l1) = 0 THEN 0.0 ELSE 1.0 - abs(l2)/abs(l1) END")} AS pca_q
             FROM pca
         """,
         "stats2_covx": """
@@ -1620,18 +1655,18 @@ def oracle_sql() -> dict[str, str]:
             FROM events WINDOW w5 AS (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
-        "summary": """
+        "summary": f"""
             SELECT 'o_orderkey' AS field_name, 'bigint' AS field_type,
                    count(*) AS count,
                    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
                    count(DISTINCT o_orderkey) AS distinct_count,
-                   round(sum(CAST(o_orderkey AS DOUBLE)), 4) AS sum,
-                   round(avg(CAST(o_orderkey AS DOUBLE)), 6) AS mean,
-                   round(min(CAST(o_orderkey AS DOUBLE)), 4) AS min,
-                   round(max(CAST(o_orderkey AS DOUBLE)), 4) AS max,
-                   round(var_samp(CAST(o_orderkey AS DOUBLE)), 4) AS var,
-                   round(stddev_samp(CAST(o_orderkey AS DOUBLE)), 6) AS stddev,
-                   round(list_sort(list(CAST(o_orderkey AS DOUBLE)))[least(cast(floor(0.5*count(o_orderkey)) AS BIGINT), count(o_orderkey)-1) + 1], 4) AS median,
+                   {_sig9_sql("sum(CAST(o_orderkey AS DOUBLE))")} AS sum,
+                   {_sig9_sql("avg(CAST(o_orderkey AS DOUBLE))")} AS mean,
+                   {_sig9_sql("min(CAST(o_orderkey AS DOUBLE))")} AS min,
+                   {_sig9_sql("max(CAST(o_orderkey AS DOUBLE))")} AS max,
+                   {_sig9_sql("var_samp(CAST(o_orderkey AS DOUBLE))")} AS var,
+                   {_sig9_sql("stddev_samp(CAST(o_orderkey AS DOUBLE))")} AS stddev,
+                   {_sig9_sql("list_sort(list(CAST(o_orderkey AS DOUBLE)))[least(cast(floor(0.5*count(o_orderkey)) AS BIGINT), count(o_orderkey)-1) + 1]")} AS median,
                    min(length(CAST(o_orderkey AS VARCHAR))) AS minlen,
                    max(length(CAST(o_orderkey AS VARCHAR))) AS maxlen
             FROM orders
@@ -1640,13 +1675,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*),
                    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
                    count(DISTINCT o_totalprice),
-                   round(sum(o_totalprice), 4),
-                   round(avg(o_totalprice), 6),
-                   round(min(o_totalprice), 4),
-                   round(max(o_totalprice), 4),
-                   round(var_samp(o_totalprice), 4),
-                   round(stddev_samp(o_totalprice), 6),
-                   round(list_sort(list(o_totalprice))[least(cast(floor(0.5*count(o_totalprice)) AS BIGINT), count(o_totalprice)-1) + 1], 4),
+                   {_sig9_sql("sum(o_totalprice)")},
+                   {_sig9_sql("avg(o_totalprice)")},
+                   {_sig9_sql("min(o_totalprice)")},
+                   {_sig9_sql("max(o_totalprice)")},
+                   {_sig9_sql("var_samp(o_totalprice)")},
+                   {_sig9_sql("stddev_samp(o_totalprice)")},
+                   {_sig9_sql("list_sort(list(o_totalprice))[least(cast(floor(0.5*count(o_totalprice)) AS BIGINT), count(o_totalprice)-1) + 1]")},
                    min(length(CAST(o_totalprice AS VARCHAR))),
                    max(length(CAST(o_totalprice AS VARCHAR)))
             FROM orders
@@ -1707,7 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         "remove_empty_columns": """
             SELECT event_id, user_id FROM events
         """,
-        "surv_km": """
+        "surv_km": f"""
             WITH per AS (
               SELECT CAST(floor(value/50) AS BIGINT) AS t, count(*) AS c,
                      sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS d
@@ -1718,8 +1753,7 @@ def oracle_sql() -> dict[str, str]:
                      coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
               FROM per)
             SELECT t, total - prior AS n_risk, d AS n_events,
-                   round(exp(sum(CASE WHEN d < total - prior THEN ln(1 - d*1.0/(total-prior)) ELSE '-infinity'::DOUBLE END)
-                             OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS survival
+                   {_sig9_sql("exp(sum(CASE WHEN d < total - prior THEN ln(1 - d*1.0/(total-prior)) ELSE '-infinity'::DOUBLE END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")} AS survival
             FROM w ORDER BY t
         """,
         "merge_fields_var": """
