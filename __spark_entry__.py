@@ -579,13 +579,14 @@ def q_simhash_near_dups(spark, sf):
 def q_ewma(spark, sf):
     return sv.ewma_pandas(
         _t(spark, sf, "events"), "value", [0.3], ["ts", "event_id"], by=["user_id"]
-    ).select("event_id", F.round("value_ewma_0_3", 6).alias("ewma_v"))
+    ).select("event_id", _sig9("value_ewma_0_3").alias("ewma_v"))
 
 
 def q_sample_per_group(spark, sf):
-    return ev.sample(_t(spark, sf, "orders"), 5, by=["o_orderpriority"]).select(
-        "o_orderpriority", "o_orderkey"
-    )
+    # deterministic seeded hash-sample (key = primary key) — oracle-checkable
+    return ev.sample(
+        _t(spark, sf, "orders"), 5, by=["o_orderpriority"], key=["o_orderkey"]
+    ).select("o_orderpriority", "o_orderkey")
 
 
 # -- round-1 widening: remaining SURVEY.md §2 verbs --------------------------
@@ -1034,12 +1035,31 @@ def q_mad_global(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's DuckDB correctness gate checks the
-    # FIRST 50 keys. Round 1 green-checked the 50 keys now at the BACK;
-    # this round front-loads the previously-unchecked entries (plus new
-    # round-2 queries) so the gate covers fresh surface.
+    # FIRST 50 keys. Rounds 1+2 green-checked 100 of 114 keys; round 3
+    # front-loads the 14 never-checked entries, then the 4 queries whose
+    # r2 hash-reds were fixed (sig9 encoding), then new round-3 surface.
     return {
-        # round-2 scale-path queries first: the gate should green-check
-        # the de-single-tasked ungrouped order-dependent implementations
+        # never-driver-checked until now
+        "ewma": q_ewma,
+        "sample_per_group": q_sample_per_group,
+        "bootstrap_ci": q_bootstrap_ci,
+        "image_features": q_image_features,
+        "frame_sample": q_frame_sample,
+        "logireg": q_logireg,
+        "sketch_profile": q_sketch_profile,
+        "token_top_k": q_token_top_k,
+        "hll_distinct_per_lang": q_hll_distinct_per_lang,
+        "tdigest_quantiles": q_tdigest_quantiles,
+        "kll_quantiles": q_kll_quantiles,
+        "cms_top_tokens": q_cms_top_tokens,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        # r2 hash-red, fixed this round — prove green at driver level
+        "stats1_extended": q_stats1_extended,
+        "stats2_linreg": q_stats2_linreg,
+        "summary": q_summary,
+        "surv_km": q_surv_km,
+        # --- round-2 driver-green keys (checked in CORRECTNESS_r02) ---
         "step_global": q_step_global,
         "slwin_global": q_slwin_global,
         "fill_down_global": q_fill_down_global,
@@ -1055,15 +1075,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_first": q_dedup_keep_first,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_brute_force": q_ann_brute_force,
-        "stats1_extended": q_stats1_extended,
         "stats1_mad": q_stats1_mad,
         "stats1_iqr_fences": q_stats1_iqr_fences,
         "stats1_antimode": q_stats1_antimode,
-        "stats2_linreg": q_stats2_linreg,
         "stats2_covx": q_stats2_covx,
         "step_advanced": q_step_advanced,
         "stats1_windowed": q_stats1_windowed,
-        "summary": q_summary,
         "sort_natural": q_sort_natural,
         "tac": q_tac,
         "sub_first": q_sub_first,
@@ -1077,7 +1094,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flatten": q_flatten,
         "json_stringify": q_json_stringify,
         "remove_empty_columns": q_remove_empty_columns,
-        "surv_km": q_surv_km,
         "merge_fields_var": q_merge_fields_var,
         "count_distinct_n": q_count_distinct_n,
         "top_full": q_top_full,
@@ -1091,20 +1107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "bloom_dedup": q_bloom_dedup,
         "bootstrap": q_bootstrap,
-        "bootstrap_ci": q_bootstrap_ci,
-        "image_features": q_image_features,
-        "frame_sample": q_frame_sample,
-        "logireg": q_logireg,
-        "sketch_profile": q_sketch_profile,
-        "token_top_k": q_token_top_k,
-        "hll_distinct_per_lang": q_hll_distinct_per_lang,
-        "tdigest_quantiles": q_tdigest_quantiles,
-        "kll_quantiles": q_kll_quantiles,
-        "cms_top_tokens": q_cms_top_tokens,
-        "minhash_near_dups": q_minhash_near_dups,
-        "simhash_near_dups": q_simhash_near_dups,
-        "ewma": q_ewma,
-        "sample_per_group": q_sample_per_group,
         # --- round-1 driver-green keys (checked in CORRECTNESS_r01) ---
         "stats1_basic": q_stats1_basic,
         "stats1_percentiles_interp": q_stats1_percentiles_interp,
@@ -1799,4 +1801,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "shuffle": "SELECT o_orderkey, o_totalprice FROM orders",
         "group_by_stream": "SELECT o_orderkey, o_orderpriority FROM orders",
+        # ewma closed form: per-row fold over the ordered prefix — the
+        # y_t = a*x_t + (1-a)*y_{t-1} recursion Miller uses (step.go:647)
+        "ewma": f"""
+            SELECT event_id,
+                   {_sig9_sql("list_reduce(lst, (acc, v) -> 0.3*v + 0.7*acc)")} AS ewma_v
+            FROM (SELECT event_id,
+                         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lst
+                  FROM events)
+        """,
+        # deterministic seeded hash-sample: rank by md5('42' \\x01 pk)
+        "sample_per_group": """
+            SELECT o_orderpriority, o_orderkey FROM (
+              SELECT o_orderpriority, o_orderkey,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                         ORDER BY md5('42' || chr(1) || CAST(o_orderkey AS VARCHAR))) AS rn
+              FROM orders) WHERE rn <= 5
+        """,
     }

@@ -1001,22 +1001,36 @@ def tac(df: DataFrame, order_by: Sequence[str]) -> DataFrame:
     return df.orderBy(*[F.col(c).desc() for c in _cols(order_by)])
 
 
-def sample(df: DataFrame, k: int, by: Sequence[str] = (), seed: int = 42) -> DataFrame:
+def sample(
+    df: DataFrame,
+    k: int,
+    by: Sequence[str] = (),
+    seed: int = 42,
+    key: Sequence[str] = (),
+) -> DataFrame:
     """`mlr sample -k K [-g ...]` (pkg/transformers/sample.go:30):
-    exact-k per-group reservoir sample. Distributed equivalent: seeded
-    rand() ranking — grouped: one-shuffle window; ungrouped: top-k on
-    the random key, planned as TakeOrdered (the distributed reservoir).
-    Deterministic given the seed and input partitioning.
+    exact-k per-group reservoir sample. Distributed equivalent: rank on
+    a pseudo-random key — grouped: one-shuffle window; ungrouped: top-k
+    on the key, planned as TakeOrdered (the distributed reservoir).
+
+    With ``key`` (a stable record identity, e.g. the primary key) the
+    rank key is ``md5(seed || key)`` — a seeded hash-sample that is
+    reproducible across cluster sizes, partitionings, and resumed runs
+    (the right default at 100 TB, and SQL-oracle-checkable). Without
+    ``key`` it falls back to seeded ``rand()``, which is deterministic
+    only for a fixed input partitioning.
     """
     by = _cols(by)
-    if not by:
-        return (
-            df.withColumn("__r", F.rand(seed))
-            .orderBy("__r")
-            .limit(k)
-            .drop("__r")
+    key = _cols(key)
+    if key:
+        rk = F.md5(
+            F.concat_ws("\x01", F.lit(str(seed)), *[F.col(c).cast("string") for c in key])
         )
-    w = Window.partitionBy(*by).orderBy(F.rand(seed))
+    else:
+        rk = F.rand(seed)
+    if not by:
+        return df.withColumn("__r", rk).orderBy("__r").limit(k).drop("__r")
+    w = Window.partitionBy(*by).orderBy(rk)
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k).drop("__rn")
 
 
