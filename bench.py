@@ -184,7 +184,20 @@ PAGES_QUERIES = (
 )
 
 
-REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
+FAST_EXTRA = int(os.environ.get("SPARK_GRAFT_BENCH_FAST_EXTRA", "4"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _iqr(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[(3 * n) // 4] - s[n // 4] if n >= 4 else s[-1] - s[0]
 
 
 def main() -> None:
@@ -194,9 +207,8 @@ def main() -> None:
 
     # Warm the JVM, codegen, AND the Arrow/pandas-UDF worker pool once so
     # timings measure the engine, not process startup. The reference's
-    # published numbers are best-of-five on a warm binary
-    # (/root/reference/docs/src/performance.md:66-70) — we mirror that
-    # with a warmup + best-of-REPS per query.
+    # published numbers run on a warm binary
+    # (/root/reference/docs/src/performance.md:66-70).
     _run(load_table(spark, SF_DIR, "region"))
 
     def _ident(it):
@@ -205,14 +217,38 @@ def main() -> None:
     warm = load_table(spark, SF_DIR, "region")
     _run(warm.mapInPandas(_ident, schema=warm.schema))
 
-    timings: dict[str, float] = {}
-    for name, fn in benches.items():
-        best = float("inf")
-        for _ in range(REPS):
-            t0 = time.perf_counter()
-            _run(fn())
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+    # Noise-robust protocol (round-3): this VM shows ±50-80% per-query
+    # swings between back-to-back runs with near-zero local load — the
+    # contention is hypervisor steal, outside our control. Sequential
+    # best-of-N of one query correlates with whatever the steal is doing
+    # at that moment; instead we run INTERLEAVED rounds (every query
+    # sampled once per round, so a burst taxes all queries equally, and
+    # each query gets N chances spread across the whole wall-clock of
+    # the run), with extra reps for sub-second queries where one pause
+    # is a large relative error. Headline statistic = MIN over reps:
+    # under purely-external steal the minimum estimates the uncontended
+    # runtime of the code (and matches the reference's own best-of-five
+    # warm-binary protocol, performance.md:66-70, plus rounds 1-2 of
+    # this repo's records). Median and IQR are disclosed alongside so
+    # the spread is never hidden.
+    samples: dict[str, list[float]] = {name: [] for name in benches}
+
+    def one_rep(name: str) -> None:
+        t0 = time.perf_counter()
+        _run(benches[name]())
+        samples[name].append(time.perf_counter() - t0)
+
+    for _ in range(REPS):
+        for name in benches:
+            one_rep(name)
+    fast = [n for n, xs in samples.items() if min(xs) < 1.0]
+    for _ in range(FAST_EXTRA):
+        for name in fast:
+            one_rep(name)
+
+    timings = {n: round(min(xs), 4) for n, xs in samples.items()}
+    medians = {n: round(_median(xs), 4) for n, xs in samples.items()}
+    spread = {n: round(_iqr(xs), 4) for n, xs in samples.items()}
 
     total = round(sum(timings.values()), 4)
     pages_sec = sum(timings[q] for q in PAGES_QUERIES)
@@ -223,6 +259,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_median": medians,
+        "query_iqr": spread,
+        "stat": f"min of {REPS}+ interleaved reps (+{FAST_EXTRA} for sub-second"
+                " queries); median/IQR disclosed (hypervisor-steal noise)",
         "sf": _sf_label(SF_DIR),
         "n_pages": N_PAGES,
         "pages_docs_per_sec": docs_per_sec,
