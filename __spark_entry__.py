@@ -45,24 +45,32 @@ def _sig9(c):
     mag = F.floor(F.log10(F.abs(c)))
     d = (F.lit(8) - mag).cast("double")
     r = F.round(c * F.pow(F.lit(10.0), d)).cast("long")
+    e = (mag - F.lit(8)).cast("long")
+    # power-of-10 boundary: when x sits within one ULP of 10^k the two
+    # engines may disagree on floor(log10|x|) by 1, yielding mantissas
+    # 10^8 vs 10^9 for the same value — renormalize the 10-digit case
+    big = F.abs(r) >= F.lit(1000000000)
+    r = F.when(big, F.round(r / F.lit(10.0)).cast("long")).otherwise(r)
+    e = F.when(big, e + 1).otherwise(e)
     return (
         F.when(c.isNull(), F.lit(None).cast("string"))
         .when(F.isnan(c), F.lit("nan"))
         .when(c == 0.0, F.lit("0"))
-        .otherwise(
-            F.concat(r.cast("string"), F.lit("e"), (mag - F.lit(8)).cast("long").cast("string"))
-        )
+        .otherwise(F.concat(r.cast("string"), F.lit("e"), e.cast("string")))
     )
 
 
 def _sig9_sql(x: str) -> str:
     """DuckDB SQL rendering identical to `_sig9` (see its docstring)."""
+    r = f"CAST(round(({x}) * pow(10, 8 - floor(log10(abs({x}))))) AS BIGINT)"
+    e = f"(CAST(floor(log10(abs({x}))) AS BIGINT) - 8)"
     return (
         f"CASE WHEN ({x}) IS NULL THEN NULL "
         f"WHEN isnan({x}) THEN 'nan' "
         f"WHEN ({x}) = 0 THEN '0' "
-        f"ELSE CAST(CAST(round(({x}) * pow(10, 8 - floor(log10(abs({x}))))) AS BIGINT) AS VARCHAR) "
-        f"|| 'e' || CAST(CAST(floor(log10(abs({x}))) AS BIGINT) - 8 AS VARCHAR) END"
+        f"WHEN abs({r}) >= 1000000000 "
+        f"THEN CAST(CAST({r} // 10 AS BIGINT) AS VARCHAR) || 'e' || CAST({e} + 1 AS VARCHAR) "
+        f"ELSE CAST({r} AS VARCHAR) || 'e' || CAST({e} AS VARCHAR) END"
     )
 
 
@@ -220,6 +228,18 @@ def q_fraction_cumulative(spark, sf):
         "o_orderkey",
         "o_orderpriority",
         F.round("o_totalprice_cumulative_fraction", 6).alias("cumfrac"),
+    )
+
+
+def q_fraction_cumulative_global(spark, sf):
+    """Ungrouped `fraction -c` — the round-3 de-single-tasked path
+    (range-partition prefix + broadcast carry; fraction.go:19-22)."""
+    o = _t(spark, sf, "orders")
+    return ev.fraction(
+        o, "o_totalprice", cumulative=True, order_by=["o_orderkey"]
+    ).select(
+        "o_orderkey",
+        _sig9("o_totalprice_cumulative_fraction").alias("cumfrac"),
     )
 
 
@@ -1059,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats2_linreg": q_stats2_linreg,
         "summary": q_summary,
         "surv_km": q_surv_km,
+        # new round-3 surface
+        "fraction_cumulative_global": q_fraction_cumulative_global,
         # --- round-2 driver-green keys (checked in CORRECTNESS_r02) ---
         "step_global": q_step_global,
         "slwin_global": q_slwin_global,
@@ -1328,6 +1350,11 @@ def oracle_sql() -> dict[str, str]:
         "fraction": """
             SELECT o_orderkey, o_orderpriority,
                    round(o_totalprice / sum(o_totalprice) OVER (PARTITION BY o_orderpriority), 6) AS frac
+            FROM orders
+        """,
+        "fraction_cumulative_global": f"""
+            SELECT o_orderkey,
+                   {_sig9_sql("sum(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sum(o_totalprice) OVER ()")} AS cumfrac
             FROM orders
         """,
         "fraction_cumulative": """

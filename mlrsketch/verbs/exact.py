@@ -403,21 +403,61 @@ def fraction(
     records; fraction.go:19-22).
     """
     by = _cols(by)
+    scale = F.lit(100.0) if percent else F.lit(1.0)
+    suffix = "percent" if percent else "fraction"
+    present = F.col(value).isNotNull()  # absent value => absent output field
+
+    if cumulative and not by:
+        # ungrouped -c: an empty-partition window funnels EVERY row
+        # through one task — fatal at 100x. Range-partition on the
+        # stream order, per-partition prefix sums, then add each
+        # partition's carry (a tiny collected map, broadcast back) —
+        # the same shape as _step_ungrouped's rsum. One range exchange,
+        # no SinglePartition stage; the global denominator falls out of
+        # the same per-partition sums for free.
+        order_cols = _cols(order_by)
+        ordered = df.repartitionByRange(
+            *[F.col(c) for c in order_cols]
+        ).withColumn("__pid", F.spark_partition_id())
+        # pin the (sampling-nondeterministic) range placement before the
+        # two dependent subplans — see global_row_number
+        ordered = ordered.localCheckpoint(eager=True)
+        sums = {
+            r["__pid"]: float(r["s"] or 0.0)
+            for r in ordered.groupBy("__pid").agg(F.sum(value).alias("s")).collect()
+        }
+        carries, acc = {}, 0.0
+        for pid in sorted(sums):
+            carries[pid] = acc
+            acc += sums[pid]
+        carry = (
+            F.create_map(*[F.lit(x) for kv in carries.items() for x in kv])
+            if carries
+            else F.create_map()
+        )
+        w_in = (
+            Window.partitionBy("__pid")
+            .orderBy(*[F.col(c) for c in order_cols])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        num = F.sum(value).over(w_in) + F.coalesce(
+            carry[F.col("__pid")], F.lit(0.0)
+        )
+        return ordered.withColumn(
+            f"{value}_cumulative_{suffix}", F.when(present, scale * num / F.lit(acc))
+        ).drop("__pid")
+
     if by:
         denom = F.sum(value).over(Window.partitionBy(*by))
     else:
-        # ungrouped: an empty-partition Window funnels EVERY row through
-        # one task. The global sum is a scalar — aggregate it (partial +
+        # ungrouped: the global sum is a scalar — aggregate it (partial +
         # final, fully parallel) and broadcast-cross-join the one row.
         total = df.agg(F.sum(value).alias("__total"))
         df = df.crossJoin(F.broadcast(total))
         denom = F.col("__total")
-    scale = F.lit(100.0) if percent else F.lit(1.0)
-    suffix = "percent" if percent else "fraction"
-    present = F.col(value).isNotNull()  # absent value => absent output field
     if cumulative:
         w_cum = (
-            (Window.partitionBy(*by) if by else Window.partitionBy())
+            Window.partitionBy(*by)
             .orderBy(*[F.col(c) for c in _cols(order_by)])
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )

@@ -104,6 +104,17 @@ def main() -> None:
         "empty-partition window funneling all rows through one task.",
     ))
 
+    q5c = ev.fraction(orders, "o_totalprice", cumulative=True, order_by=["o_orderkey"])
+    sections.append((
+        "fraction -c ungrouped (range-partition prefix + broadcast carry)",
+        fmt(spark, q5c),
+        "What to see (round-3 fix): the cumulative sum runs inside\n"
+        "Window.partitionBy(__pid) over the range-partitioned stream order,\n"
+        "each partition's carry-in is a broadcast literal map, and the global\n"
+        "denominator falls out of the same per-partition sums — no\n"
+        "SinglePartition exchange, no empty-partition window.",
+    ))
+
     # ungrouped order-dependent paths (round-2 de-single-tasking): each
     # plan must show NO empty-partition window / SinglePartition exchange
     li_n = li.select("l_orderkey", "l_extendedprice").withColumn(
