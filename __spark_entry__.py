@@ -1040,9 +1040,7 @@ def q_stats1_windowed_global(spark, sf):
 def q_uniq_records(spark, sf):
     """`mlr uniq -a -c`: whole-record dedupe with counts (uniq.go:391)."""
     o = _t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority")
-    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("count")
-    )
+    return ev.uniq_records(o, show_counts=True)
 
 
 def q_mad_global(spark, sf):

@@ -310,6 +310,30 @@ def uniq_distinct_count(df: DataFrame, by: Sequence[str]) -> DataFrame:
     return df.select(*_cols(by)).distinct().agg(F.count("*").alias("count"))
 
 
+def uniq_records(
+    df: DataFrame,
+    show_counts: bool = False,
+    order_by: Sequence[str] = (),
+    exclude: Sequence[str] = (),
+    count_field: str = "count",
+) -> DataFrame:
+    """`mlr uniq -a [-c] [-x ...]` (pkg/transformers/uniq.go:391-425):
+    whole-record dedupe (or all-fields-except with ``exclude``), the
+    count PREPENDED when ``show_counts``. First-occurrence order is
+    preserved when ``order_by`` names a stream-order column (min() of it
+    travels with the group — one hash aggregate, no extra shuffle).
+    """
+    exclude = set(_cols(exclude))
+    order_by = _cols(order_by)
+    cols = [c for c in df.columns if c not in exclude and c not in order_by]
+    aggs = [F.count("*").alias(count_field)] + [
+        F.min(c).alias(c) for c in order_by
+    ]
+    g = df.groupBy(*cols).agg(*aggs)
+    sel = ([count_field] if show_counts else []) + cols + order_by
+    return g.select(*sel)
+
+
 def top(
     df: DataFrame,
     value: str,

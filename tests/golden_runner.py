@@ -773,11 +773,12 @@ def v_uniq(df, argv):
         if fl.get("-n"):
             out = ev.uniq_distinct_count(df, cols)
         else:
-            g = df.groupBy(*cols).agg(
-                F.count("*").alias("count"), F.min("__ord").alias("__ord")
+            out = ev.uniq_records(
+                df,
+                show_counts=bool(fl.get("-c")),
+                order_by=["__ord"],
+                exclude=_csl(fl["-x"]) if "-x" in fl else (),
             )
-            sel = (["count"] if fl.get("-c") else []) + cols + ["__ord"]
-            out = g.select(*sel)
         if "-o" in fl and (fl.get("-c") or fl.get("-n")):
             out = out.withColumnRenamed("count", fl["-o"])
         return out
