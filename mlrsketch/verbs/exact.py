@@ -764,19 +764,56 @@ def fill_empty(df: DataFrame, fill: str = "N/A", fields: Sequence[str] | None = 
 
 
 def fill_down(
-    df: DataFrame, fields: Sequence[str], order_by: Sequence[str], by: Sequence[str] = ()
+    df: DataFrame,
+    fields: Sequence[str],
+    order_by: Sequence[str],
+    by: Sequence[str] = (),
+    only_if_absent: bool = False,
+    only_voids: bool = False,
 ) -> DataFrame:
-    """`mlr fill-down -f ...` (pkg/transformers/fill_down.go:21): carry
-    forward last non-null value in ``order_by`` order.
+    """`mlr fill-down` (pkg/transformers/fill_down.go:16-18,160-189) in
+    ``order_by`` order, with the reference's three missingness modes
+    under the fixed-schema mapping absent==null, void==empty string:
+
+    - default (``-f a,b``): a field is missing when absent OR void;
+      only non-void present values are remembered as the carry.
+    - ``only_if_absent`` (``-a``/``--only-if-absent``): missing means
+      absent only; void values are remembered and carried.
+    - ``only_voids`` (``--all``): the reference iterates each record's
+      OWN fields, so absent fields are never filled — only voids are
+      replaced (and with ``-a`` too, ``--all`` is a pass-through).
+
+    A field with no prior carry keeps its original value (absent stays
+    absent, void stays void — fill_down.go:176-180).
 
     Grouped: one hash-partitioned window. Ungrouped: range-partition on
     the order key, fill within each partition, and resolve the
-    cross-partition carry (the last non-null value of every PREVIOUS
-    partition) from a tiny per-partition aggregate collected to the
-    driver — the two-pass pattern of global_row_number, instead of an
-    empty-partition window that serializes all rows through one task."""
+    cross-partition carry (the last rememberable value of every
+    PREVIOUS partition) from a tiny per-partition aggregate collected
+    to the driver — the two-pass pattern of global_row_number, instead
+    of an empty-partition window that serializes all rows through one
+    task."""
     fields = _cols(fields)
     order_by = _cols(order_by)
+    str_cols = {c for c, t in df.dtypes if t == "string"}
+
+    def memcol(f):  # the value a row contributes to the carry, else null
+        if only_if_absent or f not in str_cols:
+            return F.col(f)
+        return F.nullif(F.col(f), F.lit(""))
+
+    def fill_expr(f, carryv):  # apply the carry per missingness mode
+        c = F.col(f)
+        if only_voids:
+            if f not in str_cols:
+                return c
+            missing = c == ""
+        elif only_if_absent or f not in str_cols:
+            missing = c.isNull()
+        else:
+            missing = c.isNull() | (c == "")
+        return F.when(missing, F.coalesce(carryv, c)).otherwise(c)
+
     if by:
         w = (
             Window.partitionBy(*_cols(by))
@@ -784,21 +821,21 @@ def fill_down(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         return df.withColumns(
-            {f: F.last(F.col(f), ignorenulls=True).over(w) for f in fields}
+            {f: fill_expr(f, F.last(memcol(f), ignorenulls=True).over(w)) for f in fields}
         )
     ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
         "__pid", F.spark_partition_id()
     )
     ordered = ordered.localCheckpoint(eager=True)
-    # per-partition last non-null value of each field, in order:
-    # max_by(f, ord-when-present) — one tiny row per partition
+    # per-partition last rememberable value of each field, in order:
+    # max_by(f, ord-when-rememberable) — one tiny row per partition
     lastkey = F.struct(*[F.col(c) for c in order_by])
     tails = (
         ordered.groupBy("__pid")
         .agg(
             *[
                 F.max_by(
-                    F.col(f), F.when(F.col(f).isNotNull(), lastkey)
+                    memcol(f), F.when(memcol(f).isNotNull(), lastkey)
                 ).alias(f)
                 for f in fields
             ]
@@ -828,8 +865,9 @@ def fill_down(
                 continue
             clause = F.when(F.col("__pid") == pid, F.lit(v))
             carry = clause if carry is None else carry.when(F.col("__pid") == pid, F.lit(v))
-        filled = F.last(F.col(f), ignorenulls=True).over(w_in)
-        updates[f] = F.coalesce(filled, carry) if carry is not None else filled
+        filled = F.last(memcol(f), ignorenulls=True).over(w_in)
+        carryv = F.coalesce(filled, carry) if carry is not None else filled
+        updates[f] = fill_expr(f, carryv)
     return ordered.withColumns(updates).drop("__pid")
 
 
@@ -931,13 +969,96 @@ def format_values(df: DataFrame, fmt: str = "%.6f", fields: Sequence[str] | None
 
 
 def having_fields_all_defined(df: DataFrame, fields: Sequence[str]) -> DataFrame:
-    """`mlr having-fields --all-defined ...`
-    (pkg/transformers/having_fields.go:37) under a fixed schema:
+    """`mlr having-fields --at-least ...`
+    (pkg/transformers/having_fields.go:28) under a fixed schema:
     presence == non-null."""
-    cond = F.lit(True)
-    for f in _cols(fields):
-        cond = cond & F.col(f).isNotNull()
-    return df.filter(cond)
+    return having_fields(df, "at-least", fields=fields)
+
+
+def having_fields(
+    df: DataFrame,
+    mode: str,
+    fields: Sequence[str] | None = None,
+    pattern: str | None = None,
+    exclude: Sequence[str] = (),
+) -> DataFrame:
+    """`mlr having-fields` — all six modes
+    (pkg/transformers/having_fields.go:27-35) under the fixed-schema
+    mapping: a field is present in a record iff its column is non-null.
+
+    ``mode`` ∈ {"at-least", "any-defined", "which-are", "at-most",
+    "all-matching", "any-matching", "none-matching"}; the first four
+    take ``fields``, the last three a Go-compatible regex ``pattern``
+    (``"..."i`` / ``/.../i`` case-insensitive forms accepted).
+    ``exclude`` names bookkeeping columns (e.g. an order key) ignored
+    by the presence test. Pure Catalyst filter — pushes down, no
+    shuffle."""
+    import re as _re
+
+    cols = [c for c in df.columns if c not in set(exclude)]
+    if mode in ("all-matching", "any-matching", "none-matching"):
+        pat = pattern or ""
+        flags = 0
+        m = _re.fullmatch(r'(?:/(.*)/|"(.*)")(i?)', pat, _re.S)
+        if m:
+            pat = m.group(1) if m.group(1) is not None else m.group(2)
+            if m.group(3):
+                flags = _re.I
+        rx = _re.compile(pat, flags)
+        hit = [c for c in cols if rx.search(c)]
+        miss = [c for c in cols if c not in hit]
+        if mode == "any-matching":
+            cond = F.lit(False)
+            for c in hit:
+                cond = cond | F.col(c).isNotNull()
+        elif mode == "all-matching":
+            # every PRESENT field's name matches (and at least one does)
+            cond = F.lit(True)
+            for c in miss:
+                cond = cond & F.col(c).isNull()
+            any_hit = F.lit(False)
+            for c in hit:
+                any_hit = any_hit | F.col(c).isNotNull()
+            cond = cond & any_hit
+        else:  # none-matching
+            cond = F.lit(True)
+            for c in hit:
+                cond = cond & F.col(c).isNull()
+        return df.filter(cond)
+
+    want = _cols(fields or ())
+    if mode in ("at-least", "all-defined"):
+        if any(f not in cols for f in want):
+            return df.limit(0)  # a field no record has => nothing passes
+        cond = F.lit(True)
+        for f in want:
+            cond = cond & F.col(f).isNotNull()
+        return df.filter(cond)
+    if mode == "any-defined":
+        present = [f for f in want if f in cols]
+        if not present:
+            return df.limit(0)
+        cond = F.lit(False)
+        for f in present:
+            cond = cond | F.col(f).isNotNull()
+        return df.filter(cond)
+    if mode == "which-are":
+        wset = set(want)
+        if wset - set(cols):
+            return df.limit(0)
+        cond = F.lit(True)
+        for c in cols:
+            has = F.col(c).isNotNull()
+            cond = cond & (has if c in wset else ~has)
+        return df.filter(cond)
+    if mode == "at-most":
+        allowed = set(want)
+        cond = F.lit(True)
+        for c in cols:
+            if c not in allowed:
+                cond = cond & F.col(c).isNull()
+        return df.filter(cond)
+    raise ValueError(f"having_fields: unknown mode {mode!r}")
 
 
 def skip_trivial_records(df: DataFrame) -> DataFrame:

@@ -1572,20 +1572,17 @@ def v_decimate(df, argv):
 
 
 def v_fill_down(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "-a": 0, "--all": 0, "--only-if-blank": 0})
-    if fl.get("--only-if-blank"):
-        raise Unsupported("fill-down --only-if-blank")
-    fields = df.columns if fl.get("--all") else _csl(fl["-f"])
-    fields = [f_ for f_ in fields if f_ != "__ord" and f_ in df.columns]
+    fl, _ = _flags(argv, {"-f": 1, "-a": 0, "--all": 0, "--only-if-absent": 0})
+    only_if_absent = bool(fl.get("-a") or fl.get("--only-if-absent"))
+    if fl.get("--all"):
+        if only_if_absent:
+            return df  # --all -a: every iterated field is present => no-op
+        fields = [f_ for f_ in df.columns if f_ != "__ord"]
+        return ev.fill_down(df, fields, order_by=["__ord"], only_voids=True)
+    fields = [f_ for f_ in _csl(fl["-f"]) if f_ != "__ord" and f_ in df.columns]
     if not fields:
         return df  # fill-down on absent fields: records pass through
-    if not fl.get("-a"):
-        # default fills absent OR void (golden verb-fill-down/0001);
-        # -a restricts to absent-only (0002)
-        df = df.withColumns(
-            {f_: F.when(F.col(f_).cast("string") == "", None).otherwise(F.col(f_)) for f_ in fields}
-        )
-    return ev.fill_down(df, fields, order_by=["__ord"])
+    return ev.fill_down(df, fields, order_by=["__ord"], only_if_absent=only_if_absent)
 
 
 def v_fill_empty(df, argv):
@@ -2791,53 +2788,12 @@ def v_having_fields_full(df, argv):
     fl, _ = _flags(argv, {"--at-least": 1, "--all-defined": 1, "--which-are": 1,
                           "--at-most": 1, "--any-defined": 1,
                           "--all-matching": 1, "--any-matching": 1, "--none-matching": 1})
-    cols = [c for c in df.columns if c != "__ord"]
     for key in ("--all-matching", "--any-matching", "--none-matching"):
         if fl.get(key):
-            pat = _regexes([fl[key]])[0]
-            hit = [c for c in cols if pat.search(c)]
-            miss = [c for c in cols if c not in hit]
-            if key == "--any-matching":
-                cond = F.lit(False)
-                for c in hit:
-                    cond = cond | F.col(c).isNotNull()
-            elif key == "--all-matching":
-                # every PRESENT field's name matches the regex
-                cond = F.lit(True)
-                for c in miss:
-                    cond = cond & F.col(c).isNull()
-                any_hit = F.lit(False)
-                for c in hit:
-                    any_hit = any_hit | F.col(c).isNotNull()
-                cond = cond & any_hit
-            else:  # --none-matching
-                cond = F.lit(True)
-                for c in hit:
-                    cond = cond & F.col(c).isNull()
-            return df.filter(cond)
-    if fl.get("--which-are"):
-        want = set(_csl(fl["--which-are"]))
-        cond = F.lit(True)
-        for c in cols:
-            has = F.col(c).isNotNull()
-            cond = cond & (has if c in want else ~has)
-        missing = want - set(cols)
-        return df.limit(0) if missing else df.filter(cond)
-    if fl.get("--any-defined"):
-        fields = [f_ for f_ in _csl(fl["--any-defined"]) if f_ in cols]
-        if not fields:
-            return df.limit(0)
-        cond = F.lit(False)
-        for f_ in fields:
-            cond = cond | F.col(f_).isNotNull()
-        return df.filter(cond)
-    if fl.get("--at-most"):
-        allowed = set(_csl(fl["--at-most"]))
-        cond = F.lit(True)
-        for c in cols:
-            if c not in allowed:
-                cond = cond & F.col(c).isNull()
-        return df.filter(cond)
+            return ev.having_fields(df, key[2:], pattern=fl[key], exclude=["__ord"])
+    for key in ("--which-are", "--any-defined", "--at-most", "--at-least", "--all-defined"):
+        if fl.get(key):
+            return ev.having_fields(df, key[2:], fields=_csl(fl[key]), exclude=["__ord"])
     return v_having_fields(df, argv)
 
 
@@ -3074,6 +3030,214 @@ def v_clean_whitespace(df, argv):
     return df
 
 
+# ---------------------------------------------------------------------------
+# seeded stochastic verbs — exact replay of the reference's draw order
+# through the Go math/rand replica (tests/gorand.py). Miller seeds ONE
+# global generator (lib/rand.go:18) that all stochastic verbs share, so
+# the rng lives in per-case TLS. Unseeded runs are nondeterministic by
+# design and stay Unsupported. Replays are driver-side over the (tiny)
+# golden streams; the distributed seeded variants live in mlrsketch.
+# ---------------------------------------------------------------------------
+
+
+def _go_rng():
+    seed = getattr(_TLS, "go_seed", None)
+    if seed is None:
+        raise Unsupported("unseeded stochastic verb (nondeterministic)")
+    if getattr(_TLS, "go_rng", None) is None:
+        from gorand import GoRand
+
+        _TLS.go_rng = GoRand(seed)
+    return _TLS.go_rng
+
+
+def _stream_rows(df):
+    """Collected records in stream order: (record-dict sans __ord, NR)."""
+    rows = []
+    for r in df.orderBy("__ord").collect():
+        d = r.asDict()
+        nr = d.pop("__ord") + 1
+        rows.append((d, nr))
+    return rows
+
+
+def _rebuild_stream(df, dicts):
+    spark = df.sparkSession
+    cols = [c for c in df.columns if c != "__ord"]
+    recs = [[d.get(c) for c in cols] + [i] for i, d in enumerate(dicts)]
+    return spark.createDataFrame(recs, df.select(*cols, "__ord").schema)
+
+
+def v_shuffle(df, argv):
+    """shuffle.go:104-135: Knuth shuffle of an identity image map."""
+    _flags(argv, {})
+    rng = _go_rng()
+    rows = [d for d, _ in _stream_rows(df)]
+    n = len(rows)
+    images = list(range(n))
+    for i in range(n):
+        u = rng.rand_range(i, n)  # unusedStart=i, numUnused=n-i
+        images[u], images[i] = images[i], images[u]
+    return _rebuild_stream(df, [rows[images[i]] for i in range(n)])
+
+
+def v_bootstrap_seeded(df, argv):
+    """bootstrap.go:141-166: nout draws of RandRange(0, nin), with
+    replacement, in stream order."""
+    fl, _ = _flags(argv, {"-n": 1})
+    rng = _go_rng()
+    rows = [d for d, _ in _stream_rows(df)]
+    nin = len(rows)
+    nout = int(fl["-n"]) if "-n" in fl else nin
+    if nin == 0 or nout == 0:
+        return df.limit(0)
+    return _rebuild_stream(df, [rows[rng.rand_range(0, nin)] for _ in range(nout)])
+
+
+def v_sample_seeded(df, argv):
+    """sample.go:150-230: per-group reservoir; the replacement draw is
+    Int63() % NR with NR the GLOBAL stream record number (sample.go:203),
+    not the per-group count. Records missing a -g field are ignored."""
+    fl, _ = _flags(argv, {"-k": 1, "-g": 1})
+    k = int(fl["-k"])
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    rng = _go_rng()
+    buckets: dict[tuple, list] = {}
+    order: list[tuple] = []
+    for d, nr in _stream_rows(df):
+        if by:
+            vals = [d.get(g) for g in by]
+            if any(v is None for v in vals):
+                continue
+            key = tuple(vals)
+        else:
+            key = ()
+        b = buckets.get(key)
+        if b is None:
+            b = buckets[key] = []
+            order.append(key)
+        if len(b) < k:
+            b.append(d)
+        else:
+            r = rng.int63() % nr
+            if r < k:
+                b[r] = d
+    return _rebuild_stream(df, [d for key in order for d in buckets[key]])
+
+
+def _mlr_pct_noninterp(sorted_vals, p):
+    """bifs/percentiles.go:193-208."""
+    n = len(sorted_vals)
+    index = int(p * n / 100.0)
+    return sorted_vals[max(0, min(index, n - 1))]
+
+
+def _mlr_pct_interp(sorted_vals, p):
+    """bifs/percentiles.go:9-28 (R type=7)."""
+    import math as _math
+
+    n = len(sorted_vals)
+    findex = max(0.0, (p / 100.0) * (n - 1))
+    iindex = int(_math.floor(findex))
+    if iindex >= n - 1:
+        return sorted_vals[iindex]
+    frac = findex - iindex
+    return sorted_vals[iindex] + frac * (sorted_vals[iindex + 1] - sorted_vals[iindex])
+
+
+def _bci_stat(acc, values, interp):
+    """The stats1-style statistics bootstrap-ci bootstraps
+    (bootstrap_ci.go:22 enum + median/p{n})."""
+    n = len(values)
+    if acc == "count":
+        return n
+    if acc == "sum":
+        return sum(values)
+    if acc == "mean":
+        return sum(values) / n
+    if acc == "min":
+        return min(values)
+    if acc == "max":
+        return max(values)
+    if acc in ("var", "stddev", "meaneb"):
+        mean = sum(values) / n
+        if n < 2:
+            return None
+        var = sum((v - mean) ** 2 for v in values) / (n - 1)
+        if acc == "var":
+            return var
+        if acc == "stddev":
+            return var ** 0.5
+        return (var / n) ** 0.5
+    if acc == "median":
+        acc = "p50"
+    if acc.startswith("p"):
+        p = float(acc[1:])
+        sv = sorted(values)
+        return _mlr_pct_interp(sv, p) if interp else _mlr_pct_noninterp(sv, p)
+    raise Unsupported(f"bootstrap-ci -a {acc}")
+
+
+def v_bootstrap_ci(df, argv):
+    """bootstrap_ci.go: per group (encounter order), per -f field, per
+    -a statistic: point estimate, then -n resamples each drawing len(v)
+    indices via RandRange(0, len(v)); CI = percentiles of the resampled
+    statistics at 100*(1±conf)/2."""
+    fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-n": 1, "-c": 1, "-i": 0})
+    accs = _csl(fl.get("-a", "mean"))
+    fields = _csl(fl["-f"])
+    by = _csl(fl["-g"]) if "-g" in fl else []
+    n_resamples = int(fl.get("-n", 1000))
+    conf = float(fl.get("-c", 0.95))
+    interp = bool(fl.get("-i"))
+    rng = _go_rng()
+    groups: dict[tuple, dict] = {}
+    order: list[tuple] = []
+    for d, _nr in _stream_rows(df):
+        if by:
+            vals = [d.get(g) for g in by]
+            if any(v is None for v in vals):
+                continue
+            key = tuple(vals)
+        else:
+            key = ()
+        g = groups.get(key)
+        if g is None:
+            g = groups[key] = {f_: [] for f_ in fields}
+            order.append(key)
+        for f_ in fields:
+            v = d.get(f_)
+            if v is None or v == "":
+                continue
+            g[f_].append(float(v))
+    alpha = (1.0 - conf) / 2.0
+    out = []
+    for key in order:
+        rec = dict(zip(by, key))
+        for f_ in fields:
+            values = groups[key][f_]
+            if not values:
+                continue
+            nv = len(values)
+            for acc in accs:
+                point = _bci_stat(acc, values, interp)
+                reps = []
+                for _ in range(n_resamples):
+                    resample = [values[rng.rand_range(0, nv)] for _ in range(nv)]
+                    reps.append(_bci_stat(acc, resample, interp))
+                reps.sort()
+                lo = (_mlr_pct_interp if interp else _mlr_pct_noninterp)(reps, 100.0 * alpha)
+                hi = (_mlr_pct_interp if interp else _mlr_pct_noninterp)(reps, 100.0 * (1.0 - alpha))
+                base = f"{f_}_{acc}"
+                rec[base] = point
+                rec[base + "_lo"] = lo
+                rec[base + "_hi"] = hi
+        out.append(rec)
+    to_df = run_case.__globals__.get("_TO_DF")
+    # values are already typed Python numbers — inference would int() them
+    return to_df(df.sparkSession, out, infer=False)
+
+
 VERBS = {
     "cat": v_cat, "head": v_head, "tail": v_tail, "cut": v_cut_regex, "sort": v_sort,
     "uniq": v_uniq, "count": v_count, "count-distinct": v_count_distinct,
@@ -3108,6 +3272,8 @@ VERBS = {
     "flatten": v_flatten, "unflatten": v_unflatten, "json-parse": v_json_parse,
     "json-stringify": v_json_stringify, "describe": v_describe,
     "surv": v_surv, "utf8-to-latin1": v_utf8_to_latin1,
+    "shuffle": v_shuffle, "bootstrap": v_bootstrap_seeded,
+    "sample": v_sample_seeded, "bootstrap-ci": v_bootstrap_ci,
 }
 
 # Verbs whose output carries a faithful Miller emission order in the
@@ -3125,6 +3291,7 @@ ORDER_PRESERVING = {
     "json-stringify", "describe", "summary", "seqgen", "group-by",
     "merge-fields", "format-values", "unspace", "remove-empty-columns",
     "latin1-to-utf8", "utf8-to-latin1", "surv", "nest", "split",
+    "shuffle", "bootstrap", "sample", "bootstrap-ci",
     # agg modes of these drop __ord (falling back to unordered); their
     # streaming modes (-s/-w/-a) keep it faithfully
     "stats1", "stats2", "uniq",
@@ -3161,6 +3328,7 @@ VERB_VALUE_FLAGS = {
     "shuffle": set(),
     "bootstrap": {"-n"},
     "sample": {"-k", "-g"},
+    "bootstrap-ci": {"-a", "-f", "-g", "-n", "-c"},
     "fill-down": {"-f"},
     "fill-empty": {"-v"},
     "most-frequent": {"-f", "-n", "-o"},
@@ -3258,6 +3426,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     ofmt_num = None
     str_only = False
     tz_name = None
+    go_seed = None
     flatsep = "."
     comment_skip = None
     implicit_header = False
@@ -3419,6 +3588,10 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         elif a == "--tz":
             tz_name = argv[i + 1]
             i += 2
+        elif a == "--seed":
+            # option_parse.go:3984 TryIntFromString: decimal/hex/octal/binary
+            go_seed = int(argv[i + 1], 0)
+            i += 2
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
@@ -3484,6 +3657,8 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
     # (regtester.go:161); an explicit --ofmt overrides it
     _TLS.ofmt_go = ofmt_num or "%.8f"
+    _TLS.go_seed = go_seed
+    _TLS.go_rng = None
     _TLS.str_only = str_only
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (

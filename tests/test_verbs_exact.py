@@ -102,6 +102,64 @@ def test_fill_down(spark):
     assert out == {1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
 
 
+def test_fill_down_modes(spark):
+    """fill_down.go:160-189: default fills absent-or-void (voids are not
+    remembered); -a fills absent only (voids remembered+carried); --all
+    fills voids only (absent untouched)."""
+    rows = [(1, ""), (2, "x"), (3, ""), (4, None), (5, "y"), (6, "")]
+    df = spark.createDataFrame(rows, ["i", "v"])
+    # default: leading void stays (no carry yet); "" and null both filled
+    out = {r["i"]: r["v"] for r in ev.fill_down(df, ["v"], order_by=["i"]).collect()}
+    assert out == {1: "", 2: "x", 3: "x", 4: "x", 5: "y", 6: "y"}
+    # -a: only the null is filled, and the void at i=3 was remembered
+    out = {
+        r["i"]: r["v"]
+        for r in ev.fill_down(df, ["v"], order_by=["i"], only_if_absent=True).collect()
+    }
+    assert out == {1: "", 2: "x", 3: "", 4: "", 5: "y", 6: ""}
+    # --all: voids filled from last non-void, the absent i=4 untouched
+    out = {
+        r["i"]: r["v"]
+        for r in ev.fill_down(df, ["v"], order_by=["i"], only_voids=True).collect()
+    }
+    assert out == {1: "", 2: "x", 3: "x", 4: None, 5: "y", 6: "y"}
+    # grouped path honors the same modes
+    gdf = spark.createDataFrame(
+        [("g", 1, ""), ("g", 2, "x"), ("g", 3, ""), ("h", 1, None), ("h", 2, "z")],
+        ["g", "i", "v"],
+    )
+    out = {
+        (r["g"], r["i"]): r["v"]
+        for r in ev.fill_down(gdf, ["v"], order_by=["i"], by=["g"], only_voids=True).collect()
+    }
+    assert out == {("g", 1): "", ("g", 2): "x", ("g", 3): "x", ("h", 1): None, ("h", 2): "z"}
+
+
+def test_having_fields_modes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", "b", None),
+            (2, "a", None, "c"),
+            (3, None, None, "c"),
+            (4, "a", "b", "c"),
+        ],
+        ["i", "pan", "pbn", "qcn"],
+    )
+    def ids(out):
+        return sorted(r["i"] for r in out.collect())
+
+    assert ids(ev.having_fields(df, "at-least", fields=["pan", "pbn"], exclude=["i"])) == [1, 4]
+    assert ids(ev.having_fields(df, "any-defined", fields=["pbn", "qcn"], exclude=["i"])) == [1, 2, 3, 4]
+    assert ids(ev.having_fields(df, "which-are", fields=["pan", "pbn"], exclude=["i"])) == [1]
+    assert ids(ev.having_fields(df, "at-most", fields=["pan", "pbn"], exclude=["i"])) == [1]
+    assert ids(ev.having_fields(df, "any-matching", pattern="/^p/", exclude=["i"])) == [1, 2, 4]
+    assert ids(ev.having_fields(df, "all-matching", pattern="/^p/", exclude=["i"])) == [1]
+    assert ids(ev.having_fields(df, "none-matching", pattern='"^p"', exclude=["i"])) == [3]
+    assert ids(ev.having_fields(df, "any-matching", pattern='"^P"i', exclude=["i"])) == [1, 2, 4]
+    # a required field no record has => nothing passes
+    assert ids(ev.having_fields(df, "at-least", fields=["zz"], exclude=["i"])) == []
+
+
 def test_histogram_counts(spark, abixy):
     out = ev.histogram(abixy, "x", 0.0, 1.0, 4).orderBy("bin_lo").collect()
     xs = [r["x"] for r in abixy.collect()]
