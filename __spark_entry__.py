@@ -703,7 +703,7 @@ def q_step_advanced(spark, sf):
         "event_id",
         F.round("value_shift_lead", 6).alias("lead_v"),
         F.round("value_ratio", 6).alias("ratio_v"),
-        F.round("value_from-first", 6).alias("fromfirst_v"),
+        F.round("value_from_first", 6).alias("fromfirst_v"),
         F.round("value_shift_lag_2", 6).alias("lag2_v"),
         F.round("value_delta_2", 6).alias("delta2_v"),
     )

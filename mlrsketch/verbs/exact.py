@@ -1326,7 +1326,7 @@ def step(
                 e = c - F.first(c).over(run)
             else:
                 raise ValueError(f"unknown stepper: {s}")
-            out = out.withColumn(f"{f}_{s}", e)
+            out = out.withColumn(f"{f}_{s.replace('-', '_')}", e)
         # ewma (step.go:647-651): y_t = αx_t + (1-α)y_{t-1}, y_0 = x_0.
         # Closed form avoids applyInPandas: y_t = Σ_{i<=t} α'(i) x_i with
         # weights α(1-α)^(t-i); expressed via two running sums of
@@ -1456,15 +1456,15 @@ def _step_ungrouped(
         for s in steppers:
             base_name, k = _parse_stepper(s)
             if base_name in ("shift", "shift_lag"):
-                result_cols[f"{f}_{s}"] = F.col(f"__lag{k}_{f}")
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.col(f"__lag{k}_{f}")
             elif base_name == "shift_lead":
-                result_cols[f"{f}_{s}"] = F.col(f"__lead{k}_{f}")
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.col(f"__lead{k}_{f}")
             elif base_name == "delta":
-                result_cols[f"{f}_{s}"] = F.coalesce(
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.coalesce(
                     c - F.col(f"__lag{k}_{f}"), F.lit(0)
                 )
             elif base_name == "ratio":
-                result_cols[f"{f}_{s}"] = F.coalesce(
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.coalesce(
                     c / F.col(f"__lag{k}_{f}"), F.lit(1.0)
                 )
             elif s in ("rsum", "rprod", "counter"):
@@ -1487,16 +1487,16 @@ def _step_ungrouped(
                 )
                 offc = _chain(acc_off)
                 if s == "rprod":
-                    result_cols[f"{f}_{s}"] = local * F.coalesce(offc, F.lit(1.0))
+                    result_cols[f"{f}_{s.replace('-', '_')}"] = local * F.coalesce(offc, F.lit(1.0))
                 else:
-                    result_cols[f"{f}_{s}"] = local + F.coalesce(offc, F.lit(0))
+                    result_cols[f"{f}_{s.replace('-', '_')}"] = local + F.coalesce(offc, F.lit(0))
             elif s == "from-first":
                 first_v = None
                 for pid in sorted(exports):
                     if exports[pid]["__rows"] > 0:
                         first_v = exports[pid][f"__first_{f}"]
                         break
-                result_cols[f"{f}_{s}"] = c - F.lit(first_v)
+                result_cols[f"{f}_{s.replace('-', '_')}"] = c - F.lit(first_v)
             else:
                 raise ValueError(f"unknown stepper: {s}")
         for alpha in ewma_alphas:

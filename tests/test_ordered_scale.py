@@ -54,12 +54,12 @@ def test_step_ungrouped_matches_naive(data):
         .withColumn("x_ratio_2", F.coalesce(c / F.lag(c, 2).over(w), F.lit(1.0)))
         .withColumn("x_rsum", F.sum(c).over(run))
         .withColumn("x_counter", F.count(c).over(run))
-        .withColumn("x_from-first", c - F.first(c).over(run))
+        .withColumn("x_from_first", c - F.first(c).over(run))
     )
     exp = collect_map(naive)
     for k in exp:
         for col in ["x_shift", "x_shift_lag_3", "x_shift_lead_2", "x_delta",
-                    "x_ratio_2", "x_rsum", "x_counter", "x_from-first"]:
+                    "x_ratio_2", "x_rsum", "x_counter", "x_from_first"]:
             g, e = got[k][col], exp[k][col]
             if e is None or g is None:
                 assert g == e, (k, col, g, e)
