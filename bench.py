@@ -18,6 +18,13 @@ Two workload families:
 Each query is timed with the `noop` data source (full distributed
 execution, zero driver-side collect). Also reports pages-suite
 docs/sec throughput — the BASELINE.json headline metric.
+
+Path disclosure: `percentiles_lineitem` runs the EXACT interpolated
+percentile path (per-group sorted collect_list — memory class A per
+group, test-scale oracle only); the 100 TB path for quantiles is the
+sketch family benchmarked by `pages_kll_textlen_by_lang` /
+`pages_tdigest_warcts` (mergeable KB states, one shuffle of states).
+All other queries run their scale path directly.
 """
 
 from __future__ import annotations

@@ -626,6 +626,12 @@ class StreamInterp:
         lo = self.fence[-1]
         for i in range(len(self.scopes) - 1, lo - 1, -1):
             if name in self.scopes[i]:
+                # typed locals re-check on EVERY assignment, not just at
+                # declaration (dsl-localvar-typedecl/0002-0003,
+                # dsl-argpass-typedecl/0005/0008 should-fail)
+                ptype = self.scopes[i].get(_TYPES_KEY, _EMPTY).get(name)
+                if ptype:
+                    _coerce_decl(ptype, val)
                 self.scopes[i][name] = val
                 return
         if self.scopes:
@@ -633,7 +639,7 @@ class StreamInterp:
         else:
             raise MlrRuntimeError("assignment outside any scope")
 
-    def _declare_var(self, name, val):
+    def _declare_var(self, name, val, ptype=None):
         if self.scopes:
             if name in self.scopes[-1]:
                 # `var x = 1; var x = 2` in one scope is a fatal in the
@@ -642,6 +648,8 @@ class StreamInterp:
                     f"redefinition of variable {name} in the same scope"
                 )
             self.scopes[-1][name] = val
+            if ptype not in (None, "var"):
+                self.scopes[-1].setdefault(_TYPES_KEY, {})[name] = ptype
 
     # -- record stream ----------------------------------------------------
 
@@ -693,14 +701,21 @@ class StreamInterp:
 
     # -- user functions ----------------------------------------------------
 
-    def _call_user(self, params, body, args, fenced=True):
+    def _call_user(self, params, body, args, fenced=True, rettype=None):
         if len(args) > len(params):
             raise MlrRuntimeError("too many arguments")
         frame = {}
+        ptypes = {}
         for (ptype, pname), a in zip(params, args):
             frame[pname] = _coerce_decl(ptype, a)
+            if ptype not in (None, "var"):
+                ptypes[pname] = ptype
         for ptype, pname in params[len(args):]:
             frame[pname] = ABSENT
+            if ptype not in (None, "var"):
+                ptypes[pname] = ptype
+        if ptypes:
+            frame[_TYPES_KEY] = ptypes
         self.scopes.append(frame)
         self.fence.append(len(self.scopes) - 1 if fenced
                           else self.fence[-1])
@@ -714,7 +729,10 @@ class StreamInterp:
                 self._exec(st)
             return ABSENT
         except _Return as r:
-            return r.value if r.value is not None else ABSENT
+            rv = r.value if r.value is not None else ABSENT
+            # declared return type is a gate, not a cast
+            # (dsl-argpass-typedecl/0003-0004, dsl-typedecl/0014)
+            return _coerce_decl(rettype, rv)
         finally:
             self._captures = saved_caps
             self.fence.pop()
@@ -735,7 +753,7 @@ class StreamInterp:
             self.filter_flag = bool(v) if isinstance(v, bool) else False
         elif op == "decl":
             val = self._eval(st[3]) if st[3] is not None else ABSENT
-            self._declare_var(st[2], _coerce_decl(st[1], val))
+            self._declare_var(st[2], _coerce_decl(st[1], val), st[1])
         elif op == "if":
             for cond, body in st[1]:
                 c = self._eval(cond)
@@ -768,6 +786,7 @@ class StreamInterp:
                 except _Continue:
                     pass
                 c = self._eval(st[2])
+                _cond_check(c)
                 if not (c is True or c == "true"):
                     break
         elif op == "for_kv":
@@ -789,6 +808,7 @@ class StreamInterp:
                             c = self._eval(cond[2])
                         else:
                             c = self._eval(cond)
+                        _cond_check(c)
                         if not (c is True or c == "true"):
                             break
                     try:
@@ -1227,7 +1247,7 @@ class StreamInterp:
             if v is ABSENT and node[1] in self.funcs:
                 # bare user-function name as a value (dsl-sorts/
                 # sortaf-within: sort(xs, forward))
-                params, body = self.funcs[node[1]]
+                params, body, _rt = self.funcs[node[1]]
                 return _Closure(params, body, self)
             return v
         if kind == "ctx":
@@ -1948,9 +1968,9 @@ class StreamInterp:
 
     def _eval_call(self, fname, argnodes):
         if fname in self.funcs:
-            params, body = self.funcs[fname]
+            params, body, rettype = self.funcs[fname]
             args = [self._eval(a) for a in argnodes]
-            return self._call_user(params, body, args)
+            return self._call_user(params, body, args, rettype=rettype)
         fn = BUILTINS.get(fname)
         if fn is None:
             clos = self._lookup(fname)
@@ -2151,12 +2171,14 @@ def _container_set(container, key, val):
     raise MlrRuntimeError("cannot index this type")
 
 
+_TYPES_KEY = "\x00types"  # reserved frame slot: declared local types
+_EMPTY: dict = {}
+
 _DECL_CHECKS = {
     "str": lambda v: isinstance(v, str),
     "num": lambda v: _is_num(v),
     "int": lambda v: isinstance(v, int) and not isinstance(v, bool),
-    "float": lambda v: isinstance(v, (int, float))
-    and not isinstance(v, bool),
+    "float": lambda v: isinstance(v, float),
     "bool": lambda v: isinstance(v, bool),
     "map": lambda v: isinstance(v, dict),
     "arr": lambda v: isinstance(v, list),
@@ -2858,6 +2880,10 @@ def _bif_format(it, args, raw):
 @_reg(BUILTINS, "unformat")
 @_absentify
 def _bif_unformat(it, args, raw):
+    if len(args) != 2:
+        raise MlrRuntimeError(
+            f"function unformat invoked with {len(args)} arguments; needs 2"
+        )
     return _unformat(_s(args[0]), _s(args[1]), infer=True)
 
 
@@ -3216,6 +3242,10 @@ def _bif_mapdiff(it, args, raw):
 
 @_reg(BUILTINS, "mapexcept")
 def _bif_mapexcept(it, args, raw):
+    if not args:
+        raise MlrRuntimeError(
+            "function mapexcept invoked with 0 arguments; needs at least 1"
+        )
     if not isinstance(args[0], dict):
         return Err()
     out = dict(args[0])
@@ -3228,6 +3258,10 @@ def _bif_mapexcept(it, args, raw):
 
 @_reg(BUILTINS, "mapselect")
 def _bif_mapselect(it, args, raw):
+    if not args:
+        raise MlrRuntimeError(
+            "function mapselect invoked with 0 arguments; needs at least 1"
+        )
     if not isinstance(args[0], dict):
         return Err()
     keep = []
@@ -3280,8 +3314,8 @@ def _callable_arg(it, v):
     if isinstance(v, _Closure):
         return v
     if isinstance(v, str) and v in it.funcs:
-        params, body = it.funcs[v]
-        return lambda *a: it._call_user(params, body, list(a))
+        params, body, _rt = it.funcs[v]
+        return lambda *a: it._call_user(params, body, list(a), rettype=_rt)
     raise _TypeErr()
 
 
@@ -3297,13 +3331,13 @@ def _hof_func(it, v, name, arity):
             )
         return v
     if isinstance(v, str) and v in it.funcs:
-        params, body = it.funcs[v]
+        params, body, _rt = it.funcs[v]
         if len(params) != arity:
             raise MlrRuntimeError(
                 f"{name}: argument function {v} has arity "
                 f"{len(params)}; need {arity}"
             )
-        return lambda *a: it._call_user(params, body, list(a))
+        return lambda *a: it._call_user(params, body, list(a), rettype=_rt)
     raise MlrRuntimeError(
         f"{name}: second argument must be a function; got {mlr_typeof(v)}."
     )

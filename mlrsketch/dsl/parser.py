@@ -597,13 +597,12 @@ class _Parser:
         args = []
         if not (self.peek() == ("OP", ")")):
             while True:
+                # a single trailing comma is legal; an empty slot —
+                # leading comma or double comma — is a parse error
+                # (dsl-trailing-commas: 0015/0019 pass, 0003/0016/0017
+                # fatal)
                 if self.peek() == ("OP", ","):
-                    # empty slot / trailing comma(s): f($x,,) parses as
-                    # one-arg call (dsl-trailing-commas/0016)
-                    self.next()
-                    if self.peek() == ("OP", ")"):
-                        break
-                    continue
+                    raise DslSyntaxError("empty argument in call")
                 args.append(self.expr(0))
                 if self.peek() == ("OP", ","):
                     self.next()
@@ -771,7 +770,17 @@ class _Parser:
                         self.next()
                         targets.append(("all",))
                     else:
-                        targets.append(self.expr(0))
+                        t = self.expr(0)
+                        # unset operands must be lvalues — `unset 3` is
+                        # a parse error in the reference (dsl-parse/0112)
+                        if t[0] not in ("field", "fieldstar", "fieldexpr",
+                                        "oosvar", "oosvarstar", "var",
+                                        "index", "env"):
+                            raise DslSyntaxError(
+                                "unset: target must be a field, oosvar, "
+                                "or local variable"
+                            )
+                        targets.append(t)
                     if self.peek() == ("OP", ","):
                         self.next()
                         continue
@@ -868,13 +877,16 @@ class _Parser:
                     continue
                 break
         self.expect_op(")")
+        rettype = None
         if self.peek() == ("OP", ":"):
             self.next()
-            k3, v3 = self.next()  # return type annotation, ignored
+            k3, v3 = self.next()  # return type annotation
             if k3 not in ("KW", "IDENT"):
                 raise DslSyntaxError("expected return type")
+            rettype = v3
         body = self.block()
-        return ("funcdef" if kind == "func" else "subrdef", name, params, body)
+        return ("funcdef" if kind == "func" else "subrdef", name, params,
+                body, rettype)
 
     def for_statement(self):
         self.next()  # for
@@ -1087,7 +1099,7 @@ def parse_full_program(src: str):
                     f'function named "{s[1]}" has already been defined'
                 )
             forbid(s[3], ("funcdef", "subrdef", "begin", "end"))
-            funcs[s[1]] = (s[2], s[3])
+            funcs[s[1]] = (s[2], s[3], s[4] if len(s) > 4 else None)
         elif s[0] == "subrdef":
             if s[1] in subrs:
                 raise DslSyntaxError(
@@ -1104,6 +1116,68 @@ def parse_full_program(src: str):
         else:
             forbid(s, ("funcdef", "subrdef", "begin", "end"))
             mains.append(s)
+
+    def walk_returns(node, where):
+        # return-context rules enforced at CST build in the reference:
+        # funcs must return a value, subrs must not, and top-level
+        # return is fatal (dsl-subr/0007, dsl-user-defined-functions-
+        # and-subroutines/0004-0005, dsl-context-validation/0008).
+        # funclit bodies are function scopes of their own.
+        if isinstance(node, list):
+            for s2 in node:
+                walk_returns(s2, where)
+            return
+        if not isinstance(node, tuple) or not node:
+            return
+        k = node[0]
+        if k == "funclit":
+            walk_returns(node[2], "func")
+            return
+        if k == "return":
+            if where == "main":
+                raise DslSyntaxError(
+                    "return statements are only valid within func/subr "
+                    "blocks"
+                )
+            if where == "subr" and node[1] is not None:
+                raise DslSyntaxError(
+                    "return statements within subroutines must not "
+                    "return a value"
+                )
+            if where == "func" and node[1] is None:
+                raise DslSyntaxError(
+                    "return statements within functions must return a "
+                    "value"
+                )
+        for sub in node[1:]:
+            walk_returns(sub, where)
+
+    def walk_calls(node):
+        # `call s(...)` targets resolve at build time (dsl-subr/0001)
+        if isinstance(node, list):
+            for s2 in node:
+                walk_calls(s2)
+            return
+        if not isinstance(node, tuple) or not node:
+            return
+        if node[0] == "call_subr" and node[1] not in subrs:
+            raise DslSyntaxError(
+                f'subroutine "{node[1]}" not found'
+            )
+        for sub in node[1:]:
+            walk_calls(sub)
+
+    for params, body, _rt in funcs.values():
+        walk_returns(body, "func")
+        walk_calls(body)
+    for params, body in subrs.values():
+        walk_returns(body, "subr")
+        walk_calls(body)
+    for blk in (*begins, *ends):
+        walk_returns(blk, "main")
+        walk_calls(blk)
+    walk_returns(mains, "main")
+    walk_calls(mains)
     return ("program", funcs, subrs, begins, mains, ends)
 
 
