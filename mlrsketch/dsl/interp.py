@@ -678,7 +678,9 @@ class StreamInterp:
             except _Return:
                 pass
             keep = self.filter_flag
-            if self.mode == "filter" and self.invert:
+            if self.invert:
+                # -x inverts the final filter boolean for BOTH put and
+                # filter (put_or_filter.go:592 XORs regardless of verb)
                 keep = not keep
             if keep and not self.emit_only:
                 self.out.append(("rec", self.rec))
@@ -4560,7 +4562,11 @@ def _bif_sec2localdate(it, args, raw):
 @_reg(BUILTINS, "localtime2gmt")
 @_absentify
 def _bif_localtime2gmt(it, args, raw):
-    if not _cur_tz(it):
+    # 2-arg form carries an explicit zone (localtime2gmt(t, tz)) —
+    # only the 1-arg form needs the session TZ
+    if not _cur_tz(it) and not (
+        len(args) >= 2 and isinstance(args[-1], str)
+    ):
         raise DslUnsupported("localtime2gmt without session TZ")
     sec = _bif_localtime2sec(it, args, raw)
     if isinstance(sec, Err):
@@ -4585,6 +4591,16 @@ def _bif_localtime2sec(it, args, raw):
             continue
         return int(_local_ts(naive, tz))
     return Err()
+
+
+@_reg(BUILTINS, "localtime2nsec")
+@_absentify
+def _bif_localtime2nsec(it, args, raw):
+    # reference pkg/bifs/datetimes.go: localtime2sec scaled to ns
+    sec = _bif_localtime2sec(it, args, raw)
+    if isinstance(sec, Err):
+        return sec
+    return int(sec) * 1_000_000_000
 
 
 @_reg(BUILTINS, "strftime_local")

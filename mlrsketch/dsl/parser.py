@@ -102,6 +102,16 @@ _ID_START = set("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_")
 _ID_CHARS = _ID_START | set("0123456789")
 
 
+def _id_start(c: str) -> bool:
+    # mlr.bnf:11 _letter admits every codepoint >= U+00A0, so bare
+    # field/var names may be any non-ASCII text ($año)
+    return c in _ID_START or ord(c) >= 0xA0
+
+
+def _id_char(c: str) -> bool:
+    return c in _ID_CHARS or ord(c) >= 0xA0
+
+
 def tokenize(src: str) -> list[tuple[str, object]]:
     """Returns list of (kind, value); kinds: NUM, STR, FIELD, FIELDSTAR,
     OOSVAR, OOSVARSTAR, IDENT, KW, OP, REGEXI (string literal with
@@ -178,7 +188,7 @@ def tokenize(src: str) -> list[tuple[str, object]]:
                 i += 2
                 continue
             j = i + 1
-            while j < n and src[j] in _ID_CHARS:
+            while j < n and _id_char(src[j]):
                 j += 1
             if j == i + 1:
                 raise DslSyntaxError(f"bare $ at {i}")
@@ -202,7 +212,7 @@ def tokenize(src: str) -> list[tuple[str, object]]:
                 i += 2
                 continue
             j = i + 1
-            while j < n and src[j] in _ID_CHARS:
+            while j < n and _id_char(src[j]):
                 j += 1
             if j == i + 1:
                 raise DslSyntaxError(f"bare @ at {i}")
@@ -271,7 +281,7 @@ def tokenize(src: str) -> list[tuple[str, object]]:
             continue
         if c in _ID_START:
             j = i
-            while j < n and src[j] in _ID_CHARS:
+            while j < n and _id_char(src[j]):
                 j += 1
             word = src[i:j]
             toks.append(("KW" if word in _KEYWORDS else "IDENT", word))
@@ -390,6 +400,11 @@ class _Parser:
                 self.next()
                 if self.peek() == ("OP", ":"):
                     self.next()
+                    if self.peek() == ("OP", "]"):
+                        # full slice x[:] (dsl-parse/0055)
+                        self.next()
+                        left = ("slice", left, None, None)
+                        continue
                     hi = self.expr(0)
                     self.expect_op("]")
                     left = ("slice", left, None, hi)
@@ -775,7 +790,8 @@ class _Parser:
                         # a parse error in the reference (dsl-parse/0112)
                         if t[0] not in ("field", "fieldstar", "fieldexpr",
                                         "oosvar", "oosvarstar", "var",
-                                        "index", "env"):
+                                        "index", "env", "posname", "posval",
+                                        "posidxname", "posidxval"):
                             raise DslSyntaxError(
                                 "unset: target must be a field, oosvar, "
                                 "or local variable"

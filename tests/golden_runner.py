@@ -1416,7 +1416,7 @@ def v_gap(df, argv):
 def v_tee(df, argv):
     # `mlr tee [-a|-p] [-o fmt] FILE`: copy stream to a file, pass through.
     # stdout (what expout checks) is the unchanged stream.
-    fl, pos = _flags(argv, {"-a": 0, "-p": 0, "-o": 1})
+    fl, pos = _flags(argv, {"-a": 0, "-p": 0, "-o": 1, "--no-fflush": 0})
     if len(pos) != 1:
         raise Unsupported("tee without filename")
     return df
@@ -2345,8 +2345,18 @@ def _dsl_program(argv, case_dir=None):
     # -w/-W emit warnings on STDERR (not compared; warning-triggering
     # cases are should-fail and handled there); -o sets the format of
     # REDIRECTED output only (files/pipes — dropped by this harness)
+    # writer flags after put/filter (--ojson/--oxtab/...) configure the
+    # REDIRECTED writer only (put_or_filter.go:329-343 delegates unknown
+    # flags to FLAG_TABLE writer options); like -o they are aliases here
     fl, pos = _flags(argv, {"-q": 0, "-S": 0, "-x": 0, "-f": 1, "-s": 1, "-e": 1,
-                            "-v": 0, "-F": 0, "-w": 0, "-W": 0, "-o": 1})
+                            "-v": 0, "-F": 0, "-w": 0, "-W": 0, "-o": 1,
+                            "--ojson": 0, "--ojsonl": 0, "--oxtab": 0,
+                            "--opprint": 0, "--ocsv": 0, "--otsv": 0,
+                            "--no-fflush": 0})  # buffering only, no semantics
+    for wf in ("--ojson", "--ojsonl", "--oxtab", "--opprint", "--ocsv",
+               "--otsv"):
+        if fl.get(wf) and "-o" not in fl:
+            fl["-o"] = wf[3:] if wf != "--ojsonl" else "jsonl"
     verbose = bool(fl.get("-v"))  # echo "DSL EXPRESSION:" + AST first
     presets = {}
     for a_i, a in enumerate(argv):
@@ -2382,12 +2392,28 @@ def _dsl_program(argv, case_dir=None):
         prog = pos[0]
     else:
         raise Unsupported("put program form")
+    preloads = getattr(_TLS, "dsl_preloads", None)
+    if preloads:
+        if verbose:
+            # -v echoes the literal program source; a preload-joined
+            # text would not match the reference's echo
+            raise Unsupported("put -v with --load preambles")
+        prog = ";\n".join([*preloads, prog])
     if verbose and len(parts) > 1:
         # the echo must reproduce Miller's exact source string; a
         # multi-part join would not
         raise Unsupported("put -v with multiple program sources")
+    red_ofmt = fl.get("-o")
+    if red_ofmt and ("> stdout" in prog or "> stderr" in prog):
+        # redirected emissions to the MAIN streams: the interp renders
+        # json only, and interleaving a second format with main-stream
+        # records (non-q) is beyond the single-format compare
+        if red_ofmt not in ("json", "jsonl"):
+            raise Unsupported(f"stdout-redirect format {red_ofmt}")
+        if "-q" not in fl:
+            raise Unsupported("stdout-redirect mixed with record stream")
     return (prog, bool(fl.get("-x")), bool(fl.get("-S")), presets, verbose,
-            fl.get("-o"))
+            red_ofmt)
 
 
 def _py_ofmt(fmt: str) -> str:
@@ -2419,6 +2445,12 @@ class _TextResult(Exception):
 
 
 def _run_dsl(df, argv, mode):
+    if "--explain" in argv:
+        # parse-check only (put_or_filter.go: prints validity and exits)
+        prog, *_ = _dsl_program([a for a in argv if a != "--explain"])
+        from mlrsketch.dsl.parser import parse_full_program
+        parse_full_program(prog)  # raises on syntax error (experr cases)
+        raise _TextResult(f"mlr {mode}: DSL expression is valid.\n")
     prog, negate, s_flag, presets, verbose, red_ofmt = _dsl_program(argv)
     emit_only = "-q" in argv
     pre_text = None
@@ -2666,7 +2698,10 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
                         raise Unsupported("text after records (json)")
                     chunks.append(p)
                 else:
-                    recs_j.append(MI.unflatten_record(p, _flatsep()))
+                    if getattr(_TLS, "no_auto_unflatten", False):
+                        recs_j.append(p)
+                    else:
+                        recs_j.append(MI.unflatten_record(p, _flatsep()))
             body = ",\n".join(MI.dump_text(r) for r in recs_j)
             chunks.append("[\n" + body + "\n]\n" if recs_j else "[\n]\n")
             raise _TextResult("".join(chunks))
@@ -2690,8 +2725,6 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
 def v_put(df, argv):
     """`mlr put` via the real expression-to-Column compiler
     (mlrsketch/dsl): the whole program becomes one Catalyst projection."""
-    if "-x" in argv:
-        raise Unsupported("put -x")
     return _run_dsl(df, argv, "put")
 
 
@@ -3391,6 +3424,7 @@ ORDER_PRESERVING = {
 # that can plausibly precede a path-looking token matter.
 VERB_VALUE_FLAGS = {
     "case": {"-f"},
+    "clean-whitespace": set(),
     "fill-empty": {"-v"},
     "grep": set(),
     "gap": {"-n", "-g"},
@@ -3528,6 +3562,8 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     dedupe_names = True
     forced_codec = None
     barred_input = False
+    no_auto_unflatten = False
+    dsl_preloads: list[str] = []
     igen = False
     gen_field = "i"
     gen_params = {"start": 1, "stop": 100, "step": 1}
@@ -3642,6 +3678,41 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         elif a == "--barred-input":
             barred_input = True
             i += 1
+        elif a in ("--load", "--mload"):
+            # preamble DSL files (functions/subroutines) prepended to
+            # every put/filter program. --load takes one file-or-dir;
+            # --mload takes files until "--".
+            import glob as _glob
+            paths = []
+            if a == "--load":
+                paths.append(argv[i + 1])
+                i += 2
+            else:
+                i += 1
+                while i < len(argv) and argv[i] != "--":
+                    paths.append(argv[i])
+                    i += 1
+                if i < len(argv) and argv[i] == "--":
+                    i += 1
+            for pth in paths:
+                full = pth if os.path.exists(pth) else os.path.join(
+                    "/root/reference", pth)
+                if os.path.isdir(full):
+                    for f2 in sorted(_glob.glob(os.path.join(full, "*.mlr"))):
+                        with open(f2) as fh:
+                            dsl_preloads.append(fh.read())
+                elif os.path.isfile(full):
+                    with open(full) as fh:
+                        dsl_preloads.append(fh.read())
+                else:
+                    raise Unsupported(f"--load path missing: {pth}")
+            continue
+        elif a == "--no-auto-unflatten":
+            # JSON output keeps flattened (dotted) keys literal instead
+            # of re-nesting them. The record-level compare flattens both
+            # sides, so this only changes the interp's text-JSON sink.
+            no_auto_unflatten = True
+            i += 1
         elif a == "--ojsonl":
             ofmt = "jsonl"
             i += 1
@@ -3731,7 +3802,13 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     files = files + list(reversed(popped))
 
     if not files and not no_input and not igen and chains[0][0] != "seqgen":
-        raise Unsupported("no input file resolved")
+        if any(ch and ch[0] in ("put", "filter") for ch in chains):
+            # no file and empty stdin (the regtest supplies none):
+            # put/filter end-blocks can still print/emit over an empty
+            # stream — same path as `mlr -n`
+            no_input = True
+        else:
+            raise Unsupported("no input file resolved")
 
     has_dsl = any(chain and chain[0] in ("put", "filter") for chain in chains)
     dsl_text = cmd
@@ -3753,6 +3830,8 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     # (regtester.go:161); an explicit --ofmt overrides it
     _TLS.ofmt_go = ofmt_num or "%.8f"
     _TLS.go_seed = go_seed
+    _TLS.no_auto_unflatten = no_auto_unflatten
+    _TLS.dsl_preloads = dsl_preloads
     _TLS.go_rng = None
     _TLS.str_only = str_only
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
