@@ -1144,8 +1144,13 @@ def compile_stmts(stmts, env: Env, cond: Column | None = None):
             value = compile_expr(rhs, env)
             _assign(env, target, value, cond)
         elif kind == "decl":
-            # typed local declaration: var/str/num/... name [= expr]
+            # typed local declaration: var/str/num/... name [= expr].
+            # Non-`var` types carry runtime checks on every assignment
+            # (fatal on mismatch) the Column plan cannot express —
+            # those programs run in the stream interpreter instead.
             _typ, name, rhs = st[1], st[2], st[3]
+            if _typ not in (None, "var"):
+                raise DslUnsupported(f"typed local declaration {_typ}")
             value = compile_expr(rhs, env) if rhs is not None else _null_tc()
             _assign(env, ("var", name), value, cond)
         elif kind == "unset":
@@ -1225,6 +1230,13 @@ def apply_program(
 
     conds = list(env.filters)
     if mode == "filter":
+        if env.filters:
+            # validate.go:80 — fatal. DslUnsupported defers to the
+            # stream interpreter, whose own check raises the fatal.
+            raise DslUnsupported(
+                'filter expressions must not also contain the '
+                '"filter" keyword'
+            )
         if env.last_bare is None:
             raise DslUnsupported("filter program without a bare boolean")
         conds.append(to_bool(env.last_bare))

@@ -584,6 +584,9 @@ class StreamInterp:
                     'filter expressions must not also contain the '
                     '"filter" keyword'
                 )
+            if not self.mains and not self.begins and not self.ends:
+                # dsl-empty-statements/0002: `mlr filter ''` is a fatal
+                raise MlrRuntimeError("filter statement must not be empty")
         self.mode = mode
         self.emit_only = emit_only
         self.invert = invert
@@ -729,9 +732,21 @@ class StreamInterp:
         try:
             for st in body:
                 self._exec(st)
+            if rettype not in (None, "var"):
+                # fall-through returns absent: fatal under a declared
+                # return type (dsl-mapvars-udfs-subroutines/0011)
+                raise MlrRuntimeError(
+                    f"couldn't assign variable {rettype} from value "
+                    "absent (absent)"
+                )
             return ABSENT
         except _Return as r:
             rv = r.value if r.value is not None else ABSENT
+            if rv is ABSENT and rettype not in (None, "var"):
+                raise MlrRuntimeError(
+                    f"couldn't assign variable {rettype} from value "
+                    "absent (absent)"
+                )
             # declared return type is a gate, not a cast
             # (dsl-argpass-typedecl/0003-0004, dsl-typedecl/0014)
             return _coerce_decl(rettype, rv)
@@ -1114,6 +1129,9 @@ class StreamInterp:
                 self._assign_var(node[1], cur)
             return cur
         if kind == "index":
+            if node[1][0] == "env":
+                # lvalues.go:1088 — ENV["X"][...] = v is a fatal
+                raise MlrRuntimeError("ENV[...] cannot be indexed")
             key = self._eval(node[2])
             if key is ABSENT:
                 return None  # absent path segment: no auto-vivify
@@ -2192,7 +2210,16 @@ def _coerce_decl(ptype, val):
     """Typed declarations/parameters: the reference FATALS on a type
     mismatch (dsl-argpass-typedecl, dsl-typedecl should-fail suites).
     Absent passes (unfilled optional parameter)."""
-    if ptype in (None, "var") or val is ABSENT:
+    if ptype is None or val is ABSENT:
+        return val
+    if ptype == "var":
+        # MT_TYPE_MASK_VAR (mlrval_type.go:175-184) excludes error:
+        # `var b = <error>` is a fatal, not an error-value store
+        if isinstance(val, Err):
+            raise MlrRuntimeError(
+                f"couldn't assign variable {ptype} from value "
+                f"{mlr_typeof(val)} {format_value(val)}"
+            )
         return val
     check = _DECL_CHECKS.get(ptype)
     if check and not check(val):
@@ -3460,6 +3487,12 @@ def _bif_fold(it, args, raw):
         f = _hof_func(it, args[1], "fold", 2)
         for v in c:
             acc = f(acc, v)
+            if acc is ABSENT:
+                # hofs.go:471 — fatal (message says "apply" there too)
+                raise MlrRuntimeError(
+                    "apply: second-argument function must return a "
+                    "value; got (absent)"
+                )
         return acc
     if isinstance(c, dict):
         f = _hof_func(it, args[1], "fold", 4)
@@ -3487,6 +3520,12 @@ def _bif_reduce(it, args, raw):
         acc = c[0]
         for v in c[1:]:
             acc = f(acc, v)
+            if acc is ABSENT:
+                # hofs.go:396 — fatal (message says "apply" there too)
+                raise MlrRuntimeError(
+                    "apply: second-argument function must return a "
+                    "value; got (absent)"
+                )
         return acc
     if isinstance(c, dict):
         f = _hof_func(it, args[1], "reduce", 4)
@@ -4523,6 +4562,19 @@ def _tz(name):
         raise _TypeErr()
 
 
+def _tz_env(it):
+    # session/ENV TZ path: a malformed zone is a FATAL, not an error
+    # value (reference: 'mlr: TZ environment variable appears
+    # malformed: "..."', dsl-local-date-time-functions/not-a-valid-*)
+    name = _cur_tz(it)
+    try:
+        return _tz(name)
+    except _TypeErr:
+        raise MlrRuntimeError(
+            f'TZ environment variable appears malformed: "{name}"'
+        )
+
+
 @_reg(BUILTINS, "sec2localtime")
 @_absentify
 def _bif_sec2localtime(it, args, raw):
@@ -4532,7 +4584,7 @@ def _bif_sec2localtime(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
+        tz = _tz_env(it) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("sec2localtime without explicit TZ")
     ndec = (args[1] if len(args) >= 2 and isinstance(args[1], int)
@@ -4553,7 +4605,7 @@ def _bif_sec2localdate(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
+        tz = _tz_env(it) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("sec2localdate without explicit TZ")
     return _dt.datetime.fromtimestamp(n, tz=tz).strftime("%Y-%m-%d")
@@ -4581,7 +4633,7 @@ def _bif_localtime2sec(it, args, raw):
     if len(args) >= 2 and isinstance(args[-1], str):
         tz = _tz(args[-1])
     else:
-        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
+        tz = _tz_env(it) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("localtime2sec without explicit TZ")
     for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%d"):
@@ -4613,7 +4665,7 @@ def _bif_strftime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
+        tz = _tz_env(it) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("strftime_local without explicit TZ")
     pyfmt, frac_digits = _translate_strftime(fmt)
@@ -4631,7 +4683,7 @@ def _bif_strptime_local(it, args, raw):
     if len(args) >= 3 and isinstance(args[2], str):
         tz = _tz(args[2])
     else:
-        tz = _tz(_cur_tz(it)) if _cur_tz(it) else None
+        tz = _tz_env(it) if _cur_tz(it) else None
         if tz is None:
             raise DslUnsupported("strptime_local without explicit TZ")
     try:

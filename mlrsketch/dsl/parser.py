@@ -1050,6 +1050,100 @@ def parse_program(src: str) -> list:
     return stmts
 
 
+def _is_builtin_name(name: str) -> bool:
+    """True if `name` is a DSL built-in function (udf.go:407: defining a
+    func with a built-in's name is a build-time fatal). Lazy import: the
+    registry lives in interp.py, which imports this module at load."""
+    try:
+        from .interp import BUILTINS
+    except Exception:  # noqa: BLE001 — registry unavailable: no check
+        return False
+    return name in BUILTINS
+
+
+def warn_unset_locals(program) -> list[str]:
+    """Static might-not-be-assigned-yet analysis for `put -W`
+    (warn.go:17-180): an in-order treewalk carrying the set of local
+    names written so far; a local-variable READ whose name isn't in the
+    set warns. Flow-insensitive (an `if (false) {x=1}` counts as a
+    write — dsl-warnings/0026). The written-set resets at begin/end and
+    func/subr boundaries, with parameters pre-marked. Returns warning
+    messages (empty = ok)."""
+    _, funcs, subrs, begins, mains, ends = program
+    warnings: list[str] = []
+
+    def read(name, written):
+        if name not in written:
+            warnings.append(
+                f"Variable name {name} might not have been assigned yet."
+            )
+
+    def walk(node, written, in_assign=False):
+        if isinstance(node, list):
+            for s in node:
+                walk(s, written, in_assign)
+            return
+        if not isinstance(node, tuple) or not node:
+            return
+        k = node[0]
+        if k == "var":
+            if in_assign:
+                written.add(node[1])
+            else:
+                read(node[1], written)
+            return
+        if k == "decl":
+            # typed decl writes the name; the init expr is a read
+            if node[3] is not None:
+                walk(node[3], written, False)
+            written.add(node[2])
+            return
+        if k == "assign":
+            # LHS walks first in write context (x = x + 1 is clean);
+            # inside an indexed lvalue only the base is a write
+            # (warn.go:150-168: in z[i]=1, z writes, i reads)
+            walk(node[2], written, True)
+            walk(node[3], written, False)
+            return
+        if k in ("index", "slice"):
+            walk(node[1], written, in_assign)
+            for sub in node[2:]:
+                if sub is not None:
+                    walk(sub, written, False)
+            return
+        if k == "for_kv":
+            for kv in node[1]:
+                written.add(kv if isinstance(kv, str) else kv[1])
+            if node[2] is not None:
+                written.add(node[2] if isinstance(node[2], str)
+                            else node[2][1])
+            walk(node[3], written, False)
+            walk(node[4], written, False)
+            return
+        if k == "funclit":
+            inner = {p[1] if isinstance(p, tuple) else p
+                     for p in node[1]}
+            walk(node[2], inner, False)
+            return
+        for sub in node[1:]:
+            walk(sub, written, in_assign)
+
+    def walk_def(params, body):
+        written = {p[1] if isinstance(p, tuple) else p for p in params}
+        walk(body, written, False)
+
+    for params, body, *_ in funcs.values():
+        walk_def(params, body)
+    for params, body in subrs.values():
+        walk_def(params, body)
+    for blk in begins:
+        walk(blk, set(), False)
+    for blk in ends:
+        walk(blk, set(), False)
+    walk(mains, set(), False)
+    return warnings
+
+
 def parse_full_program(src: str):
     """Parse into ("program", funcs, subrs, begins, mains, ends) for the
     stream interpreter. funcs/subrs: {name: (params, body)}."""
@@ -1113,6 +1207,12 @@ def parse_full_program(src: str):
             if s[1] in funcs:
                 raise DslSyntaxError(
                     f'function named "{s[1]}" has already been defined'
+                )
+            if _is_builtin_name(s[1]):
+                # udf.go:407-410 — build-time fatal
+                raise DslSyntaxError(
+                    f'function named "{s[1]}" must not override a '
+                    "built-in function of the same name"
                 )
             forbid(s[3], ("funcdef", "subrdef", "begin", "end"))
             funcs[s[1]] = (s[2], s[3], s[4] if len(s) > 4 else None)
@@ -1183,6 +1283,28 @@ def parse_full_program(src: str):
         for sub in node[1:]:
             walk_calls(sub)
 
+    _FIELD_KINDS = ("field", "fieldstar", "fieldexpr",
+                    "posname", "posval")
+
+    def walk_no_fields(node):
+        # $-anything is fatal inside begin/end blocks (validate.go:128
+        # "begin/end blocks cannot refer to records via $x, $*, etc");
+        # funclit/func bodies validate in their own (record) context
+        if isinstance(node, list):
+            for s2 in node:
+                walk_no_fields(s2)
+            return
+        if not isinstance(node, tuple) or not node:
+            return
+        if node[0] in _FIELD_KINDS:
+            raise DslSyntaxError(
+                "begin/end blocks cannot refer to records via $x, $*, etc"
+            )
+        if node[0] == "funclit":
+            return
+        for sub in node[1:]:
+            walk_no_fields(sub)
+
     for params, body, _rt in funcs.values():
         walk_returns(body, "func")
         walk_calls(body)
@@ -1192,6 +1314,7 @@ def parse_full_program(src: str):
     for blk in (*begins, *ends):
         walk_returns(blk, "main")
         walk_calls(blk)
+        walk_no_fields(blk)
     walk_returns(mains, "main")
     walk_calls(mains)
     return ("program", funcs, subrs, begins, mains, ends)

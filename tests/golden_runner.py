@@ -2452,6 +2452,15 @@ def _run_dsl(df, argv, mode):
         parse_full_program(prog)  # raises on syntax error (experr cases)
         raise _TextResult(f"mlr {mode}: DSL expression is valid.\n")
     prog, negate, s_flag, presets, verbose, red_ofmt = _dsl_program(argv)
+    if "-W" in argv:
+        # -W = warnings-are-fatal: static unset-local analysis
+        # (root.go:160-165 + warn.go; -w prints but doesn't fail)
+        from mlrsketch.dsl.interp import MlrRuntimeError
+        from mlrsketch.dsl.parser import (parse_full_program,
+                                          warn_unset_locals)
+        warns = warn_unset_locals(parse_full_program(prog))
+        if warns:
+            raise MlrRuntimeError("; ".join(warns))
     emit_only = "-q" in argv
     pre_text = None
     if verbose:
@@ -3749,6 +3758,10 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         elif a == "--tz":
             tz_name = argv[i + 1]
             i += 2
+        elif a == "--errors-json":
+            # changes stderr error RENDERING only (exit code and stdout
+            # unchanged) — stderr isn't compared by this harness
+            i += 1
         elif a == "--seed":
             # option_parse.go:3984 TryIntFromString: decimal/hex/octal/binary
             go_seed = int(argv[i + 1], 0)

@@ -36,7 +36,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_REJECT = 280
+MIN_REJECT = 310
 
 
 def test_should_fail_cases_are_rejected(spark):
