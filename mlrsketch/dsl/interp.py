@@ -130,6 +130,10 @@ def infer_value(v):
     if not isinstance(v, str):
         return v
     s = v
+    if s[:1] == "\x00":
+        # forced-string sentinel (golden_runner fill-empty -S): the
+        # value IS a string regardless of its spelling
+        return s[1:]
     if s == "":
         return ""
     if _OCTALISH.match(s):

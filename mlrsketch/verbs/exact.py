@@ -1266,6 +1266,20 @@ def join(
 # ---------------------------------------------------------------------------
 
 
+def _steppers_max_forward(steppers: Sequence[str], slwins: Sequence[tuple[int, int]]) -> int:
+    """Max forward-window across all steppers (step.go:36: 'the delay is
+    the max of each stepper's look-forward' — the window structure is
+    SHARED, so one shift_lead_2 delays every stepper's emission)."""
+    f_max = 0
+    for s in steppers:
+        base_name, k = _parse_stepper(s)
+        if base_name == "shift_lead":
+            f_max = max(f_max, k)
+    for _b, fw in slwins:
+        f_max = max(f_max, fw)
+    return f_max
+
+
 def step(
     df: DataFrame,
     steppers: Sequence[str],
@@ -1273,10 +1287,29 @@ def step(
     order_by: Sequence[str],
     by: Sequence[str] = (),
     ewma_alphas: Sequence[float] = (),
+    slwins: Sequence[tuple[int, int]] = (),
 ) -> DataFrame:
-    """`mlr step -a shift,delta,ratio,rsum,counter,from-first -f ...`
-    (pkg/transformers/step.go:630-712). Output columns ``{f}_{stepper}``
-    like Miller.
+    """`mlr step -a shift,delta,ratio,rsum,counter,from-first,slwin_m_n
+    -f ...` (pkg/transformers/step.go:630-712). Output columns
+    ``{f}_{stepper}`` like Miller (slwin: ``{f}_slwin_{m}_{n}`` — the
+    caller renames to Miller's ``{f}_{m}_{n}``).
+
+    Heterogeneity model (step.go:404-496): with F = max look-forward
+    across steppers, record j is the 'window center' of the event fired
+    when record j+F is ingested (or when record j itself is drained at
+    end-of-stream, step.go:383-391). The event's GATE is the
+    field-presence of the *ingested* record — r_{j+F} while streaming,
+    r_j during drain. A gated-off event emits no stepper outputs for
+    that field on the center record and pushes nil into the prev-value
+    caches (clearPrevValue, step.go:446-457), so shift/delta/ratio read
+    ``lag`` over the gated value sequence v_j = gate(j) ? f_j : null —
+    NOT an ignorenulls lag. Running state (rsum/rprod/counter/
+    from-first/ewma) advances only on events where the gate is open and
+    the center value is present. Records in groups smaller than F are
+    silently dropped by the reference's drain loop (each pending log
+    entry gets exactly one nil-ingest): a group of m records emits only
+    its first min(m, max(0, 2m-F)) records — verb-step/0022 and 0026
+    goldens encode this.
 
     Grouped: one shuffle on the group keys; all steppers share the same
     window, so Catalyst plans a single Window exec. Ungrouped: an
@@ -1288,61 +1321,96 @@ def step(
     on the driver (global_row_number's two-pass pattern).
     """
     by = _cols(by)
+    values = _cols(values)
+    steppers = _cols(steppers)
+    slwins = list(slwins)
+    f_max = _steppers_max_forward(steppers, slwins)
     if not by:
-        return _step_ungrouped(df, steppers, values, order_by, ewma_alphas)
-    base = (Window.partitionBy(*by) if by else Window.partitionBy()).orderBy(
-        *[F.col(c) for c in _cols(order_by)]
-    )
+        return _step_ungrouped(df, steppers, values, order_by, ewma_alphas, slwins, f_max)
+    base = Window.partitionBy(*by).orderBy(*[F.col(c) for c in _cols(order_by)])
     run = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = df
-    for f in _cols(values):
+    grp_m = F.count(F.lit(1)).over(Window.partitionBy(*by))
+    grp_j = F.row_number().over(base)
+    result_cols: dict[str, Column] = {}
+    for f in values:
         c = F.col(f)
-        for s in _cols(steppers):
+        # het gate: ingested-record field presence (see docstring)
+        if f_max:
+            gate = F.when(
+                grp_j + f_max <= grp_m, F.lead(c, f_max).over(base).isNotNull()
+            ).otherwise(c.isNotNull())
+        else:
+            gate = c.isNotNull()
+        v = F.when(gate, c)  # the value each event pushes into prev-caches
+        for s in steppers:
             # parameterized steppers shift_lag_N / shift_lead_N / delta_N /
             # ratio_N (step.go:679-701 registers the _n variants)
-            lag_n = 1
-            base_name = s
-            parts = s.rsplit("_", 1)
-            if len(parts) == 2 and parts[1].isdigit() and parts[0] in (
-                "shift_lag", "shift_lead", "delta", "ratio"
-            ):
-                base_name, lag_n = parts[0], int(parts[1])
+            base_name, lag_n = _parse_stepper(s)
             if base_name in ("shift", "shift_lag"):
-                e = F.lag(c, lag_n).over(base)
+                # outputs VOID when no prev (absent==null here; the two
+                # canonicalize identically in the fixed-schema mapping)
+                e = F.when(gate, F.lag(v, lag_n).over(base))
             elif base_name == "shift_lead":
-                e = F.lead(c, lag_n).over(base)
-            elif base_name == "delta":  # step.go:639-645: first record gets 0
-                e = F.coalesce(c - F.lag(c, lag_n).over(base), F.lit(0))
-            elif base_name == "ratio":
-                # step.go: leading records (no lag yet) get ratio 1
-                e = F.coalesce(c / F.lag(c, lag_n).over(base), F.lit(1.0))
+                e = F.when(gate, F.lead(c, lag_n).over(base))
+            elif base_name == "delta":  # step.go:639-645: no prev gets 0
+                e = F.when(
+                    gate & c.isNotNull(),
+                    F.coalesce(c - F.lag(v, lag_n).over(base), F.lit(0)),
+                )
+            elif base_name == "ratio":  # leading records (no lag yet) get 1
+                e = F.when(
+                    gate & c.isNotNull(),
+                    F.coalesce(c / F.lag(v, lag_n).over(base), F.lit(1.0)),
+                )
             elif s == "rsum":
-                e = F.sum(c).over(run)
+                e = F.when(gate & c.isNotNull(), F.sum(v).over(run))
             elif s == "rprod":
-                e = F.exp(F.sum(F.log(c)).over(run))
+                e = F.when(gate & c.isNotNull(), F.exp(F.sum(F.log(v)).over(run)))
             elif s == "counter":
-                e = F.count(c).over(run)
+                e = F.when(gate & c.isNotNull(), F.count(v).over(run))
             elif s == "from-first":
-                e = c - F.first(c).over(run)
+                e = F.when(
+                    gate & c.isNotNull(),
+                    c - F.first(v, ignorenulls=True).over(run),
+                )
             else:
                 raise ValueError(f"unknown stepper: {s}")
-            out = out.withColumn(f"{f}_{s.replace('-', '_')}", e)
-        # ewma (step.go:647-651): y_t = αx_t + (1-α)y_{t-1}, y_0 = x_0.
-        # Closed form avoids applyInPandas: y_t = Σ_{i<=t} α'(i) x_i with
-        # weights α(1-α)^(t-i); expressed via two running sums of
-        # x_i/(1-α)^i. Numerically unstable for long series — for those,
+            result_cols[f"{f}_{s.replace('-', '_')}"] = e
+        for m_back, n_fwd in slwins:
+            # slwin averages the RAW field over the positional window,
+            # skipping absent/void slots (step.go:1575-1608); empty
+            # window -> VOID
+            e = F.when(gate, F.avg(c).over(base.rowsBetween(-m_back, n_fwd)))
+            result_cols[f"{f}_slwin_{m_back}_{n_fwd}"] = e
+        # ewma (step.go:647-651): y_t = αx_t + (1-α)y_{t-1}, y_0 = x_0,
+        # advancing only on gated-open present values. Closed form avoids
+        # applyInPandas: y_t = Σ α'(i) x_i with weights α(1-α)^(t-i) over
+        # the NON-NULL event index; expressed via running sums of
+        # v_i/(1-α)^i. Numerically unstable for long series — for those,
         # use mlrsketch.verbs.sketch.ewma_pandas (applyInPandas).
         for alpha in ewma_alphas:
             beta = 1.0 - alpha
-            i = F.row_number().over(base)
-            scaled = c * F.pow(F.lit(beta), -i)
+            i = F.count(v).over(run)  # index among gated-present values
+            scaled = v * F.pow(F.lit(beta), -i)
             s1 = F.sum(scaled).over(run)
-            first_scaled = F.first(scaled).over(run)
+            first_scaled = F.first(scaled, ignorenulls=True).over(run)
             label = ("%g" % alpha).replace(".", "_")
             y = F.pow(F.lit(beta), i) * (
                 F.lit(alpha) * s1 + F.lit(1 - alpha) * first_scaled
             )
-            out = out.withColumn(f"{f}_ewma_{label}", y)
+            result_cols[f"{f}_ewma_{label}"] = F.when(gate & c.isNotNull(), y)
+    out = df.withColumns(result_cols)
+    if f_max:
+        # drain drop rule (see docstring): keep first min(m, 2m-F) of each group
+        out = (
+            out.withColumn("__m_", grp_m)
+            .withColumn("__j_", grp_j)
+            .filter(
+                (F.col("__m_") >= f_max)
+                | (F.col("__j_") <= 2 * F.col("__m_") - f_max)
+            )
+            .drop("__m_", "__j_")
+        )
     return out
 
 
@@ -1361,11 +1429,50 @@ def _step_ungrouped(
     values: Sequence[str],
     order_by: Sequence[str],
     ewma_alphas: Sequence[float] = (),
+    slwins: Sequence[tuple[int, int]] = (),
+    f_max: int = 0,
 ) -> DataFrame:
-    """Ungrouped steppers without a single-task window (see step())."""
+    """Ungrouped steppers without a single-task window (see step()).
+
+    Implements the same het event model as the grouped path: gates come
+    from the ingested record (a +f_max presence join), prev-caches lag
+    over the gated value sequence, and running state skips gated-off
+    events. slwin composes separately via slwin() (the caller handles
+    it); a het input mixing slwin with forward steppers ungrouped would
+    need a shared f_max across both — no reference golden exercises
+    that combination, documented here for honesty.
+    """
+    if slwins:
+        raise ValueError("ungrouped slwin: compose slwin() after step()")
     values = _cols(values)
     steppers = _cols(steppers)
     numbered = global_row_number(df, _cols(order_by), out="__n", keep_pid=True)
+
+    # ---- het gate: presence of each field on the record f_max ahead
+    # (the 'ingested' record of this center's event); tail rows with no
+    # record f_max ahead gate on their own presence (drain events)
+    n_total = None
+    if f_max:
+        n_total = numbered.agg(F.count(F.lit(1))).collect()[0][0]
+        gsrc = numbered.select(
+            (F.col("__n") - f_max).alias("__n"),
+            *[F.col(f).isNotNull().alias(f"__gp_{f}") for f in values],
+        )
+        vbase = numbered.join(gsrc, on="__n", how="left")
+        gates = {
+            f: F.when(
+                F.col("__n") + f_max <= F.lit(n_total),
+                F.coalesce(F.col(f"__gp_{f}"), F.lit(False)),
+            ).otherwise(F.col(f).isNotNull())
+            for f in values
+        }
+    else:
+        vbase = numbered
+        gates = {f: F.col(f).isNotNull() for f in values}
+    # the value each event pushes into prev-caches (null when gated off)
+    vbase = vbase.withColumns(
+        {f"__v_{f}": F.when(gates[f], F.col(f)) for f in values}
+    )
 
     # ---- bounded lookback/lookahead: one equi-join per distinct offset
     lag_offsets: set[int] = set()
@@ -1376,14 +1483,16 @@ def _step_ungrouped(
             lag_offsets.add(k)
         elif base_name == "shift_lead":
             lead_offsets.add(k)
-    out = numbered
+    out = vbase
     for k in sorted(lag_offsets):
-        lagged = numbered.select(
+        # prev-caches see the GATED sequence (clearPrevValue pushes nil)
+        lagged = vbase.select(
             (F.col("__n") + k).alias("__n"),
-            *[F.col(f).alias(f"__lag{k}_{f}") for f in values],
+            *[F.col(f"__v_{f}").alias(f"__lag{k}_{f}") for f in values],
         )
         out = out.join(lagged, on="__n", how="left")
     for k in sorted(lead_offsets):
+        # shift_lead reads the raw next-record value (step.go:1087-1106)
         led = numbered.select(
             (F.col("__n") - k).alias("__n"),
             *[F.col(f).alias(f"__lead{k}_{f}") for f in values],
@@ -1401,37 +1510,41 @@ def _step_ungrouped(
     carries_needed = bool(need_run) or need_first or bool(ewma_alphas)
     if carries_needed:
         tmp = out
-        i_col = F.row_number().over(w_pid)
         ew_cols = []
         for f in values:
+            vc = F.col(f"__v_{f}")
+            # index among gated-present values (the reference recursion
+            # only advances on those)
+            if ewma_alphas:
+                tmp = tmp.withColumn(f"__i_{f}", F.count(vc).over(run_pid))
             for alpha in ewma_alphas:
                 label = ("%g" % alpha).replace(".", "_")
                 beta = 1.0 - alpha
-                scaled = F.col(f) * F.pow(F.lit(beta), -i_col)
+                scaled = vc * F.pow(F.lit(beta), -F.col(f"__i_{f}"))
                 tmp = tmp.withColumn(f"__sc_{f}_{label}", scaled)
                 tmp = tmp.withColumn(
                     f"__s1_{f}_{label}", F.sum(f"__sc_{f}_{label}").over(run_pid)
                 )
                 ew_cols.append((f, alpha, label, beta))
-        tmp = tmp.withColumn("__i", i_col)
         out = tmp
         agg_list = [F.count(F.lit(1)).alias("__rows")]
         for f in values:
-            c = F.col(f)
+            vc = F.col(f"__v_{f}")
+            nn_key = F.when(vc.isNotNull(), F.col("__n"))  # non-null order key
             agg_list += [
-                F.sum(c).alias(f"__sum_{f}"),
-                F.count(c).alias(f"__cnt_{f}"),
-                F.product(c).alias(f"__prod_{f}"),
-                F.min_by(c, F.col("__n")).alias(f"__first_{f}"),
+                F.sum(vc).alias(f"__sum_{f}"),
+                F.count(vc).alias(f"__cnt_{f}"),
+                F.product(vc).alias(f"__prod_{f}"),
+                F.min_by(vc, nn_key).alias(f"__first_{f}"),
             ]
             for f2, alpha, label, beta in ew_cols:
                 if f2 != f:
                     continue
                 agg_list += [
-                    F.max_by(F.col(f"__s1_{f}_{label}"), F.col("__i")).alias(
+                    F.max_by(F.col(f"__s1_{f}_{label}"), nn_key).alias(
                         f"__S_{f}_{label}"
                     ),
-                    F.min_by(F.col(f"__sc_{f}_{label}"), F.col("__i")).alias(
+                    F.min_by(F.col(f"__sc_{f}_{label}"), nn_key).alias(
                         f"__FS_{f}_{label}"
                     ),
                 ]
@@ -1453,19 +1566,25 @@ def _step_ungrouped(
     result_cols = {}
     for f in values:
         c = F.col(f)
+        gate = gates[f]
+        present = gate & c.isNotNull()
         for s in steppers:
             base_name, k = _parse_stepper(s)
             if base_name in ("shift", "shift_lag"):
-                result_cols[f"{f}_{s.replace('-', '_')}"] = F.col(f"__lag{k}_{f}")
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(
+                    gate, F.col(f"__lag{k}_{f}")
+                )
             elif base_name == "shift_lead":
-                result_cols[f"{f}_{s.replace('-', '_')}"] = F.col(f"__lead{k}_{f}")
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(
+                    gate, F.col(f"__lead{k}_{f}")
+                )
             elif base_name == "delta":
-                result_cols[f"{f}_{s.replace('-', '_')}"] = F.coalesce(
-                    c - F.col(f"__lag{k}_{f}"), F.lit(0)
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(
+                    present, F.coalesce(c - F.col(f"__lag{k}_{f}"), F.lit(0))
                 )
             elif base_name == "ratio":
-                result_cols[f"{f}_{s.replace('-', '_')}"] = F.coalesce(
-                    c / F.col(f"__lag{k}_{f}"), F.lit(1.0)
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(
+                    present, F.coalesce(c / F.col(f"__lag{k}_{f}"), F.lit(1.0))
                 )
             elif s in ("rsum", "rprod", "counter"):
                 key = {"rsum": "__sum_", "rprod": "__prod_", "counter": "__cnt_"}[s]
@@ -1478,25 +1597,29 @@ def _step_ungrouped(
                         running = (
                             running + v if s in ("rsum", "counter") else running * v
                         )
+                vc = F.col(f"__v_{f}")
                 local = (
-                    F.sum(c).over(run_pid)
+                    F.sum(vc).over(run_pid)
                     if s == "rsum"
-                    else F.count(c).over(run_pid)
+                    else F.count(vc).over(run_pid)
                     if s == "counter"
-                    else F.product(c).over(run_pid)
+                    else F.product(vc).over(run_pid)
                 )
                 offc = _chain(acc_off)
                 if s == "rprod":
-                    result_cols[f"{f}_{s.replace('-', '_')}"] = local * F.coalesce(offc, F.lit(1.0))
+                    e = local * F.coalesce(offc, F.lit(1.0))
                 else:
-                    result_cols[f"{f}_{s.replace('-', '_')}"] = local + F.coalesce(offc, F.lit(0))
+                    e = local + F.coalesce(offc, F.lit(0))
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(present, e)
             elif s == "from-first":
                 first_v = None
                 for pid in sorted(exports):
-                    if exports[pid]["__rows"] > 0:
+                    if exports[pid][f"__cnt_{f}"] > 0:
                         first_v = exports[pid][f"__first_{f}"]
                         break
-                result_cols[f"{f}_{s.replace('-', '_')}"] = c - F.lit(first_v)
+                result_cols[f"{f}_{s.replace('-', '_')}"] = F.when(
+                    present, c - F.lit(first_v)
+                )
             else:
                 raise ValueError(f"unknown stepper: {s}")
         for alpha in ewma_alphas:
@@ -1505,37 +1628,43 @@ def _step_ungrouped(
             # driver composition of per-partition carries: partition 0
             # uses Miller's y1=x1 seeding; later partitions take the
             # previous partition's final y as init c:
-            # y_t = beta^t * (alpha*s1 + c)
+            # y_t = beta^t * (alpha*s1 + c), t = per-partition count of
+            # gated-present values (the recursion skips the rest)
             carry: dict[int, float] = {}
             c_prev = None
             for pid in sorted(exports):
                 r = exports[pid]
                 carry[pid] = c_prev
-                n_p = r["__rows"]
+                n_p = r[f"__cnt_{f}"]
                 if n_p == 0:
                     continue
                 S, FS = r[f"__S_{f}_{label}"], r[f"__FS_{f}_{label}"]
                 if S is None:
                     continue
-                if c_prev is None:  # first non-empty partition
+                if c_prev is None:  # first partition with a present value
                     c_prev = (beta ** n_p) * (alpha * S + (1 - alpha) * FS)
                 else:
                     c_prev = (beta ** n_p) * (alpha * S) + (beta ** n_p) * c_prev
             carry_expr = _chain(carry)
             s1 = F.col(f"__s1_{f}_{label}")
-            fs = F.first(F.col(f"__sc_{f}_{label}")).over(run_pid)
-            seeded = F.pow(F.lit(beta), F.col("__i")) * (
+            fs = F.first(F.col(f"__sc_{f}_{label}"), ignorenulls=True).over(run_pid)
+            i_f = F.col(f"__i_{f}")
+            seeded = F.pow(F.lit(beta), i_f) * (
                 F.lit(alpha) * s1 + F.lit(1 - alpha) * fs
             )
-            carried = F.pow(F.lit(beta), F.col("__i")) * (
+            carried = F.pow(F.lit(beta), i_f) * (
                 F.lit(alpha) * s1 + F.coalesce(carry_expr, F.lit(0.0))
             )
             result_cols[f"{f}_ewma_{label}"] = F.when(
-                carry_expr.isNull(), seeded
-            ).otherwise(carried)
+                present, F.when(carry_expr.isNull(), seeded).otherwise(carried)
+            )
 
     out = out.withColumns(result_cols)
-    drop = [c for c in out.columns if c.startswith("__") and c not in ("__ord",)]
+    # drain drop rule (see step()): with a forward window larger than the
+    # stream, the reference's drain loop drops the tail — only reachable
+    # at toy scale (n_total < f_max)
+    if f_max and n_total is not None and n_total < f_max:
+        out = out.filter(F.col("__n") <= 2 * n_total - f_max)
     # __n/__pid/__i and join/scratch columns are internal; __ord (if the
     # caller carries one) stays
     keep_ord = [c for c in df.columns] + list(result_cols)

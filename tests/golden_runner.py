@@ -43,6 +43,36 @@ def _parse_pprint_lines(clines: list[str], dedupe: bool = True) -> list[dict]:
             i = j
         else:
             i += 1
+    # Keys containing spaces over-tokenize the header (verb-unspace/0003:
+    # 'a b', ' d e'). Recover the true columns from the ALL-line
+    # all-space positions: the single pad space between columns is blank
+    # in every line, a space inside a key/value is not.
+    maxlen = max(len(ln) for ln in clines)
+    padded = [ln.ljust(maxlen) for ln in clines]
+    seps = [all(p[i] == " " for p in padded) for i in range(maxlen)]
+    spans = []
+    i2 = 0
+    while i2 < maxlen:
+        if not seps[i2]:
+            j2 = i2
+            while j2 < maxlen and not seps[j2]:
+                j2 += 1
+            spans.append((i2, j2))
+            i2 = j2
+        else:
+            i2 += 1
+    # drop pure-padding trailing spans (none in practice) and use the
+    # span columns only when the header over-tokenized
+    if 1 < len(spans) < len(toks):
+        recs = []
+        for ln in clines[1:]:
+            rec = {}
+            for lo, hi in spans:
+                # raw slices: a key's own leading space (' d e') is part
+                # of its span because some line is non-blank there
+                rec[header_line[lo:hi].rstrip()] = ln[lo:hi].rstrip()
+            recs.append(rec)
+        return recs
     if dedupe:
         toks = _dedupe_header(toks)
     recs = []
@@ -416,7 +446,8 @@ def _dkvpx_unq(v: str) -> str:
 
 
 def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
-              quoted_dkvp: bool = False) -> list[dict]:
+              quoted_dkvp: bool = False,
+              known_keys: set[str] | None = None) -> list[dict]:
     if fmt == "jsonl":
         import json as _json
 
@@ -560,17 +591,34 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
                 if cur:
                     recs.append(cur)
             return recs
-        recs, cur = [], {}
-        for ln in text.splitlines():
+        if known_keys is not None:
+            # multi-line xtab values (json-stringify payloads): a line
+            # opening with a known key starts a field; anything else
+            # continues the previous field's value verbatim
+            recs, cur, lastk = [], {}, None
+            for ln in text.splitlines():
+                if not ln.strip():
+                    if cur:
+                        recs.append(cur)
+                        cur, lastk = {}, None
+                    continue
+                head = ln.split(None, 1)
+                if head and head[0] in known_keys and not ln[:1].isspace():
+                    cur[head[0]] = head[1].strip() if len(head) > 1 else ""
+                    lastk = head[0]
+                elif lastk is not None:
+                    cur[lastk] += "\n" + ln
+            if cur:
+                recs.append(cur)
+            return recs
+        recs, block = [], []
+        for ln in text.splitlines() + [""]:
             if not ln.strip():
-                if cur:
-                    recs.append(cur)
-                    cur = {}
+                if block:
+                    recs.append(_xtab_block(block))
+                    block = []
                 continue
-            k, _, v = ln.partition(" ")
-            cur[k] = v.strip()
-        if cur:
-            recs.append(cur)
+            block.append(ln)
         return recs
     # dkvp
     recs = []
@@ -583,6 +631,31 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
             rec[k] = _dkvpx_unq(v) if quoted_dkvp else v
         recs.append(rec)
     return recs
+
+
+def _xtab_block(lines: list[str]) -> dict:
+    """One xtab record block. The writer pads keys to the block's max
+    key width (xtab writer), so the value column is the smallest
+    'non-space after a space' position common to every line — which
+    keeps keys containing spaces intact (verb-stats1-regexed/0008's
+    'Other Type_null_count'). Fallback: first-space partition."""
+    starts_per = []
+    for ln in lines:
+        starts = {
+            i for i in range(1, len(ln)) if ln[i - 1] == " " and ln[i] != " "
+        }
+        starts_per.append(starts)
+    common = set.intersection(*starts_per) if starts_per else set()
+    rec = {}
+    if common:
+        c = min(common)
+        for ln in lines:
+            rec[ln[:c].rstrip()] = ln[c:].strip()
+    else:
+        for ln in lines:
+            k, _, v = ln.partition(" ")
+            rec[k] = v.strip()
+    return rec
 
 
 # ---------------------------------------------------------------------------
@@ -1556,6 +1629,24 @@ def v_format_values(df, argv):
                 .when(as_dbl.isNotNull(), F.format_string(ffmt, as_dbl))
                 .otherwise(F.format_string(sfmt, s))
             )
+    if getattr(_TLS, "ofmt", "dkvp") in ("json", "jsonl"):
+        # the reference re-infers each formatted value (FromInferredType),
+        # and its JSON writer renders int mlrvals as DECIMAL numbers —
+        # a 0x%x-formatted int prints as plain decimal again
+        # (verb-format-values/0003)
+        def _json_reinfer(e):
+            hexd = F.regexp_extract(e, r"^([+-]?)0[xX]([0-9a-fA-F]{1,15})$", 2)
+            bind = F.regexp_extract(e, r"^([+-]?)0[bB]([01]{1,62})$", 2)
+            neg = e.rlike(r"^-")
+            def dec(digits, base):
+                d = F.conv(digits, base, 10)
+                return F.when(neg, F.concat(F.lit("-"), d)).otherwise(d)
+            return (
+                F.when(hexd != "", dec(hexd, 16))
+                .when(bind != "", dec(bind, 2))
+                .otherwise(e)
+            )
+        updates = {c: _json_reinfer(e) for c, e in updates.items()}
     return df.withColumns(updates)
 
 
@@ -1604,7 +1695,16 @@ def v_fill_empty(df, argv):
     fl, _ = _flags(expanded, {"-v": 1, "-S": 0, "--only-if-all-blank": 0})
     if fl.get("--only-if-all-blank"):
         raise Unsupported(" --only-if-all-blank")
-    return ev.fill_empty(df, fill=str(fl.get("-v", "N/A")))
+    fill = str(fl.get("-v", "N/A"))
+    if fl.get("-S"):
+        # fill_empty.go:70-76: -S inserts an mlrval STRING — scan
+        # inference must not retype it (typeof stays "string"). The
+        # fixed-schema mapping can't tag one cell, so prefix the \x00
+        # forced-string sentinel: infer_value() unwraps it and the
+        # final collection strips it.
+        fill = "\x00" + fill
+        _TLS.has_forced_str = True
+    return ev.fill_empty(df, fill=fill)
 
 
 def v_grep(df, argv):
@@ -1984,17 +2084,21 @@ def v_step(df, argv):
             cond = c if cond is None else (cond & c)
         passthrough = df.filter(~cond)
         df = df.filter(cond)
+    for m_back, n_fwd in slwins:
+        if m_back < 0 or n_fwd < 0:
+            raise Unsupported("negative slwin bound")
     out = ev.step(df, steppers, values, order_by=["__ord"], by=by,
-                  ewma_alphas=alphas if has_ewma else [])
+                  ewma_alphas=alphas if has_ewma else [],
+                  slwins=slwins if by else [])
     for alias, orig in shift_renames.items():
         for f_ in values:
             out = out.withColumnRenamed(f"{f_}_{alias}", f"{f_}_{orig}")
     for m_back, n_fwd in slwins:
-        if m_back < 0 or n_fwd < 0:
-            raise Unsupported("negative slwin bound")
+        if not by:
+            for f_ in values:
+                out = ev.slwin(out, f_, m_back, n_fwd, order_by=["__ord"], by=by)
+        # Miller names the column {f}_{m}_{n} (step.go:703-711)
         for f_ in values:
-            out = ev.slwin(out, f_, m_back, n_fwd, order_by=["__ord"], by=by)
-            # Miller names the column {f}_{m}_{n} (step.go:703-711)
             out = out.withColumnRenamed(
                 f"{f_}_slwin_{m_back}_{n_fwd}", f"{f_}_{m_back}_{n_fwd}"
             )
@@ -2477,10 +2581,11 @@ def _run_dsl(df, argv, mode):
         # -o affects redirected output only — needs the interp's sinks
         return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
                                emit_only, presets, redirect_ofmt=red_ofmt)
-    if getattr(_TLS, "str_only", False):
-        # global -S: values must stay strings — the interp honors that
-        # (native mode skips inference); the compiler plans on inferred
-        # column types, so bypass it
+    if getattr(_TLS, "str_only", False) or getattr(_TLS, "has_forced_str", False):
+        # global -S (or an upstream fill-empty -S sentinel): values must
+        # stay strings — the interp honors that (native mode skips
+        # inference / infer_value unwraps the sentinel); the compiler
+        # plans on inferred column types, so bypass it
         return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
                                emit_only, presets)
     hidden = tuple(c for c in df.columns if c.startswith("__"))
@@ -3847,6 +3952,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     _TLS.dsl_preloads = dsl_preloads
     _TLS.go_rng = None
     _TLS.str_only = str_only
+    _TLS.has_forced_str = False
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
@@ -4028,8 +4134,11 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         ordered = ordered_ok and "__ord" in spark_df.columns
         if "__ord" in spark_df.columns:
             spark_df = spark_df.orderBy("__ord")
+        def _unfs(v):  # strip the fill-empty -S forced-string sentinel
+            return v[1:] if isinstance(v, str) and v[:1] == "\x00" else v
+
         got = [
-            {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+            {k: _unfs(v) for k, v in r.asDict().items() if not k.startswith("__")}
             for r in spark_df.collect()
         ]
     if ofmt_num:
@@ -4102,6 +4211,13 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             if ln.strip() != ""
         ]
         return got, exp, ordered
+    known_keys = None
+    if ofmt == "xtab" and any(
+        isinstance(v, str) and "\n" in v for r in got for v in r.values()
+    ):
+        # multi-line values need key-anchored reassembly of the expout
+        known_keys = {k for r in got for k in r}
     exp = parse_out(exp_text, ofmt, flatsep=flatsep, ofs=ofs,
-                    quoted_dkvp=(quoted_dkvp and ofmt == "dkvp"))
+                    quoted_dkvp=(quoted_dkvp and ofmt == "dkvp"),
+                    known_keys=known_keys)
     return got, exp, ordered

@@ -26,39 +26,15 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 890
+MIN_PASS = 904
 
-# Cases where the reference's observed behavior around heterogeneous
-# records diverges from its documented stream semantics (records
-# silently dropped / partially emitted near records missing the -f
-# field). Excluded rather than imitated; see each case's expout.
-KNOWN_DIVERGENCES = {
-    "verb-step/0005",
-    "verb-step/0006",  # records missing the stepped field: Miller emits
-    "verb-step/0007",  # no x_* outputs and resets stepper state in ways
-    "verb-step/0008",  # tied to its per-record state map (e.g. a record
-    "verb-step/0026",  # WITH x after one missing x emits delta=0; a
-    "verb-step/0027",  # 1-record group vanishes under shift_lead_n)
-    "verb-step/0022",  # slwin: Miller's window keeper silently DROPS
-    "verb-step/0023",  # 1-record groups (a=hat vanishes from abixy)
-    # pprint/xtab expout with values or keys containing spaces can't
-    # round-trip the whitespace-splitting output parsers — our records
-    # are right, the text-level compare isn't expressible
-    "verb-unspace/0002",
-    "verb-unspace/0003",
-    "verb-stats1-regexed-field-names/0008",
-    # xtab writer emits a raw MULTILINE json-text value; the line-based
-    # xtab parser cannot round-trip it (records themselves are right)
-    "verb-json-parse-json-stringify/0019",
-    # fill-empty -S fills a STRING "0" whose Miller type stays string;
-    # the fixed-schema column type can't carry per-value string-ness, so
-    # a later typeof() re-infers it as int
-    "verb-fill-empty/0004",
-    # format-values -i "0x%x": a non-ll integer format is documented
-    # "undefined behavior" in the reference, which leaves values
-    # unformatted; we format them
-    "verb-format-values/0003",
-}
+# Round-3 status: EMPTY. Every formerly-divergent case is now
+# implemented faithfully — the step het event model (ingest-gated
+# outputs, nil-push prev-cache resets, drain drop rule: exact.step),
+# block-aligned xtab/pprint expout parsers for space-containing keys,
+# key-anchored xtab reassembly for multiline values, the fill-empty -S
+# forced-string sentinel, and format-values JSON re-inference.
+KNOWN_DIVERGENCES: set[str] = set()
 
 
 def test_auto_replay_reference_golden_corpus(spark):

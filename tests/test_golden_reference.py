@@ -732,7 +732,7 @@ def test_fill_down_0002_absent_only(spark):
     # -a fills only ABSENT values; CSV empty strings (VOID) stay empty
     df = to_df(spark, parse_csv("fill-down.csv"), infer=False)
     got = (
-        ev.fill_down(df, ["a", "b", "c"], order_by=["__ord"])
+        ev.fill_down(df, ["a", "b", "c"], order_by=["__ord"], only_if_absent=True)
         .orderBy("__ord")
         .drop("__ord")
     )

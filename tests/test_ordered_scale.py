@@ -39,6 +39,12 @@ def collect_map(df, key="ord"):
 
 
 def test_step_ungrouped_matches_naive(data):
+    # The naive reference encodes Miller's heterogeneity event model
+    # (see exact.step docstring): with F = max look-forward (2 here,
+    # from shift_lead_2), each record's event gates on the presence of
+    # x on the record F ahead (its own presence at the stream tail),
+    # prev-caches lag over the GATED value sequence, and running state
+    # advances only on gated-present values.
     steppers = ["shift", "shift_lag_3", "shift_lead_2", "delta", "ratio_2",
                 "rsum", "rprod", "counter", "from-first"]
     got = collect_map(ev.step(data, steppers, ["x"], order_by=["ord"],
@@ -46,37 +52,57 @@ def test_step_ungrouped_matches_naive(data):
     w = Window.partitionBy().orderBy("ord")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     c = F.col("x")
+    n_total = data.count()
+    rn = F.row_number().over(w)
+    gate = F.when(rn + 2 <= F.lit(n_total), F.lead(c, 2).over(w).isNotNull()).otherwise(
+        c.isNotNull()
+    )
+    base = data.withColumn("__g", gate).withColumn(
+        "__v", F.when(F.col("__g"), c)
+    )
+    g = F.col("__g")
+    v = F.col("__v")
+    present = g & c.isNotNull()
     naive = (
-        data.withColumn("x_shift", F.lag(c, 1).over(w))
-        .withColumn("x_shift_lag_3", F.lag(c, 3).over(w))
-        .withColumn("x_shift_lead_2", F.lead(c, 2).over(w))
-        .withColumn("x_delta", F.coalesce(c - F.lag(c, 1).over(w), F.lit(0)))
-        .withColumn("x_ratio_2", F.coalesce(c / F.lag(c, 2).over(w), F.lit(1.0)))
-        .withColumn("x_rsum", F.sum(c).over(run))
-        .withColumn("x_counter", F.count(c).over(run))
-        .withColumn("x_from_first", c - F.first(c).over(run))
+        base.withColumn("x_shift", F.when(g, F.lag(v, 1).over(w)))
+        .withColumn("x_shift_lag_3", F.when(g, F.lag(v, 3).over(w)))
+        .withColumn("x_shift_lead_2", F.when(g, F.lead(c, 2).over(w)))
+        .withColumn(
+            "x_delta",
+            F.when(present, F.coalesce(c - F.lag(v, 1).over(w), F.lit(0))),
+        )
+        .withColumn(
+            "x_ratio_2",
+            F.when(present, F.coalesce(c / F.lag(v, 2).over(w), F.lit(1.0))),
+        )
+        .withColumn("x_rsum", F.when(present, F.sum(v).over(run)))
+        .withColumn("x_counter", F.when(present, F.count(v).over(run)))
+        .withColumn(
+            "x_from_first",
+            F.when(present, c - F.first(v, ignorenulls=True).over(run)),
+        )
     )
     exp = collect_map(naive)
     for k in exp:
         for col in ["x_shift", "x_shift_lag_3", "x_shift_lead_2", "x_delta",
                     "x_ratio_2", "x_rsum", "x_counter", "x_from_first"]:
-            g, e = got[k][col], exp[k][col]
-            if e is None or g is None:
-                assert g == e, (k, col, g, e)
+            g_, e = got[k][col], exp[k][col]
+            if e is None or g_ is None:
+                assert g_ == e, (k, col, g_, e)
             else:
-                assert math.isclose(g, e, rel_tol=1e-9, abs_tol=1e-12), (k, col, g, e)
+                assert math.isclose(g_, e, rel_tol=1e-9, abs_tol=1e-12), (k, col, g_, e)
 
-    # ewma vs sequential reference
+    # ewma vs sequential reference: the recursion advances only on
+    # gated-present values; gated-off or absent rows emit nothing
     rows = sorted(exp)
     yprev = None
     alpha = 0.3
     for k in rows:
         x = exp[k]["x"]
-        xv = 0.0 if x is None else x  # formula treats null as 0 in the sum
-        if yprev is None:
-            yprev = xv
-        else:
-            yprev = alpha * xv + (1 - alpha) * yprev
+        if not exp[k]["__g"] or x is None:
+            assert got[k]["x_ewma_0_3"] is None, k
+            continue
+        yprev = x if yprev is None else alpha * x + (1 - alpha) * yprev
         assert math.isclose(got[k]["x_ewma_0_3"], yprev, rel_tol=1e-6, abs_tol=1e-9), k
 
 
