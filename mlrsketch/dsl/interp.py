@@ -667,6 +667,7 @@ class StreamInterp:
         but NR travels with each record); final_nr: the reader's last NR
         as seen by end-blocks (total records read)."""
         self.out = []
+        self.err = []  # stderr channel (redirect > stderr, eprint/edump)
         self.rec = None
         self._run_block_list(self.begins)
         for i, rec in enumerate(records):
@@ -863,6 +864,8 @@ class StreamInterp:
             v = self._eval(expr)
             if sink == "out" and isinstance(v, dict):
                 self._emit_rec(dict(v))
+            elif sink == "err" and isinstance(v, dict):
+                self._run_into_err(lambda: self._emit_rec(dict(v)))
             elif (isinstance(sink, tuple) and sink[0] == "pipe"
                   and isinstance(v, dict)):
                 # tee | cmd: records flow through the subprocess, whose
@@ -1625,16 +1628,18 @@ class StreamInterp:
         return None
 
     def _redirect_sink(self, redir):
-        """Classify a redirect: None=default, "out"=stdout, "drop"=
-        stderr or file targets (only stdout is compared), or a
-        ("pipe", command) sink whose output lands on stdout."""
+        """Classify a redirect: None=default, "out"=stdout, "err"=
+        stderr (kept on a separate channel — the golden expected-error
+        cases compare it against experr), "drop"=file targets (not
+        compared), or a ("pipe", command) sink whose output lands on
+        stdout."""
         if redir is None:
             return None
         op, target = redir
         if target == ("ctx", "stdout"):
             return "out"
         if target == ("ctx", "stderr"):
-            return "drop"
+            return "err"
         t = self._eval(target)  # filename/command expression
         if op == "|":
             return ("pipe", str(format_value(t)))
@@ -1680,11 +1685,25 @@ class StreamInterp:
                 self.out.append(("txt", out))
         self._pipes = {}
 
+    def _run_into_err(self, thunk):
+        """Execute thunk with self.out swapped to the stderr channel."""
+        prev = self.out
+        self.out = self.err
+        try:
+            thunk()
+        finally:
+            self.out = prev
+
     def _exec_emit(self, variant, redir, lashed, name_exprs):
         sink = self._redirect_sink(redir)
         if sink == "drop":
             for node in lashed:
                 self._eval(node)  # still evaluate for side effects
+            return
+        if sink == "err":
+            self._run_into_err(
+                lambda: self._exec_emit(variant, None, lashed, name_exprs)
+            )
             return
         if isinstance(sink, tuple) and sink[0] == "pipe":
             prev = self.out
@@ -1954,12 +1973,16 @@ class StreamInterp:
 
     def _exec_print(self, st):
         _, where, redir, expr, nl = st
-        if redir is not None and self._redirect_sink(redir) == "drop":
+        sink = self._redirect_sink(redir) if redir is not None else None
+        if sink == "drop":
             if expr is not None:
                 self._eval(expr)
             return
-        if where == "err":
-            return  # stderr not part of expout compare
+        if sink == "err" or where == "err":
+            self._run_into_err(
+                lambda: self._exec_print(("print", "out", None, expr, nl))
+            )
+            return
         def render(v):
             if isinstance(v, (dict, list)):
                 return dump_text(v)
@@ -1974,11 +1997,15 @@ class StreamInterp:
 
     def _exec_dump(self, st):
         _, where, redir, expr = st
-        if redir is not None and self._redirect_sink(redir) == "drop":
+        sink = self._redirect_sink(redir) if redir is not None else None
+        if sink == "drop":
             if expr is not None:
                 self._eval(expr)
             return
-        if where == "err":
+        if sink == "err" or where == "err":
+            self._run_into_err(
+                lambda: self._exec_dump(("dump", "out", None, expr))
+            )
             return
         exprs = (expr[1] if expr is not None and expr[0] == "printargs"
                  else [expr])
@@ -4833,9 +4860,7 @@ def run_stream(
             return float(fmt % v)
         return v
 
-    try:
-        items = interp.run(prepared, file_ctx=file_ctx, nrs=nrs,
-                           final_nr=final_nr)
+    def _post(items):
         out = []
         for kind, payload in items:
             if kind == "rec":
@@ -4857,6 +4882,16 @@ def run_stream(
             else:
                 out.append((kind, payload))
         return out
+
+    try:
+        items = interp.run(prepared, file_ctx=file_ctx, nrs=nrs,
+                           final_nr=final_nr)
+        err_sink = kwargs.get("err_sink")
+        if err_sink is not None:
+            # stderr channel (redirect > stderr, eprint/edump): handed
+            # back to the caller for experr comparison
+            err_sink.extend(_post(interp.err))
+        return _post(items)
     finally:
         set_ofmt(prev_ofmt)
 

@@ -112,14 +112,32 @@ def _id_char(c: str) -> bool:
     return c in _ID_CHARS or ord(c) >= 0xA0
 
 
+class _PosList(list):
+    """Token list that records each token's source char offset at
+    append time (fed by tokenize() setting .cur to the scan position) —
+    lets the parser attach positions to nodes without changing the
+    (kind, value) token shape."""
+
+    def __init__(self):
+        super().__init__()
+        self.pos: list[int] = []
+        self.cur = 0
+
+    def append(self, item):  # noqa: A003
+        super().append(item)
+        self.pos.append(self.cur)
+
+
 def tokenize(src: str) -> list[tuple[str, object]]:
     """Returns list of (kind, value); kinds: NUM, STR, FIELD, FIELDSTAR,
     OOSVAR, OOSVARSTAR, IDENT, KW, OP, REGEXI (string literal with
-    trailing i flag)."""
-    toks: list[tuple[str, object]] = []
+    trailing i flag). The returned list is a _PosList carrying parallel
+    source offsets in .pos."""
+    toks: list[tuple[str, object]] = _PosList()
     i, n = 0, len(src)
     while i < n:
         c = src[i]
+        toks.cur = i
         if c in " \t\r\n":
             i += 1
             continue
@@ -370,6 +388,13 @@ class _Parser:
         if k != "OP" or v != op:
             raise DslSyntaxError(f"expected {op!r}, got {k} {v!r}")
 
+    def _tokpos(self, back: int = 1):
+        """Source char offset of the token `back` steps behind the
+        cursor (None when the token list carries no positions)."""
+        pos = getattr(self.toks, "pos", None)
+        j = self.i - back
+        return pos[j] if pos and 0 <= j < len(pos) else None
+
     # -- expressions -------------------------------------------------------
 
     def expr(self, rbp: int = 0):
@@ -524,7 +549,9 @@ class _Parser:
                 return ("call", v, args)
             if v in _CTX_NAMES:
                 return ("ctx", v)
-            return ("var", v)
+            # third element: source char offset of the identifier (for
+            # -w/-W warning positions); consumers index [0]/[1] only
+            return ("var", v, self._tokpos())
         if k == "OP":
             if v == "(":
                 e = self.expr(0)
@@ -1061,21 +1088,28 @@ def _is_builtin_name(name: str) -> bool:
     return name in BUILTINS
 
 
-def warn_unset_locals(program) -> list[str]:
-    """Static might-not-be-assigned-yet analysis for `put -W`
+def warn_unset_locals(program, src: str | None = None) -> list[str]:
+    """Static might-not-be-assigned-yet analysis for `put -w/-W`
     (warn.go:17-180): an in-order treewalk carrying the set of local
     names written so far; a local-variable READ whose name isn't in the
     set warns. Flow-insensitive (an `if (false) {x=1}` counts as a
     write — dsl-warnings/0026). The written-set resets at begin/end and
     func/subr boundaries, with parameters pre-marked. Returns warning
-    messages (empty = ok)."""
+    messages (empty = ok); with ``src``, messages carry the reference's
+    "at DSL expression line L column C" suffix from the var node's
+    recorded source offset (dsl-warnings/0014)."""
     _, funcs, subrs, begins, mains, ends = program
     warnings: list[str] = []
 
-    def read(name, written):
+    def read(name, written, off=None):
         if name not in written:
+            at = ""
+            if src is not None and off is not None:
+                line = src.count("\n", 0, off) + 1
+                col = off - src.rfind("\n", 0, off)
+                at = f" at DSL expression line {line} column {col}"
             warnings.append(
-                f"Variable name {name} might not have been assigned yet."
+                f"Variable name {name} might not have been assigned yet{at}."
             )
 
     def walk(node, written, in_assign=False):
@@ -1090,7 +1124,7 @@ def warn_unset_locals(program) -> list[str]:
             if in_assign:
                 written.add(node[1])
             else:
-                read(node[1], written)
+                read(node[1], written, node[2] if len(node) > 2 else None)
             return
         if k == "decl":
             # typed decl writes the name; the init expr is a read

@@ -633,6 +633,21 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
     return recs
 
 
+def _norm_float_text(text: str) -> str:
+    """Normalize float tokens to the reference regtester's 8-decimal
+    print precision for raw-text compares."""
+    def q(m):
+        try:
+            s = ("%.8f" % float(m.group(0))).rstrip("0").rstrip(".")
+            return s if s else "0"
+        except (ValueError, OverflowError):
+            return m.group(0)
+
+    return _re.sub(
+        r"-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", q, text
+    )
+
+
 def _xtab_block(lines: list[str]) -> dict:
     """One xtab record block. The writer pads keys to the block's max
     key width (xtab writer), so the value column is the smallest
@@ -2556,15 +2571,19 @@ def _run_dsl(df, argv, mode):
         parse_full_program(prog)  # raises on syntax error (experr cases)
         raise _TextResult(f"mlr {mode}: DSL expression is valid.\n")
     prog, negate, s_flag, presets, verbose, red_ofmt = _dsl_program(argv)
-    if "-W" in argv:
-        # -W = warnings-are-fatal: static unset-local analysis
-        # (root.go:160-165 + warn.go; -w prints but doesn't fail)
+    if "-W" in argv or "-w" in argv:
+        # static unset-local analysis (root.go:160-165 + warn.go):
+        # -W = warnings-are-fatal; -w prints to stderr and continues
         from mlrsketch.dsl.interp import MlrRuntimeError
         from mlrsketch.dsl.parser import (parse_full_program,
                                           warn_unset_locals)
-        warns = warn_unset_locals(parse_full_program(prog))
-        if warns:
+        warns = warn_unset_locals(parse_full_program(prog), src=prog)
+        if warns and "-W" in argv:
             raise MlrRuntimeError("; ".join(warns))
+        if warns:
+            _TLS.dsl_stderr = getattr(_TLS, "dsl_stderr", []) + [
+                ("txt", "\n".join(warns) + "\n")
+            ]
     emit_only = "-q" in argv
     pre_text = None
     if verbose:
@@ -2691,6 +2710,7 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
     else:
         json_native = False
         recs, fctx, nrs = [], None, []
+    err_items: list = []
     try:
         items = MI.run_stream(
             prog,
@@ -2701,6 +2721,7 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
             file_ctx=fctx,
             flatsep=_flatsep(),
             presets=presets,
+            err_sink=err_items,
             json_input=(not json_native
                         and getattr(_TLS, "ifmt", "dkvp")
                         in ("json", "jsonl")),
@@ -2718,6 +2739,8 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
         raise Unsupported(f"dsl: {e}")
     except MI.MlrRuntimeError as e:
         raise Unsupported(f"dsl runtime: {e}")
+    # surface the stderr channel for experr comparison (run_case)
+    _TLS.dsl_stderr = getattr(_TLS, "dsl_stderr", []) + err_items
     if pre_text:
         # put -v: the AST echo precedes every other output
         items = [("txt", pre_text)] + list(items)
@@ -3641,14 +3664,23 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     _TLS.env_overrides = env_overrides
     experr = os.path.join(case_dir, "experr")
     expout_path = os.path.join(case_dir, "expout")
+    expect_err_text = None
     if (
         not allow_should_fail
         and os.path.exists(experr)
         and os.path.getsize(experr) > 0
         and (not os.path.exists(expout_path) or os.path.getsize(expout_path) == 0)
     ):
-        # the reference expects this command to FAIL (stderr only)
-        raise Unsupported("expected-error case")
+        # stderr-only output. DSL chains can model it (redirect > stderr
+        # runs on the interp's err channel and compares against experr);
+        # anything else is a true expected-FAILURE case
+        with open(experr, "rb") as fh:
+            expect_err_text = fh.read().decode("utf-8", "replace")
+        cmd_tokens = set(
+            open(os.path.join(case_dir, "cmd")).read().split()
+        )
+        if not ({"put", "filter"} & cmd_tokens):
+            raise Unsupported("expected-error case")
     cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
     argv = shlex.split(cmd)
     if argv[0] != "mlr":
@@ -3953,6 +3985,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     _TLS.go_rng = None
     _TLS.str_only = str_only
     _TLS.has_forced_str = False
+    _TLS.dsl_stderr = []
     _TLS.tz = tz_name or getattr(_TLS, "env_overrides", {}).get("TZ")
     needs_filectx = (
         has_dsl and any(tok in dsl_text for tok in ("FNR", "FILENAME", "FILENUM"))
@@ -4096,20 +4129,8 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             with open(os.path.join(case_dir, "expout"), "rb") as f:
                 exp_text = f.read().decode("utf-8", "replace")
 
-            def _normf(text: str) -> str:
-                def q(m):
-                    try:
-                        s = ("%.8f" % float(m.group(0))).rstrip("0").rstrip(".")
-                        return s if s else "0"
-                    except (ValueError, OverflowError):
-                        return m.group(0)
-
-                return _re.sub(
-                    r"-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+", q, text
-                )
-
-            g_t = _normf(tr.text.rstrip("\n"))
-            e_t = _normf(exp_text.rstrip("\n"))
+            g_t = _norm_float_text(tr.text.rstrip("\n"))
+            e_t = _norm_float_text(exp_text.rstrip("\n"))
             return (
                 [{"__text__": g_t}] if g_t else [],
                 [{"__text__": e_t}] if e_t else [],
@@ -4141,6 +4162,29 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             {k: _unfs(v) for k, v in r.asDict().items() if not k.startswith("__")}
             for r in spark_df.collect()
         ]
+    if expect_err_text is not None:
+        # stderr-only case: the comparison target is experr, fed by the
+        # interp's err channel (redirect > stderr / eprint / edump)
+        errs = getattr(_TLS, "dsl_stderr", [])
+        etxts = [p for k, p in errs if k == "txt"]
+        erecs = [p for k, p in errs if k == "rec"]
+        if etxts and erecs:
+            raise Unsupported("mixed stderr text+records")
+        if etxts or not erecs:
+            g_t = _norm_float_text("".join(etxts).rstrip("\n"))
+            e_t = _norm_float_text(expect_err_text.rstrip("\n"))
+            return (
+                [{"__text__": g_t}] if g_t else [],
+                [{"__text__": e_t}] if e_t else [],
+                True,
+            )
+        got_err = [
+            {k: v for k, v in r.items()
+             if v is not None and not k.startswith("__")}
+            for r in erecs
+        ]
+        exp_err = parse_out(expect_err_text, ofmt, flatsep=flatsep, ofs=ofs)
+        return got_err, exp_err, True
     if ofmt_num:
         # --ofmt: floats print through this format; quantize ours the
         # same way so the numeric compare sees print-precision values

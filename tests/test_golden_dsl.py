@@ -26,16 +26,13 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 2700
+MIN_PASS = 2740
 
 KNOWN_DIVERGENCES = {
     # Miller's sub() does NOT treat a "\\t" (backslash-t) pattern as a
     # regex tab-escape; Java regex does. Two cases exercise exactly that.
     "dsl-filter-pattern-action/0031",
     "dsl-filter-pattern-action/0033",
-    # xtab expout with a literal NEWLINE inside a value ("a\nb") breaks
-    # the line-based xtab parser — values themselves are right
-    "dsl-basic/0061",
     # JSON quoted-ness is unrepresentable after flatten-to-string: the
     # case mixes {"a":0} and {"a":"0"} in one column and expects
     # boolean(0)=false but boolean("0")=(error). Under the flattened
