@@ -1241,7 +1241,12 @@ def apply_program(
             raise DslUnsupported("filter program without a bare boolean")
         conds.append(to_bool(env.last_bare))
     for c in conds:
-        out = out.filter(F.coalesce(c, F.lit(False)))
+        # NOT coalesce(c, false): Filter keeps only condition=TRUE rows,
+        # so nulls drop either way — but the coalesce wrapper is opaque
+        # to PushDownPredicate, which otherwise splits a top-level AND
+        # and pushes scan-column conjuncts into the parquet reader
+        # (asserted by tests/test_plan_shapes.py).
+        out = out.filter(c)
     return out
 
 

@@ -46,18 +46,22 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-id minhash signature as columns ``__m0..__m{n-1}``.
 
-    sig[j] = min over shingles s of xxhash64(xxhash64(s), j) — the
-    standard min-wise permutation family (Broder 1997): Pr[sig_a[j] ==
+    sig[j] = min over shingles s of xxhash64(h(s), j) — the standard
+    min-wise permutation family (Broder 1997): Pr[sig_a[j] ==
     sig_b[j]] = Jaccard(a, b).
 
-    Plan shape (the 100 TB-relevant part): each string shingle is hashed
-    to int64 exactly ONCE, exploded to (id, h) pairs, and the n
-    permutation minima are n ``min(xxhash64(h, j))`` aggregates in a
-    single whole-stage-codegen'd hash aggregation. Because a document's
+    Plan shape (the 100 TB-relevant part): each token is hashed to
+    int64 exactly ONCE and a shingle's base hash is xxhash64 over the
+    slice of token hashes — the n-gram STRINGS are never materialized
+    (at web scale that's the difference between allocating ~n_tokens×
+    shingle_n bytes of transient strings per document and none). The
+    base hashes are exploded to (id, h) pairs and the n permutation
+    minima are n ``min(xxhash64(h, j))`` aggregates in a single
+    whole-stage-codegen'd hash aggregation. Because a document's
     shingles are colocated in its input partition, the map-side partial
     aggregate collapses to one row per doc before the (only) shuffle —
     rehashing an int64 per permutation is codegen'd JVM work, unlike
-    re-hashing string shingles n times through interpreted higher-order
+    re-hashing shingles n times through interpreted higher-order
     functions.
     """
     # Shingle hashing is COMPUTE-bound, not IO-bound: a small parquet
@@ -68,7 +72,13 @@ def minhash_signature(
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
-    sh_h = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    toks = F.split(F.col(text_col), " ")
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    count = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))
+    sh_h = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.xxhash64(F.slice(th, i + 1, shingle_n)),
+    )
     ex = df.select(F.col(id_col), F.explode(sh_h).alias("__h"))
     aggs = [
         F.min(F.xxhash64(F.col("__h"), F.lit(j))).alias(f"__m{j}")
