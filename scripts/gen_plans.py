@@ -151,6 +151,28 @@ def main() -> None:
         "never globally sorted through one task.",
     ))
 
+    from mlrsketch import dsl
+
+    q9 = dsl.filter_records(
+        dsl.put(
+            li,
+            '$ratio = $l_extendedprice / $l_quantity; '
+            '$bucket = $ratio > 1000 ? "high" : "low"',
+        ),
+        '$bucket == "high" && $l_quantity > 10',
+    )
+    sections.append((
+        "tier-1 DSL put+filter (compiled, pushdown-preserving)",
+        fmt(spark, q9),
+        "What to see: the whole two-statement put program plus the filter is ONE\n"
+        "codegen'd Project over the scan — no Python anywhere — and the\n"
+        "`$l_quantity > 10` conjunct of the filter reaches the parquet reader\n"
+        "(`PushedFilters: [..., GreaterThan(l_quantity,10.0)]`) even though its\n"
+        "sibling conjunct references a computed column: the filter condition is\n"
+        "passed bare (not wrapped in coalesce(c,false)), so PushDownPredicate\n"
+        "can split the AND. Asserted by tests/test_plan_shapes.py.",
+    ))
+
     out = [
         "# PLANS — representative physical plans (explain audit)\n\n"
         "Generated against sf0.01 with AQE on, `local[8]`. Each section: the\n"
