@@ -609,6 +609,33 @@ def q_sample_per_group(spark, sf):
     ).select("o_orderpriority", "o_orderkey")
 
 
+def q_theta_bigram_overlap(spark, sf):
+    """Theta/KMV distinct-set algebra: how many distinct token bigrams do
+    two document sources share? (the crawl-overlap query). At sf<=0.1 the
+    per-source distinct bigram counts sit below k=4096, so theta stays 1
+    and every estimate is EXACT -> hash-comparable against the DuckDB
+    INTERSECT/EXCEPT oracle; at 10^12 rows the same query returns
+    1/sqrt(k-1)-bounded estimates from two O(k) states."""
+    d = _t(spark, sf, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = d.select("source", F.explode(bigrams).alias("big"))
+    out = sv.theta_set_ops(pairs, "big", "source", "src0", "src1", k=4096)
+    return out.select(
+        F.col("union_est").cast("long").alias("union_cnt"),
+        F.col("intersect_est").cast("long").alias("intersect_cnt"),
+        F.col("a_not_b_est").cast("long").alias("a_only_cnt"),
+        F.col("b_not_a_est").cast("long").alias("b_only_cnt"),
+        _sig9("jaccard_est").alias("jaccard"),
+    )
+
+
 # -- round-1 widening: remaining SURVEY.md §2 verbs --------------------------
 
 
@@ -1079,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surv_km": q_surv_km,
         # new round-3 surface
         "fraction_cumulative_global": q_fraction_cumulative_global,
+        "theta_bigram_overlap": q_theta_bigram_overlap,
         # --- round-2 driver-green keys (checked in CORRECTNESS_r02) ---
         "step_global": q_step_global,
         "slwin_global": q_slwin_global,
@@ -1188,6 +1216,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "theta_bigram_overlap": f"""
+            WITH toks AS (
+              SELECT source, string_split(text, ' ') AS t
+              FROM documents WHERE source IN ('src0', 'src1')
+            ), bi AS (
+              SELECT source, t[i] || ' ' || t[i+1] AS big
+              FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+            ), a AS (SELECT DISTINCT big FROM bi WHERE source = 'src0'),
+               b AS (SELECT DISTINCT big FROM bi WHERE source = 'src1'),
+            c AS (
+              SELECT
+                (SELECT count(*) FROM (SELECT big FROM a UNION SELECT big FROM b)) AS u,
+                (SELECT count(*) FROM (SELECT big FROM a INTERSECT SELECT big FROM b)) AS i,
+                (SELECT count(*) FROM (SELECT big FROM a EXCEPT SELECT big FROM b)) AS ao,
+                (SELECT count(*) FROM (SELECT big FROM b EXCEPT SELECT big FROM a)) AS bo
+            )
+            SELECT CAST(u AS BIGINT) AS union_cnt,
+                   CAST(i AS BIGINT) AS intersect_cnt,
+                   CAST(ao AS BIGINT) AS a_only_cnt,
+                   CAST(bo AS BIGINT) AS b_only_cnt,
+                   {_sig9_sql('CAST(i AS DOUBLE) / CAST(u AS DOUBLE)')} AS jaccard
+            FROM c
+        """,
         "step_global": """
             SELECT event_id,
                    lag(value) OVER w AS shift_v,

@@ -17,6 +17,12 @@ from mlrsketch.sketches.cms import CountMinSketch, TopKSketch
 from mlrsketch.sketches.hll import HyperLogLog
 from mlrsketch.sketches.kll import KLL
 from mlrsketch.sketches.tdigest import TDigest
+from mlrsketch.sketches.theta import (
+    ThetaSketch,
+    theta_a_not_b,
+    theta_intersect,
+    theta_union,
+)
 
 __all__ = [
     "HyperLogLog",
@@ -25,4 +31,8 @@ __all__ = [
     "BloomFilter",
     "TDigest",
     "KLL",
+    "ThetaSketch",
+    "theta_union",
+    "theta_intersect",
+    "theta_a_not_b",
 ]

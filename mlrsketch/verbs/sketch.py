@@ -38,8 +38,18 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from mlrsketch.agg import SketchSpec, sketch_aggregate
-from mlrsketch.sketches import KLL, BloomFilter, HyperLogLog, TDigest, TopKSketch
+from mlrsketch.agg import STATE_COL, SketchSpec, partial_states, sketch_aggregate
+from mlrsketch.sketches import (
+    KLL,
+    BloomFilter,
+    HyperLogLog,
+    TDigest,
+    ThetaSketch,
+    TopKSketch,
+    theta_a_not_b,
+    theta_intersect,
+    theta_union,
+)
 
 
 def _by_fields(df: DataFrame, by: Sequence[str]):
@@ -77,6 +87,110 @@ def count_distinct_hll(
         ]
     )
     return sketch_aggregate(df, of, spec, by=by, out_schema=schema, salted=salted)
+
+
+# ---------------------------------------------------------------------------
+# distinct count + set operations (theta / KMV)
+# ---------------------------------------------------------------------------
+
+
+def _theta_spec(k: int) -> SketchSpec:
+    return SketchSpec(
+        make=lambda: ThetaSketch(k=k),
+        update=lambda sk, pdf: sk.update_hashes(pdf["__h"].to_numpy(dtype=np.int64)),
+        finalize=lambda sk: pd.DataFrame(
+            {
+                "distinct_count_est": [sk.estimate()],
+                "error_bound": [sk.error_bound()],
+            }
+        ),
+        deserialize=ThetaSketch.deserialize,
+    )
+
+
+def count_distinct_theta(
+    df: DataFrame, of: str, by: Sequence[str] = (), k: int = 4096, salted: bool = False
+) -> DataFrame:
+    """Approximate `count-distinct -f of [-g by]` via a theta/KMV sketch.
+
+    Same query shape as count_distinct_hll but the state supports set
+    algebra (see theta_set_ops); error_bound is 0 while the group has
+    fewer than k distinct values (exact mode), else ~1/sqrt(k-1).
+    """
+    schema = StructType(
+        list(_by_fields(df, by))
+        + [
+            StructField("distinct_count_est", DoubleType()),
+            StructField("error_bound", DoubleType()),
+        ]
+    )
+    return sketch_aggregate(df, of, _theta_spec(k), by=by, out_schema=schema, salted=salted)
+
+
+def theta_sketches_by_group(
+    df: DataFrame, of: str, group_col: str, k: int = 4096
+) -> dict:
+    """One merged ThetaSketch of `of`'s distinct values per value of
+    `group_col`. Distributed two-level plan: per-partition partial
+    states (mapInPandas), one KB-scale shuffle of states, per-group
+    merge; only the k-hash final states reach the driver."""
+    spec = _theta_spec(k)
+    partials = partial_states(df, of, spec, by=[group_col])
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = None
+        for blob in pdf[STATE_COL]:
+            sk = ThetaSketch.deserialize(bytes(blob))
+            merged = sk if merged is None else merged.merge(sk)
+        return pd.DataFrame(
+            {group_col: [pdf[group_col].iloc[0]], STATE_COL: [merged.serialize()]}
+        )
+
+    schema = StructType(
+        [df.schema[group_col], StructField(STATE_COL, BinaryType(), False)]
+    )
+    rows = partials.groupBy(group_col).applyInPandas(merge_group, schema=schema).collect()
+    return {r[group_col]: ThetaSketch.deserialize(bytes(r[STATE_COL])) for r in rows}
+
+
+def theta_set_ops(
+    df: DataFrame, of: str, group_col: str, group_a, group_b, k: int = 4096
+) -> DataFrame:
+    """Distinct-set algebra between two groups' values of `of`:
+    union / intersection / difference cardinalities + Jaccard, each a
+    theta-sketch estimate with its published error bound.
+
+    The crawl-overlap query: "how many distinct URLs does crawl A share
+    with crawl B?" — Miller can only answer by materializing both
+    distinct sets (pkg/transformers/count_distinct.go keeps every
+    distinct value in an ordered map); the theta algebra answers from
+    two O(k) states. At test scale (distinct < k) theta stays 1 and
+    every number is EXACT, which is what the DuckDB oracle checks.
+
+    Output (one row): union_est, intersect_est, a_not_b_est,
+    b_not_a_est, jaccard_est, error_bound.
+    """
+    pair = df.filter(F.col(group_col).isin([group_a, group_b]))
+    sketches = theta_sketches_by_group(pair, of, group_col, k=k)
+    ska = sketches.get(group_a, ThetaSketch(k=k))
+    skb = sketches.get(group_b, ThetaSketch(k=k))
+    un = theta_union(ska, skb)
+    inter = theta_intersect(ska, skb)
+    only_a = theta_a_not_b(ska, skb)
+    only_b = theta_a_not_b(skb, ska)
+    u_est = un.estimate()
+    out = pd.DataFrame(
+        {
+            "union_est": [u_est],
+            "intersect_est": [inter.estimate()],
+            "a_not_b_est": [only_a.estimate()],
+            "b_not_a_est": [only_b.estimate()],
+            "jaccard_est": [inter.estimate() / u_est if u_est else 0.0],
+            "error_bound": [max(un.error_bound(), inter.error_bound())],
+        }
+    )
+    schema = StructType([StructField(c, DoubleType()) for c in out.columns])
+    return df.sparkSession.createDataFrame(out, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -121,3 +121,45 @@ def test_kll_estimate_stability_under_splits(seed, k):
     for q in (0.25, 0.5, 0.75):
         rank_err = abs(np.searchsorted(s, merged.quantile(q)) / data.size - q)
         assert rank_err <= merged.error_bound() + 0.01, (seed, k, q, rank_err)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 8))
+def test_theta_partition_invariance(seed, k):
+    from mlrsketch.sketches import ThetaSketch
+
+    # 5k distinct into a k=256 sketch: deep in estimation mode, so the
+    # trim threshold is exercised on every merge. The state invariant
+    # (retained = ALL inputs < theta; final theta order-independent)
+    # makes the merged state bit-identical for ANY split.
+    data = _hashes(5_000)
+    whole = ThetaSketch(k=256)
+    whole.update_hashes(data)
+    parts = []
+    for chunk in _random_split(data, seed, k):
+        t = ThetaSketch(k=256)
+        t.update_hashes(chunk)
+        parts.append(t)
+    left = parts[0]
+    for p in parts[1:]:
+        left = left.merge(p)
+    assert left.serialize() == whole.serialize()
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_theta_associativity_and_idempotence(seed):
+    from mlrsketch.sketches import ThetaSketch, theta_union
+
+    data = _hashes(3_000)
+    a_d, b_d, c_d = _random_split(data, seed, 3)
+
+    def mk(chunk):
+        t = ThetaSketch(k=128)
+        t.update_hashes(chunk)
+        return t
+
+    ab_c = theta_union(theta_union(mk(a_d), mk(b_d)), mk(c_d))
+    a_bc = theta_union(mk(a_d), theta_union(mk(b_d), mk(c_d)))
+    assert ab_c.serialize() == a_bc.serialize()
+    assert theta_union(ab_c, ab_c).serialize() == ab_c.serialize()  # idempotent

@@ -108,3 +108,40 @@ def test_skewed_lang_distribution_is_handled(spark, pages_df):
         for r in sv.count_distinct_hll(pages_df, "url", ["lang"], p=12, salted=True).collect()
     }
     assert set(est) == set(counts)
+
+
+def test_theta_distinct_within_bound_per_lang(spark, pages_df):
+    # k=512 on up-to-20k distinct urls per lang: estimation mode for the
+    # big langs, exact mode for any below 512 — both paths bounded.
+    approx = {
+        r["lang"]: (r["distinct_count_est"], r["error_bound"])
+        for r in sv.count_distinct_theta(pages_df, "url", ["lang"], k=512).collect()
+    }
+    exact = {
+        r["lang"]: r["x"]
+        for r in pages_df.groupBy("lang").agg(F.countDistinct("url").alias("x")).collect()
+    }
+    for lang, n in exact.items():
+        est, bound = approx[lang]
+        assert abs(est - n) / max(n, 1) <= 3 * bound + 0.02, (lang, n, est)
+
+
+def test_theta_set_ops_against_exact(spark, pages_df):
+    # distinct-token overlap between two langs, sketch vs exact Spark.
+    toks = pages_df.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    langs = [r["lang"] for r in pages_df.select("lang").distinct().orderBy("lang").limit(2).collect()]
+    a, b = langs[0], langs[1]
+    row = sv.theta_set_ops(toks, "tok", "lang", a, b, k=8192).collect()[0]
+    sa = {r["tok"] for r in toks.filter(F.col("lang") == a).select("tok").distinct().collect()}
+    sb = {r["tok"] for r in toks.filter(F.col("lang") == b).select("tok").distinct().collect()}
+    bound = max(row["error_bound"], 0.0)
+    for est, true in [
+        (row["union_est"], len(sa | sb)),
+        (row["intersect_est"], len(sa & sb)),
+        (row["a_not_b_est"], len(sa - sb)),
+        (row["b_not_a_est"], len(sb - sa)),
+    ]:
+        if true == 0:
+            assert est == 0.0
+        else:
+            assert abs(est - true) / true <= 3 * bound + 1e-9, (est, true, bound)

@@ -280,3 +280,91 @@ class TestHashing:
         a = hash_strings(["foo", "bar", "foo"])
         assert a[0] == a[2] and a[0] != a[1]
         assert (hash_strings(["foo", "bar"]) == np.array([a[0], a[1]])).all()
+
+
+class TestTheta:
+    def test_exact_mode_below_k(self):
+        from mlrsketch.sketches import ThetaSketch
+
+        sk = ThetaSketch(k=1024)
+        sk.update_hashes(_hashes(800))
+        assert not sk.is_estimation_mode
+        assert sk.estimate() == 800.0
+        assert sk.error_bound() == 0.0
+
+    @pytest.mark.parametrize("n", [50_000, 500_000])
+    def test_error_within_3_sigma_saturated(self, n):
+        from mlrsketch.sketches import ThetaSketch
+
+        sk = ThetaSketch(k=2048)
+        sk.update_hashes(_hashes(n))
+        assert sk.is_estimation_mode
+        rel = abs(sk.estimate() - n) / n
+        assert rel <= 3 * sk.error_bound(), f"n={n} rel={rel}"
+
+    def test_duplicates_dont_inflate(self):
+        from mlrsketch.sketches import ThetaSketch
+
+        sk = ThetaSketch(k=256)
+        for _ in range(5):
+            sk.update_hashes(_hashes(200))
+        assert sk.estimate() == 200.0
+
+    def test_merge_bit_identical(self):
+        from mlrsketch.sketches import ThetaSketch
+
+        full = ThetaSketch(k=128)
+        full.update_hashes(_hashes(10_000))
+        a, b, c = (ThetaSketch(k=128) for _ in range(3))
+        a.update_hashes(_hashes(3_000))
+        b.update_hashes(_hashes(4_000, offset=3_000))
+        c.update_hashes(_hashes(3_000, offset=7_000))
+        assert a.merge(b).merge(c).serialize() == full.serialize()
+
+    def test_serde_roundtrip(self):
+        from mlrsketch.sketches import ThetaSketch
+
+        sk = ThetaSketch(k=64)
+        sk.update_hashes(_hashes(5_000))
+        back = ThetaSketch.deserialize(sk.serialize())
+        assert back.k == sk.k and back.theta == sk.theta
+        assert (back.hashes == sk.hashes).all()
+
+    def test_set_ops_exact_mode(self):
+        from mlrsketch.sketches import (
+            ThetaSketch,
+            theta_a_not_b,
+            theta_intersect,
+            theta_union,
+        )
+
+        # A = [0, 600), B = [400, 1000) -> |A u B|=1000, |A n B|=200
+        a = ThetaSketch(k=4096)
+        a.update_hashes(_hashes(600))
+        b = ThetaSketch(k=4096)
+        b.update_hashes(_hashes(600, offset=400))
+        assert theta_union(a, b).estimate() == 1000.0
+        assert theta_intersect(a, b).estimate() == 200.0
+        assert theta_a_not_b(a, b).estimate() == 400.0
+        assert theta_a_not_b(b, a).estimate() == 400.0
+
+    def test_set_ops_saturated_within_bound(self):
+        from mlrsketch.sketches import (
+            ThetaSketch,
+            theta_a_not_b,
+            theta_intersect,
+            theta_union,
+        )
+
+        # A = [0, 60k), B = [40k, 100k): overlap 20k, union 100k
+        a = ThetaSketch(k=4096)
+        a.update_hashes(_hashes(60_000))
+        b = ThetaSketch(k=4096)
+        b.update_hashes(_hashes(60_000, offset=40_000))
+        un, inter = theta_union(a, b), theta_intersect(a, b)
+        diff = theta_a_not_b(a, b)
+        assert abs(un.estimate() - 100_000) / 100_000 <= 3 * un.error_bound()
+        assert abs(inter.estimate() - 20_000) / 20_000 <= 3 * inter.error_bound()
+        assert abs(diff.estimate() - 40_000) / 40_000 <= 3 * diff.error_bound()
+        # each result is itself a valid mergeable theta state
+        assert ThetaSketch.deserialize(inter.serialize()).estimate() == inter.estimate()
