@@ -1064,6 +1064,53 @@ def q_stats1_windowed_global(spark, sf):
     )
 
 
+def q_stats1_iterative(spark, sf):
+    """`mlr stats1 -s` grouped (stats1.go:30,457): cumulative stats
+    appended per record, one WindowExec partitioned by the group key.
+
+    Running sums of arbitrary doubles differ in the last ULP across
+    engines because the association order differs, and ANY rounding
+    (fixed-decimal or significant-digit) has boundary values; so the
+    oracle runs over an integer-cents column — every prefix sum is
+    exact in float64 (<< 2^53), making sums/means bit-identical
+    regardless of summation order."""
+    e = _t(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    s = ev.stats1_iterative(
+        e, ["count", "sum", "mean", "min", "max"], ["cents"],
+        order_by=["ts", "event_id"], by=["user_id"],
+    )
+    return s.select(
+        "event_id",
+        F.col("cents_count").alias("rcount"),
+        F.col("cents_sum").alias("rsum"),
+        F.col("cents_mean").alias("rmean"),
+        F.col("cents_min").alias("rmin"),
+        F.col("cents_max").alias("rmax"),
+    )
+
+
+def q_stats1_iterative_global(spark, sf):
+    """Ungrouped `stats1 -s`: per-range-partition prefix + broadcast
+    exclusive-prefix carry — no single-task expanding window. Integer
+    cents for cross-engine exactness (see q_stats1_iterative)."""
+    e = _t(spark, sf, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    s = ev.stats1_iterative(
+        e, ["count", "mean", "min", "max"], ["cents"],
+        order_by=["ts", "event_id"],
+    )
+    return s.select(
+        "event_id",
+        F.col("cents_count").alias("rcount"),
+        F.col("cents_mean").alias("rmean"),
+        F.col("cents_min").alias("rmin"),
+        F.col("cents_max").alias("rmax"),
+    )
+
+
 def q_uniq_records(spark, sf):
     """`mlr uniq -a -c`: whole-record dedupe with counts (uniq.go:391)."""
     o = _t(spark, sf, "orders").select("o_orderstatus", "o_orderpriority")
@@ -1107,6 +1154,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new round-3 surface
         "fraction_cumulative_global": q_fraction_cumulative_global,
         "theta_bigram_overlap": q_theta_bigram_overlap,
+        "stats1_iterative": q_stats1_iterative,
+        "stats1_iterative_global": q_stats1_iterative_global,
         # --- round-2 driver-green keys (checked in CORRECTNESS_r02) ---
         "step_global": q_step_global,
         "slwin_global": q_slwin_global,
@@ -1405,6 +1454,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    {_sig9_sql("sum(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / sum(o_totalprice) OVER ()")} AS cumfrac
             FROM orders
+        """,
+        "stats1_iterative": """
+            SELECT event_id,
+                   count(cents) OVER w AS rcount,
+                   sum(cents) OVER w AS rsum,
+                   avg(cents) OVER w AS rmean,
+                   min(cents) OVER w AS rmin,
+                   max(cents) OVER w AS rmax
+            FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+        "stats1_iterative_global": """
+            SELECT event_id,
+                   count(cents) OVER w AS rcount,
+                   avg(cents) OVER w AS rmean,
+                   min(cents) OVER w AS rmin,
+                   max(cents) OVER w AS rmax
+            FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+            WINDOW w AS (ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """,
         "fraction_cumulative": """
             SELECT o_orderkey, o_orderpriority,

@@ -2281,6 +2281,147 @@ def stats1_windowed(
     return out.filter(F.col("__real") == 1).select(*df.columns, *names)
 
 
+def stats1_iterative(
+    df: DataFrame,
+    accs: Sequence[str],
+    values: Sequence[str],
+    order_by: Sequence[str],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """`mlr stats1 -s` (stats1.go:30,192-193,457-471): iterative
+    (expanding/cumulative) stats appended to each record, one output
+    per input record.
+
+    Grouped: a single WindowExec partitioned by the group keys — each
+    group's expanding frame runs where its rows live, distributed
+    across groups. Ungrouped: a bare expanding window is a single-task
+    stage; instead every supported accumulator decomposes associatively
+    (count / sum / sum-of-squares / min / max), so compute a prefix
+    within each range partition and add a broadcast exclusive-prefix
+    carry per partition — the same shape as ``_step_ungrouped``'s rsum.
+    One range exchange, no SinglePartition anywhere.
+
+    Output columns are named ``{field}_{acc}`` (stats1 -s emits the
+    record plus the running stats under the batch naming). Supported
+    accs: count, sum, mean, min, max, var, stddev; the full accumulator
+    list (mode/antimode/percentiles cumulative) is replayed at test
+    scale by the golden runner's array path and is memory-class A by
+    nature — out of the scale contract by design.
+    """
+    accs = _cols(accs)
+    values = _cols(values)
+    for a in accs:
+        if a not in _WIN_ACCS:
+            raise ValueError(f"stats1 -s accumulator not supported: {a}")
+    if by:
+        frame = (
+            Window.partitionBy(*_cols(by))
+            .orderBy(*[F.col(c) for c in _cols(order_by)])
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumns(
+            {
+                f"{f}_{a}": _WIN_ACCS[a](F.col(f)).over(frame)
+                for f in values
+                for a in accs
+            }
+        )
+
+    # ---- ungrouped: per-range-partition prefix + broadcast carry
+    numbered = global_row_number(df, _cols(order_by), out="__n", keep_pid=True)
+    run = (
+        Window.partitionBy("__pid")
+        .orderBy("__n")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    need_var = any(a in ("var", "stddev") for a in accs)
+    need_sum = need_var or any(a in ("sum", "mean") for a in accs)
+    need_cnt = need_var or any(a in ("count", "mean") for a in accs)
+    need_min = "min" in accs
+    need_max = "max" in accs
+    prefix_cols: dict[str, Column] = {}
+    for f in values:
+        v = F.col(f).cast("double")
+        if need_cnt:
+            prefix_cols[f"__c_{f}"] = F.count(v).over(run)
+        if need_sum:
+            prefix_cols[f"__s_{f}"] = F.sum(v).over(run)
+        if need_var:
+            prefix_cols[f"__s2_{f}"] = F.sum(v * v).over(run)
+        if need_min:
+            prefix_cols[f"__mn_{f}"] = F.min(v).over(run)
+        if need_max:
+            prefix_cols[f"__mx_{f}"] = F.max(v).over(run)
+    pre = numbered.withColumns(prefix_cols)
+
+    # per-partition totals: a tiny exports row per range partition,
+    # combined on the driver into EXCLUSIVE prefix carries
+    agg_list = []
+    for f in values:
+        v = F.col(f).cast("double")
+        agg_list += [
+            F.count(v).alias(f"c_{f}"),
+            F.sum(v).alias(f"s_{f}"),
+            F.sum(v * v).alias(f"s2_{f}"),
+            F.min(v).alias(f"mn_{f}"),
+            F.max(v).alias(f"mx_{f}"),
+        ]
+    exports = {r["__pid"]: r for r in pre.groupBy("__pid").agg(*agg_list).collect()}
+    carries: dict[str, dict[int, object]] = {}
+    for f in values:
+        c = s = s2 = 0.0
+        mn = mx = None
+        cc: dict[int, tuple] = {}
+        for pid in sorted(exports):
+            cc[pid] = (c, s, s2, mn, mx)
+            r = exports[pid]
+            c += r[f"c_{f}"] or 0
+            if r[f"s_{f}"] is not None:
+                s += r[f"s_{f}"]
+                s2 += r[f"s2_{f}"]
+            if r[f"mn_{f}"] is not None:
+                mn = r[f"mn_{f}"] if mn is None else min(mn, r[f"mn_{f}"])
+            if r[f"mx_{f}"] is not None:
+                mx = r[f"mx_{f}"] if mx is None else max(mx, r[f"mx_{f}"])
+        carries[f] = cc
+
+    def _carry(f: str, idx: int, cast: str = "double") -> Column:
+        pairs = [
+            x
+            for pid, tup in carries[f].items()
+            for x in (F.lit(pid), F.lit(tup[idx]).cast(cast))
+        ]
+        return F.create_map(*pairs)[F.col("__pid")] if pairs else F.lit(None)
+
+    out_cols: dict[str, Column] = {}
+    for f in values:
+        cnt = (F.col(f"__c_{f}") + _carry(f, 0, "long")) if need_cnt else None
+        ssum = (F.col(f"__s_{f}") + F.coalesce(_carry(f, 1), F.lit(0.0))) if need_sum else None
+        ssum2 = (
+            F.col(f"__s2_{f}") + F.coalesce(_carry(f, 2), F.lit(0.0))
+        ) if need_var else None
+        for a in accs:
+            name = f"{f}_{a}"
+            if a == "count":
+                out_cols[name] = cnt
+            elif a == "sum":
+                out_cols[name] = F.when(cnt > 0, ssum)
+            elif a == "mean":
+                out_cols[name] = F.when(cnt > 0, ssum / cnt)
+            elif a == "min":
+                out_cols[name] = F.least(F.col(f"__mn_{f}"), _carry(f, 3))
+            elif a == "max":
+                out_cols[name] = F.greatest(F.col(f"__mx_{f}"), _carry(f, 4))
+            elif a in ("var", "stddev"):
+                var = (ssum2 - ssum * ssum / cnt) / (cnt - 1)
+                out_cols[name] = F.when(
+                    cnt > 1, F.sqrt(var) if a == "stddev" else var
+                )
+    return pre.withColumns(out_cols).select(
+        *df.columns, *[f"{f}_{a}" for f in values for a in accs]
+    )
+
+
 def count_distinct_n(df: DataFrame, fields: Sequence[str]) -> DataFrame:
     """`mlr count-distinct -n` (uniq.go:18-25): just the number of
     distinct field-value combinations."""

@@ -150,6 +150,9 @@ def test_ungrouped_paths_have_no_single_partition_funnel(spark, tables):
             tables["orders"], "o_totalprice", cumulative=True,
             order_by=["o_orderkey"],
         ),
+        "stats1_s": ev.stats1_iterative(
+            li, ["count", "mean", "min"], ["l_extendedprice"], order_by=["__ord"]
+        ),
     }
     for name, df in cases.items():
         p = plan(spark, df)

@@ -86,6 +86,45 @@ def test_step_running_sum(spark, abixy):
         prev = r["x"]
 
 
+def test_stats1_iterative_matches_sequential(spark, abixy):
+    """Ungrouped `stats1 -s` (prefix + broadcast carry) must equal the
+    sequential expanding stats, and the grouped path must equal the
+    per-group sequential ones."""
+    out = (
+        ev.stats1_iterative(
+            abixy, ["count", "sum", "mean", "min", "max", "var"], ["x"],
+            order_by=["i"],
+        )
+        .orderBy("i")
+        .collect()
+    )
+    seen = []
+    for r in out:
+        seen.append(r["x"])
+        assert r["x_count"] == len(seen)
+        assert abs(r["x_sum"] - sum(seen)) < 1e-9
+        assert abs(r["x_mean"] - sum(seen) / len(seen)) < 1e-9
+        assert r["x_min"] == min(seen)
+        assert r["x_max"] == max(seen)
+        if len(seen) > 1:
+            m = sum(seen) / len(seen)
+            v = sum((x - m) ** 2 for x in seen) / (len(seen) - 1)
+            assert abs(r["x_var"] - v) < 1e-6
+        else:
+            assert r["x_var"] is None
+    grp = (
+        ev.stats1_iterative(abixy, ["count", "max"], ["x"], order_by=["i"], by=["a"])
+        .orderBy("i")
+        .collect()
+    )
+    state: dict = {}
+    for r in grp:
+        st = state.setdefault(r["a"], [])
+        st.append(r["x"])
+        assert r["x_count"] == len(st)
+        assert r["x_max"] == max(st)
+
+
 def test_ewma_closed_form_matches_recurrence(spark, abixy):
     out = ev.step(abixy, [], ["x"], order_by=["i"], ewma_alphas=[0.3]).orderBy("i").collect()
     y = None
