@@ -131,7 +131,7 @@ def infer_value(v):
         return v
     s = v
     if s[:1] == "\x00":
-        # forced-string sentinel (golden_runner fill-empty -S): the
+        # forced-string sentinel (mlrcli fill-empty -S): the
         # value IS a string regardless of its spelling
         return s[1:]
     if s == "":

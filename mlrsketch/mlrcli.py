@@ -72,7 +72,7 @@ def _parse_pprint_lines(clines: list[str], dedupe: bool = True) -> list[dict]:
                 # of its span because some line is non-blank there
                 rec[header_line[lo:hi].rstrip()] = ln[lo:hi].rstrip()
             recs.append(rec)
-        return recs
+        return [_pprint_void(r) for r in recs]
     if dedupe:
         toks = _dedupe_header(toks)
     recs = []
@@ -90,7 +90,13 @@ def _parse_pprint_lines(clines: list[str], dedupe: bool = True) -> list[dict]:
             hi = starts[k + 1] if k + 1 < len(starts) else len(ln)
             rec[name] = ln[lo:hi].rstrip()
         recs.append(rec)
-    return recs
+    return [_pprint_void(r) for r in recs]
+
+
+def _pprint_void(rec: dict) -> dict:
+    """The pprint READER maps the "-" placeholder back to Miller VOID
+    (record_reader_pprint.go:59 voidRep)."""
+    return {k: ("" if v == "-" else v) for k, v in rec.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -139,10 +145,14 @@ def _flatten_json_value(out: dict, key: str, v, sep: str):
         out[key] = str(v)
 
 
-def _ragged_zip(header: list[str] | None, vals: list[str], ragged: bool) -> dict:
+def _ragged_zip(header: list[str] | None, vals: list[str], ragged: bool,
+                pad: bool = False) -> dict:
     """CSV row -> record. header None = implicit positional keys 1..n.
-    Ragged semantics (record_reader_csvlite.go): short rows leave the
-    trailing header keys ABSENT; long rows get positional keys n+1..."""
+    Ragged semantics: long rows get positional keys n+1...; short rows
+    PAD the trailing header keys with VOID "" in the lite readers
+    (record_reader_csvlite.go:254-258, record_reader_tsv.go:226) but
+    stay SHORT in the strict RFC-csv reader (record_reader_csv.go:293
+    "leave it short — a job for unsparsify")."""
     if header is None:
         return {str(i + 1): v for i, v in enumerate(vals)}
     if len(vals) != len(header) and not ragged:
@@ -153,6 +163,9 @@ def _ragged_zip(header: list[str] | None, vals: list[str], ragged: bool) -> dict
             return None
         raise Unsupported("ragged csv without --allow-ragged-csv-input")
     rec = dict(zip(header, vals))
+    if pad and len(vals) < len(header):
+        for k in header[len(vals):]:
+            rec[k] = ""
     for j in range(len(header), len(vals)):
         k = str(j + 1)
         n = 2
@@ -253,13 +266,16 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             return [_tsv_decode(v) for v in ln.split("\t")]
 
         if implicit_header:
-            return [_ragged_zip(None, _trow(ln), True) for ln in lines]
+            rows0 = [_trow(ln) for ln in lines]
+            hdr0 = [str(i + 1) for i in range(len(rows0[0]))]
+            return [_ragged_zip(hdr0, r, True, pad=True) for r in rows0]
         # header cells keep their escape text verbatim (spec-tsv: the
         # reference decodes \t \n \\ only in DATA cells)
         header = lines[0].split("\t")
         if dedupe:
             header = _dedupe_header(header)
-        zipped = (_ragged_zip(header, _trow(ln), ragged) for ln in lines[1:])
+        zipped = (_ragged_zip(header, _trow(ln), ragged, pad=True)
+                  for ln in lines[1:])
         return [r for r in zipped if r is not None]
     if icsv == "nidx":
         sep = ifs if ifs else None  # None -> any-whitespace split
@@ -312,16 +328,18 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                 # --ifs on pprint input: plain separator split
                 rows = [ln.split(ifs) for ln in clines]
                 if implicit_header:
-                    recs.extend(_ragged_zip(None, r, True) for r in rows)
+                    hdr0 = [str(i + 1) for i in range(len(rows[0]))]
+                    recs.extend(_ragged_zip(hdr0, r, True, pad=True) for r in rows)
                 else:
                     hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
                     recs.extend(_ragged_zip(hdr, r, ragged) for r in rows[1:])
             elif implicit_header:
                 # --hi: every line is data; positional keys from a
-                # whitespace split (values with spaces unsupported here)
-                recs.extend(
-                    _ragged_zip(None, ln.split(), True) for ln in clines
-                )
+                # whitespace split (values with spaces unsupported here);
+                # header arity = first line, short rows pad with VOID
+                rows = [ln.split() for ln in clines]
+                hdr0 = [str(i + 1) for i in range(len(rows[0]))]
+                recs.extend(_ragged_zip(hdr0, r, True, pad=True) for r in rows)
             else:
                 recs.extend(_parse_pprint_lines(clines, dedupe=dedupe))
         return recs
@@ -364,13 +382,16 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                     else [ln.split(sep) for ln in clines]
                 )
                 if implicit_header:
-                    recs.extend(_ragged_zip(None, r, True) for r in rows)
+                    hdr0 = [str(i + 1) for i in range(len(rows[0]))]
+                    recs.extend(
+                        _ragged_zip(hdr0, r, True, pad=True) for r in rows
+                    )
                 else:
                     hdr = _dedupe_header(rows[0]) if dedupe else rows[0]
                     recs.extend(
                         z
                         for r in rows[1:]
-                        if (z := _ragged_zip(hdr, r, ragged)) is not None
+                        if (z := _ragged_zip(hdr, r, ragged, pad=True)) is not None
                     )
             return recs
         # RFC csv: ONE header; quoted fields may embed separators and
@@ -3643,10 +3664,59 @@ _SEP_NAMES = {"tab": "\t", "comma": ",", "space": " ", "pipe": "|",
               "semicolon": ";", "auto": None}
 
 
+class ExecResult:
+    """Outcome of executing one mlr-style command line: either a record
+    stream (`records`) or raw text output (`text`, print/dump-only DSL
+    programs), plus the output-side context a writer or comparator
+    needs (format, separators, headerless/positional modes) and the
+    DSL stderr channel."""
+
+    __slots__ = ("records", "text", "ordered", "ofmt", "ofs", "flatsep",
+                 "headerless_out", "quoted_dkvp", "ofmt_num", "olite",
+                 "stderr", "last_verb", "no_auto_unflatten", "float_ofmt",
+                 "render_opts")
+
+    def __init__(self, records=None, text=None, ordered=True, ofmt="dkvp",
+                 ofs=None, flatsep=".", headerless_out=False,
+                 quoted_dkvp=False, ofmt_num=None, olite=False,
+                 stderr=(), last_verb="", no_auto_unflatten=False,
+                 float_ofmt=None, render_opts=None):
+        self.records = records
+        self.text = text
+        self.ordered = ordered
+        self.ofmt = ofmt
+        self.ofs = ofs
+        self.flatsep = flatsep
+        self.headerless_out = headerless_out
+        self.quoted_dkvp = quoted_dkvp
+        self.ofmt_num = ofmt_num
+        self.olite = olite
+        self.stderr = stderr
+        self.last_verb = last_verb
+        self.no_auto_unflatten = no_auto_unflatten
+        # effective float output format for a renderer (--ofmt, else
+        # the harness/environment MLR_OFMT default)
+        self.float_ofmt = float_ofmt
+        # presentation-only writer switches (--barred, --right-align-numeric)
+        self.render_opts = render_opts or {}
+
+
+def execute(spark, cmd, to_df=None, env: dict | None = None) -> ExecResult:
+    """Public CLI seam: run one mlr-style command line (a string, or a
+    pre-split argv list; the leading ``mlr`` is optional) over its input
+    files and return the resulting record stream plus render context.
+    Raises Unsupported for anything outside the interpreter's surface.
+    MLR_OFMT in `env` sets the float output format, as in the
+    reference."""
+    if to_df is None:
+        to_df = globals()["to_df"]
+    env = env or {}
+    return _exec_argv(spark, cmd, to_df, env, default_ofmt=env.get("MLR_OFMT"))
+
+
 def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     """Execute one golden case; returns (got_records, exp_records).
     Raises Unsupported for anything outside the interpreter's surface."""
-    run_case.__globals__["_TO_DF"] = to_df
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
     if "should-fail" in os.listdir(case_dir) and not allow_should_fail:
@@ -3661,7 +3731,6 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
                     env_overrides[k] = v
         if any(k.startswith("MLR") for k in env_overrides):
             raise Unsupported("mlrrc/shell env")
-    _TLS.env_overrides = env_overrides
     experr = os.path.join(case_dir, "experr")
     expout_path = os.path.join(case_dir, "expout")
     expect_err_text = None
@@ -3682,10 +3751,41 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         if not ({"put", "filter"} & cmd_tokens):
             raise Unsupported("expected-error case")
     cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
-    argv = shlex.split(cmd)
-    if argv[0] != "mlr":
+    if shlex.split(cmd)[:1] != ["mlr"]:
         raise Unsupported("not mlr")
-    argv = argv[1:]
+    # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
+    # (regtester.go:161); an explicit --ofmt overrides it
+    res = _exec_argv(spark, cmd, to_df, env_overrides, default_ofmt="%.8f")
+    return _compare_result(res, case_dir, expect_err_text)
+
+
+def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+                ofmt_num, olite, no_auto_unflatten, chains,
+                ordered=True, text=None) -> ExecResult:
+    float_ofmt = getattr(_TLS, "ofmt_go", None) or None
+    render_opts = dict(getattr(_TLS, "render_opts", {}) or {})
+    return ExecResult(
+        records=records, text=text, ordered=ordered, ofmt=ofmt, ofs=ofs,
+        flatsep=flatsep, headerless_out=headerless_out,
+        quoted_dkvp=quoted_dkvp, ofmt_num=ofmt_num, olite=olite,
+        stderr=list(getattr(_TLS, "dsl_stderr", [])),
+        last_verb=(chains[-1][0] if chains and chains[-1] else ""),
+        no_auto_unflatten=no_auto_unflatten,
+        float_ofmt=float_ofmt,
+        render_opts=render_opts,
+    )
+
+
+def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
+               default_ofmt: str | None = None) -> ExecResult:
+    run_case.__globals__["_TO_DF"] = to_df
+    _TLS.env_overrides = env_overrides
+    _TLS.render_opts = {}
+    argv = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
+    if argv and argv[0] == "mlr":
+        argv = argv[1:]
+    if not argv:
+        raise Unsupported("empty command")
 
     ifmt, ofmt = "dkvp", "dkvp"
     files: list[str] = []
@@ -3752,11 +3852,14 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             ifs = ofs = _SEP_NAMES.get(argv[i + 1], argv[i + 1])
             i += 2
         elif a in ("--jvstack", "--no-jvstack", "--jlistwrap", "--no-jlistwrap"):
+            if a == "--no-jvstack":
+                _TLS.render_opts["no_jvstack"] = True
             i += 1  # JSON output layout only; json.loads doesn't care
         elif a == "--jflatsep":
             flatsep = argv[i + 1]
             i += 2
         elif a == "--barred":
+            _TLS.render_opts["barred"] = True
             i += 1  # output decoration only; parse_out strips it
         elif a == "--flatsep" or a == "--oflatsep" or a == "--iflatsep":
             flatsep = argv[i + 1]
@@ -3809,11 +3912,13 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
                 argv[i + 1], argv[i + 1])
             i += 2
         elif a in ("--right-align-numeric", "--right"):
+            _TLS.render_opts["right_all" if a == "--right" else "right_numeric"] = True
             i += 1  # pprint alignment only; value-level no-op
         elif a == "-S":
             # global -S: all field values import as STRINGS (no type
             # inference; dsl-int-function suite)
             str_only = True
+            _TLS.render_opts["str_only"] = True
             i += 1
         elif a in ("--no-dedupe-field-names",):
             dedupe_names = False
@@ -3976,9 +4081,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     _TLS.df_pristine = False
     _TLS.orig_records = []
     _TLS.orig_json = []
-    # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
-    # (regtester.go:161); an explicit --ofmt overrides it
-    _TLS.ofmt_go = ofmt_num or "%.8f"
+    _TLS.ofmt_go = ofmt_num if ofmt_num is not None else default_ofmt
     _TLS.go_seed = go_seed
     _TLS.no_auto_unflatten = no_auto_unflatten
     _TLS.dsl_preloads = dsl_preloads
@@ -4004,9 +4107,9 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         seq = range(start, stop + (1 if step > 0 else -1), step)
         recs = [{gen_field: str(v)} for v in seq]
         if not recs:
-            with open(os.path.join(case_dir, "expout"), "rb") as f:
-                exp_text = f.read().decode("utf-8", "replace")
-            return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+            return _ctx_result(
+                [], ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+                ofmt_num, olite, no_auto_unflatten, chains)
         spark_df = to_df(spark, recs, infer=True)
         _TLS.orig_records = recs
         _TLS.df_pristine = True
@@ -4051,9 +4154,9 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
                     _TLS.orig_records = []
                     _TLS.df_pristine = True
                 else:
-                    with open(os.path.join(case_dir, "expout"), "rb") as f:
-                        exp_text = f.read().decode("utf-8", "replace")
-                    return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+                    return _ctx_result(
+                        [], ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+                        ofmt_num, olite, no_auto_unflatten, chains)
         else:
             # DSL programs distinguish absent from void: keep "" values
             spark_df = to_df(
@@ -4082,9 +4185,9 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         )
     ):
         # `mlr -n <verbs>`: nothing flows, nothing comes out
-        with open(os.path.join(case_dir, "expout"), "rb") as f:
-            exp_text = f.read().decode("utf-8", "replace")
-        return [], parse_out(exp_text, ofmt, flatsep=flatsep), True
+        return _ctx_result(
+            [], ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+            ofmt_num, olite, no_auto_unflatten, chains)
 
     ordered_ok = True
     got_override = None
@@ -4108,6 +4211,16 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             continue
         if verb not in VERBS:
             raise Unsupported(f"verb {verb}")
+        if (
+            verb == "cat"
+            and not vargv
+            and getattr(_TLS, "df_pristine", False)
+            and getattr(_TLS, "orig_records", None)
+        ):
+            # identity verb over an untouched stream: keep the stream
+            # PRISTINE so the renderer can use the original records,
+            # preserving per-record key order (het inputs) byte-exactly
+            continue
         if spark_df is None:
             if verb in ("put", "filter"):
                 # `mlr -n put/filter`: begin/end-only stream
@@ -4123,25 +4236,25 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             got_override = rr.records
             break
         except _TextResult as tr:
-            # print/dump-only output: compare at raw-text level. The
-            # reference goldens carry floats at 8-decimal print
-            # precision; normalize float tokens on both sides.
-            with open(os.path.join(case_dir, "expout"), "rb") as f:
-                exp_text = f.read().decode("utf-8", "replace")
-
-            g_t = _norm_float_text(tr.text.rstrip("\n"))
-            e_t = _norm_float_text(exp_text.rstrip("\n"))
-            return (
-                [{"__text__": g_t}] if g_t else [],
-                [{"__text__": e_t}] if e_t else [],
-                True,
-            )
+            # print/dump-only output: raw-text channel
+            return _ctx_result(
+                None, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+                ofmt_num, olite, no_auto_unflatten, chains, text=tr.text)
 
     if got_override is not None:
         # DSL-last fast path: the interpreter's records are final
         got = [
             {k: v for k, v in r.items() if v is not None}
             for r in got_override
+        ]
+        ordered = ordered_ok
+    elif getattr(_TLS, "df_pristine", False) and getattr(_TLS, "orig_records", None):
+        # pristine pass-through (e.g. `--icsv --ojson cat`): the original
+        # records carry the per-record KEY ORDER the union-schema
+        # DataFrame cannot — byte-exact het rendering
+        got = [
+            {k: v for k, v in r.items() if not k.startswith("__")}
+            for r in _TLS.orig_records
         ]
         ordered = ordered_ok
     else:
@@ -4162,10 +4275,36 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
             {k: _unfs(v) for k, v in r.asDict().items() if not k.startswith("__")}
             for r in spark_df.collect()
         ]
+    return _ctx_result(
+        got, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
+        ofmt_num, olite, no_auto_unflatten, chains, ordered=ordered)
+
+
+def _compare_result(res: ExecResult, case_dir: str, expect_err_text):
+    """Golden-case comparison tail: turn an ExecResult plus the case's
+    expout/experr into the (got, exp, ordered) triple the tests use."""
+    ofmt, ofs, flatsep = res.ofmt, res.ofs, res.flatsep
+    headerless_out, quoted_dkvp = res.headerless_out, res.quoted_dkvp
+    ofmt_num = res.ofmt_num
+    ordered = res.ordered
+    got = res.records
+    if res.text is not None:
+        # print/dump-only output: compare at raw-text level. The
+        # reference goldens carry floats at 8-decimal print precision;
+        # normalize float tokens on both sides.
+        with open(os.path.join(case_dir, "expout"), "rb") as f:
+            exp_text = f.read().decode("utf-8", "replace")
+        g_t = _norm_float_text(res.text.rstrip("\n"))
+        e_t = _norm_float_text(exp_text.rstrip("\n"))
+        return (
+            [{"__text__": g_t}] if g_t else [],
+            [{"__text__": e_t}] if e_t else [],
+            True,
+        )
     if expect_err_text is not None:
         # stderr-only case: the comparison target is experr, fed by the
         # interp's err channel (redirect > stderr / eprint / edump)
-        errs = getattr(_TLS, "dsl_stderr", [])
+        errs = res.stderr
         etxts = [p for k, p in errs if k == "txt"]
         erecs = [p for k, p in errs if k == "rec"]
         if etxts and erecs:
@@ -4206,7 +4345,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     # schema an all-null row is keyless only if the last verb can remove
     # keys from a record (cut); verbs like template keep the keys with
     # void values (pprint renders dashes) and the record survives.
-    if ofmt != "json" and chains[-1] and chains[-1][0] == "cut":
+    if ofmt != "json" and res.last_verb == "cut":
         got = [r for r in got if any(v is not None and v != "" for v in r.values())]
     with open(os.path.join(case_dir, "expout"), "rb") as f:
         raw = f.read()
@@ -4265,3 +4404,87 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
                     quoted_dkvp=(quoted_dkvp and ofmt == "dkvp"),
                     known_keys=known_keys)
     return got, exp, ordered
+
+
+# ---------------------------------------------------------------------------
+# record-stream -> DataFrame construction (Miller scan-style inference)
+# ---------------------------------------------------------------------------
+
+def _infer(v: str):
+    if v is None or v == "":
+        return None
+    # Miller 6 keeps leading-zero integers as strings (zip codes;
+    # --infer-octal is off by default) — int("0377") then scans octal
+    if isinstance(v, str) and len(v) > 1 and (
+        v[0] == "0" and v[1:].isdigit() or v[:2] in ("-0", "+0") and v[2:].isdigit()
+    ):
+        return v
+    try:
+        return int(v)
+    except ValueError:
+        try:
+            f = float(v)
+        except ValueError:
+            return v
+        # Miller's scan inference accepts decimal/exponent forms only:
+        # "inf"/"nan"/"infinity" stay strings
+        if f != f or f in (float("inf"), float("-inf")):
+            if not any(ch.isdigit() for ch in v):
+                return v
+        return f
+
+
+def _infer_keep_void(v: str):
+    """Like _infer but Miller VOID ("") survives as "" — required by the
+    DSL, which distinguishes absent (missing key) from empty value. A
+    key whose values mix numbers and "" types its column STRING; the
+    DSL's carrier semantics re-infer numerics per value."""
+    if v == "":
+        return ""
+    return _infer(v)
+
+
+def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = False):
+    """Union-of-keys schema (het records -> nulls), __ord = stream order.
+    infer=False keeps every value a raw string (Miller VOID "" stays "",
+    absent stays null) — needed by void-sensitive verbs (fill-empty).
+
+    Column types are resolved per-key like Miller's scan inference
+    (int unless any float appears; strings dominate): avoids Spark's
+    createDataFrame choking on int/float mixes or all-null columns."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    keys: list[str] = []
+    for r in records:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    conv = (_infer_keep_void if keep_void else _infer) if infer else (lambda v: v)
+    rows = [
+        {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
+        for i, r in enumerate(records)
+    ]
+    fields = []
+    for k in keys:
+        vals = [r[k] for r in rows if r[k] is not None]
+        if not vals or any(isinstance(v, str) for v in vals):
+            t = StringType()
+            for r in rows:
+                if r[k] is not None:
+                    r[k] = str(r[k])
+        elif any(isinstance(v, float) for v in vals):
+            t = DoubleType()
+            for r in rows:
+                if r[k] is not None:
+                    r[k] = float(r[k])
+        else:
+            t = LongType()
+        fields.append(StructField(k, t))
+    fields.append(StructField("__ord", LongType()))
+    return spark.createDataFrame(rows, schema=StructType(fields))

@@ -1,0 +1,445 @@
+"""Record-stream writers: render a list of key→value dicts the way the
+reference CLI prints each output format, so `python -m mlrsketch` is a
+drop-in for `mlr` on the supported surface.
+
+Format conventions verified against the reference writers:
+  dkvp   pkg/output/record_writer_dkvp.go   (k=v joined by OFS)
+  nidx   pkg/output/record_writer_nidx.go   (values joined by OFS)
+  csv    pkg/output/record_writer_csv.go    (header once; schema change is
+         an error unless the new keys extend the first header — the
+         "auto-unsparsify over" rule at record_writer_csv.go:96-110;
+         Go-csv minimal quoting, record_writer_csv_colorizer.go:183)
+  csvlite pkg/output/record_writer_csvlite.go (blank line + new header on
+         schema change, no quoting)
+  tsv    pkg/output/record_writer_tsv.go    (backslash escapes, no quoting)
+  json   pkg/output/record_writer_json.go   (list-wrapped, 2-space indent)
+  jsonl  single-line objects, ", " / ": " separators
+  xtab   pkg/output/record_writer_xtab.go   (keys padded per record to the
+         record's max key width; blank line between records)
+  pprint pkg/output/record_writer_pprint.go (per-schema-block column
+         alignment, "" rendered as "-", last column unpadded)
+  markdown pkg/output/record_writer_markdown.go
+
+Values arrive either as strings (the interpreter's carrier model) or as
+typed Python values (Spark collect); both render through the DSL
+interpreter's `format_value`, which honors MLR_OFMT when set. A key
+whose value is None is ABSENT (not printed); "" is Miller VOID (printed
+empty).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from mlrsketch.dsl import interp as MI
+
+
+_NO_SCAN_OFMT = False  # set by render() for -S (all-strings) streams
+
+
+def _fmt(v) -> str | None:
+    if v is None:
+        return None
+    fmt = None if _NO_SCAN_OFMT else MI.current_ofmt()
+    if fmt and isinstance(v, str):
+        # Under MLR_OFMT the reference formats every FLOAT-typed value
+        # at output, including pass-through ones (ints untouched); our
+        # string-carrier values re-scan like the reader's inference did.
+        from mlrsketch.mlrcli import _infer
+
+        iv = _infer(v)
+        if isinstance(iv, float):
+            try:
+                return fmt % iv
+            except (TypeError, ValueError):
+                pass
+    out = MI.format_value(v)
+    if out is None:
+        return None
+    return out if isinstance(out, str) else str(out)
+
+
+def _cells(rec: dict) -> list[tuple[str, str]]:
+    """(key, rendered value) pairs, absent keys dropped."""
+    out = []
+    for k, v in rec.items():
+        s = _fmt(v)
+        if s is not None:
+            out.append((k, s))
+    return out
+
+
+def _schema_blocks(records: list[dict]):
+    """Group CONSECUTIVE records sharing an identical key list — the
+    unit at which csvlite/pprint emit a fresh header."""
+    block: list[list[tuple[str, str]]] = []
+    keys: tuple[str, ...] | None = None
+    for rec in records:
+        cells = _cells(rec)
+        if not cells:
+            continue  # writers skip keyless records
+        ks = tuple(k for k, _ in cells)
+        if keys is not None and ks != keys:
+            yield keys, block
+            block = []
+        keys = ks
+        block.append(cells)
+    if keys is not None:
+        yield keys, block
+
+
+def _csv_quote(field: str, sep: str) -> str:
+    if field == "":
+        return field
+    if field == "\\." or any(c in field for c in (sep, '"', "\r", "\n")):
+        return '"' + field.replace('"', '""') + '"'
+    return field
+
+
+def w_dkvp(records, ofs=None, quoted=False, **_):
+    ofs = ofs or ","
+    lines = []
+    for rec in records:
+        cells = _cells(rec)
+        if quoted:
+            # dkvpx: CSV-style minimal quoting — only values containing
+            # the pair/field separators or a quote, inner quotes doubled
+            def q(v):
+                if any(c in v for c in (ofs, "=", '"')):
+                    return '"' + v.replace('"', '""') + '"'
+                return v
+
+            lines.append(ofs.join(f"{k}={q(v)}" for k, v in cells))
+        else:
+            lines.append(ofs.join(f"{k}={v}" for k, v in cells))
+    return "".join(ln + "\n" for ln in lines)
+
+
+def w_nidx(records, ofs=None, **_):
+    ofs = ofs or " "
+    return "".join(ofs.join(v for _, v in _cells(r)) + "\n" for r in records)
+
+
+def w_csv(records, ofs=None, headerless=False, lite=False, **_):
+    sep = ofs or ","
+    out: list[str] = []
+    if lite:
+        first = True
+        for keys, block in _schema_blocks(records):
+            if not first:
+                out.append("\n")
+            first = False
+            if not headerless:
+                out.append(sep.join(keys) + "\n")
+            for cells in block:
+                out.append(sep.join(v for _, v in cells) + "\n")
+        return "".join(out)
+    # strict csv: one header; later records must extend the first keys
+    # (extra trailing values printed positionally, missing ones "")
+    first_keys: list[str] | None = None
+    for rec in records:
+        cells = _cells(rec)
+        if not cells:
+            continue
+        ks = [k for k, _ in cells]
+        if first_keys is None:
+            first_keys = ks
+            if not headerless:
+                out.append(sep.join(_csv_quote(k, sep) for k in ks) + "\n")
+        else:
+            if ks[: len(first_keys)] != first_keys[: len(ks)]:
+                raise ValueError(
+                    f"CSV schema change: first keys {first_keys}; current keys {ks}"
+                )
+        vals = [v for _, v in cells]
+        if len(vals) < len(first_keys):
+            vals += [""] * (len(first_keys) - len(vals))
+        out.append(sep.join(_csv_quote(v, sep) for v in vals) + "\n")
+    return "".join(out)
+
+
+_TSV_ESC = {"\\": "\\\\", "\n": "\\n", "\t": "\\t", "\r": "\\r"}
+
+
+def _tsv_escape(s: str) -> str:
+    if any(c in s for c in "\\\n\t\r"):
+        for raw, esc in _TSV_ESC.items():
+            s = s.replace(raw, esc)
+    return s
+
+
+def w_tsv(records, ofs=None, headerless=False, lite=False, **_):
+    sep = ofs or "\t"
+    out: list[str] = []
+    first = True
+    for keys, block in _schema_blocks(records):
+        if not first:
+            if not lite:
+                raise ValueError("TSV schema change")
+            out.append("\n")
+        first = False
+        if not headerless:
+            out.append(sep.join(_tsv_escape(k) for k in keys) + "\n")
+        for cells in block:
+            out.append(sep.join(_tsv_escape(v) for _, v in cells) + "\n")
+    return "".join(out)
+
+
+_JSON_NUM_RE = __import__("re").compile(r"-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?")
+
+
+def _json_scalar(v) -> str:
+    """One JSON value: numeric-typed (or numeric-scanning string) values
+    print bare, everything else as a JSON string — Miller prints from
+    the typed mlrval, and our string-carrier model re-scans like the
+    reader did (mlrval_new.go inference)."""
+    import json as _json
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        s = _fmt(v)
+        return s if s is not None else "null"
+    if isinstance(v, (dict, list)):
+        return MI.json_encode(v)
+    s = v if isinstance(v, str) else str(v)
+    from mlrsketch.mlrcli import _infer
+
+    iv = _infer(s)
+    if isinstance(iv, (int, float)) and not isinstance(iv, bool):
+        if _JSON_NUM_RE.fullmatch(s):
+            return _fmt(s)  # bare number; MLR_OFMT applies to float scans
+        # numeric but not a VALID JSON literal (004.56 / .56 / 4. / +4.56):
+        # print the parsed value (record_writer_json emits the mlrval's
+        # number, and the printrep would be invalid JSON)
+        out = MI.format_value(float(iv) if isinstance(iv, float) else iv)
+        return out if isinstance(out, str) else str(out)
+    # NOTE: "true"/"false" STRINGS stay quoted — Miller never infers
+    # booleans from data; bare booleans only arise typed from the DSL.
+    return _json.dumps(s, ensure_ascii=False)
+
+
+def _maybe_unflatten(rec: dict, flatsep: str, auto: bool) -> dict:
+    if not auto or not any(flatsep in k for k in rec):
+        return {k: v for k, v in rec.items() if v is not None}
+    return MI.unflatten_record({k: v for k, v in rec.items() if v is not None}, flatsep)
+
+
+def _json_key(k: str) -> str:
+    import json as _json
+
+    return _json.dumps(str(k), ensure_ascii=False)
+
+
+def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False, **_):
+    if no_jvstack:
+        # --no-jvstack: single-line objects inside the list wrapper
+        bodies = []
+        for rec in records:
+            nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+            if not nested:
+                continue
+            parts = [
+                f"{_json_key(k)}: "
+                + (MI.json_encode(v) if isinstance(v, (dict, list)) else _json_scalar(v))
+                for k, v in nested.items()
+            ]
+            bodies.append("{" + ", ".join(parts) + "}")
+        return "[\n" + ",\n".join(bodies) + "\n]\n" if bodies else ""
+    bodies = []
+    for rec in records:
+        nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+        if not nested:
+            continue
+        fields = []
+        for k, v in nested.items():
+            if isinstance(v, (dict, list)):
+                enc = MI.json_encode(v, indent=2)
+                enc = "\n".join(
+                    ("  " + ln if i else ln) for i, ln in enumerate(enc.splitlines())
+                )
+                fields.append(f"  {_json_key(k)}: {enc}")
+            else:
+                fields.append(f"  {_json_key(k)}: {_json_scalar(v)}")
+        bodies.append("{\n" + ",\n".join(fields) + "\n}")
+    # no records -> no output at all (the reference writer emits the
+    # [ ] wrapper lazily, around the first record)
+    return "[\n" + ",\n".join(bodies) + "\n]\n" if bodies else ""
+
+
+def w_jsonl(records, flatsep=".", auto_unflatten=True, **_):
+    lines = []
+    for rec in records:
+        nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+        if not nested:
+            continue
+        parts = []
+        for k, v in nested.items():
+            enc = MI.json_encode(v) if isinstance(v, (dict, list)) else _json_scalar(v)
+            parts.append(f"{_json_key(k)}: {enc}")
+        lines.append("{" + ", ".join(parts) + "}")
+    return "".join(ln + "\n" for ln in lines)
+
+
+def w_xtab(records, **_):
+    chunks = []
+    for rec in records:
+        cells = _cells(rec)
+        if not cells:
+            continue
+        width = max((len(k) for k, _ in cells), default=1)
+        chunks.append("".join(f"{k.ljust(width)} {v}\n" for k, v in cells))
+    return "\n".join(chunks)
+
+
+def _is_numeric(v) -> bool:
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (int, float)):
+        return True
+    from mlrsketch.mlrcli import _infer
+
+    iv = _infer(v)
+    return isinstance(iv, (int, float)) and not isinstance(iv, bool)
+
+
+def w_pprint(records, ofs=None, headerless=False, barred=False,
+             right_numeric=False, right_all=False, **_):
+    """record_writer_pprint.go: per-schema-block column alignment. Cell
+    widths are max over the block's values AND the key (key width always
+    participates — the reference merges key widths unconditionally).
+    Non-barred rewrites "" to "-"; barred leaves it empty. With
+    --right-align-numeric, each numeric CELL right-aligns, and a HEADER
+    right-aligns only when every value in its column is numeric
+    (issue #380); --right right-aligns everything."""
+    out = []
+    first = True
+    for keys, block in _schema_blocks(records):
+        if not first:
+            out.append("\n")
+        first = False
+        raw = [[v for _, v in cells] for cells in block]
+        cell_right = [
+            [right_all or (right_numeric and _is_numeric(v)) for v in row]
+            for row in raw
+        ]
+        hdr_right = [
+            right_all
+            or (right_numeric and all(cr[i] for cr in cell_right))
+            for i in range(len(keys))
+        ]
+        disp = raw if barred else [
+            [v if v != "" else "-" for v in row] for row in raw
+        ]
+        widths = [
+            max([1, len(keys[i])] + [len(r[i]) for r in disp])
+            for i in range(len(keys))
+        ]
+
+        def cell(s, i, right):
+            return s.rjust(widths[i]) if right else s.ljust(widths[i])
+
+        sep = ofs or " "
+        if barred:
+            bar = "+-" + "-+-".join("-" * w for w in widths) + "-+\n"
+            if not headerless:
+                out.append(bar)
+                out.append(
+                    "| " + " | ".join(
+                        cell(k, i, hdr_right[i]) for i, k in enumerate(keys)
+                    ) + " |\n"
+                )
+            out.append(bar)
+            for r, row in enumerate(disp):
+                out.append(
+                    "| " + " | ".join(
+                        cell(v, i, cell_right[r][i]) for i, v in enumerate(row)
+                    ) + " |\n"
+                )
+            out.append(bar)
+            continue
+        if not headerless:
+            hcells = []
+            for i, k in enumerate(keys):
+                last = i == len(keys) - 1
+                if hdr_right[i]:
+                    hcells.append(cell(k, i, True))
+                else:
+                    hcells.append(k if last else cell(k, i, False))
+            out.append(sep.join(hcells) + "\n")
+        for r, row in enumerate(disp):
+            dcells = []
+            for i, v in enumerate(row):
+                last = i == len(row) - 1
+                if cell_right[r][i]:
+                    dcells.append(cell(v, i, True))
+                else:
+                    dcells.append(v if last else cell(v, i, False))
+            out.append(sep.join(dcells) + "\n")
+    return "".join(out)
+
+
+def w_markdown(records, right_numeric=False, right_all=False, **_):
+    out = []
+    last_keys = None
+    for keys, block in _schema_blocks(records):
+        if keys != last_keys:
+            out.append("| " + " | ".join(k.replace("|", "\\|") for k in keys) + " |\n")
+            # --right-align-numeric: the marker is chosen from the FIRST
+            # record's cells (record_writer_markdown.go:84-89)
+            seps = []
+            for i in range(len(keys)):
+                right = right_all or (
+                    right_numeric and _is_numeric(block[0][i][1])
+                )
+                seps.append("---:" if right else "---")
+            out.append("| " + " | ".join(seps) + " |\n")
+            last_keys = keys
+        for cells in block:
+            out.append(
+                "| " + " | ".join(v.replace("|", "\\|") for _, v in cells) + " |\n"
+            )
+    return "".join(out)
+
+
+_WRITERS = {
+    "dkvp": w_dkvp,
+    "nidx": w_nidx,
+    "csv": w_csv,
+    "tsv": w_tsv,
+    "json": w_json,
+    "jsonl": w_jsonl,
+    "xtab": w_xtab,
+    "pprint": w_pprint,
+    "markdown": w_markdown,
+}
+
+
+def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
+           flatsep: str = ".", headerless: bool = False,
+           quoted_dkvp: bool = False, lite: bool = False,
+           auto_unflatten: bool = True, float_ofmt: str | None = None,
+           barred: bool = False, right_numeric: bool = False,
+           right_all: bool = False, no_jvstack: bool = False,
+           str_only: bool = False) -> str:
+    """Render a record stream as `ofmt` text (see module docstring).
+    `float_ofmt` is MLR_OFMT / --ofmt: a Go-style %-format applied to
+    float-typed values (not to byte-preserved input strings)."""
+    w = _WRITERS.get(ofmt)
+    if w is None:
+        raise ValueError(f"unsupported output format: {ofmt}")
+    prev = MI.current_ofmt()
+    MI.set_ofmt(float_ofmt)
+    global _NO_SCAN_OFMT
+    prev_scan = _NO_SCAN_OFMT
+    _NO_SCAN_OFMT = str_only
+    try:
+        return w(
+            list(records), ofs=ofs, flatsep=flatsep, headerless=headerless,
+            quoted=quoted_dkvp, lite=lite, auto_unflatten=auto_unflatten,
+            barred=barred, right_numeric=right_numeric, right_all=right_all,
+            no_jvstack=no_jvstack,
+        )
+    finally:
+        MI.set_ofmt(prev)
+        _NO_SCAN_OFMT = prev_scan

@@ -16,7 +16,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 from pyspark.sql import SparkSession
 
-from golden_runner import Unsupported, run_case  # noqa: E402
+from mlrsketch.mlrcli import Unsupported, run_case  # noqa: E402
 from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 REF = "/root/reference/test/cases"

@@ -10,7 +10,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 from pyspark.sql import SparkSession
 
-from golden_runner import Unsupported, run_case
+from mlrsketch.mlrcli import Unsupported, run_case
 from test_golden_reference import assert_matches, to_df
 
 spark = (

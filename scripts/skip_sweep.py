@@ -14,7 +14,7 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
-from golden_runner import Unsupported, run_case  # noqa: E402
+from mlrsketch.mlrcli import Unsupported, run_case  # noqa: E402
 from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 from mlrsketch.session import get_spark  # noqa: E402

@@ -14,7 +14,7 @@ sys.path.insert(0, "/root/repo/tests")
 
 from pyspark.sql import SparkSession
 
-from golden_runner import Unsupported, run_case  # noqa: E402
+from mlrsketch.mlrcli import Unsupported, run_case  # noqa: E402
 from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 frag = sys.argv[1] if len(sys.argv) > 1 else "io-"

@@ -1,0 +1,65 @@
+"""CLI byte-exactness: the full `python -m mlrsketch` pipeline
+(mlrcli.execute + writers.render) must reproduce the reference's expout
+BYTES verbatim — a strictly stronger check than the record-level golden
+compare (it also pins header emission, schema-change blocks, column
+alignment, quoting, float formatting, and key order).
+
+Only order-preserving chains are byte-comparable (emission order is in
+the bytes); unsupported/unordered/stderr cases count as skips. A pass
+floor guards regressions. Known non-byte-exact classes (all still green
+under the record-level compare):
+  - per-record key order through non-pristine verbs (the union-schema
+    carrier keeps one key order per column set; e.g. tac over het csv)
+  - JSON null values (null == absent in the flat carrier)
+  - hex/binary int literals in data ("0x1000" scans int in the
+    reference's arithmetic, string here)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/scripts")
+
+from cli_bytes_sweep import try_case  # noqa: E402
+
+REF = "/root/reference/test/cases"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not present"
+)
+
+# measured by scripts/cli_bytes_sweep.py; raise as coverage widens
+MIN_PASS_IO = 355
+
+
+def _sweep(spark, pats):
+    cases = sorted(
+        d.rstrip("/")
+        for pat in pats
+        for d in glob.glob(f"{REF}/{pat}/*/")
+        if os.path.exists(d + "cmd")
+    )
+    n_pass, fails = 0, []
+    for c in cases:
+        try:
+            status, detail = try_case(spark, c)
+        except Exception as e:  # noqa: BLE001
+            status, detail = "fail", f"RUNTIME {type(e).__name__}: {e}"
+        if status == "pass":
+            n_pass += 1
+        elif status == "fail":
+            fails.append((c.replace(REF + "/", ""), detail))
+    return n_pass, fails
+
+
+def test_cli_bytes_io(spark):
+    n_pass, fails = _sweep(spark, ["io-*"])
+    assert n_pass >= MIN_PASS_IO, (
+        f"only {n_pass} io cases byte-exact (floor {MIN_PASS_IO}); "
+        f"first fails: {fails[:5]}"
+    )

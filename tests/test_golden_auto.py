@@ -1,5 +1,5 @@
 """Auto-replay of the reference's golden corpus through the mini
-mlr-CLI interpreter (tests/golden_runner.py).
+mlr-CLI interpreter (mlrsketch/mlrcli.py).
 
 Every verb-*/NNNN case whose command line the interpreter fully parses
 is executed against our verbs and compared to the checked-in expout at
@@ -18,7 +18,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(__file__))
 
-from golden_runner import Unsupported, run_case  # noqa: E402
+from mlrsketch.mlrcli import Unsupported, run_case  # noqa: E402
 from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 REF = "/root/reference/test/cases"

@@ -18,7 +18,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(__file__))
 
-from golden_runner import Unsupported, run_case  # noqa: E402
+from mlrsketch.mlrcli import Unsupported, run_case  # noqa: E402
 from test_golden_reference import assert_matches, to_df  # noqa: E402
 
 REF = "/root/reference/test/cases"

@@ -112,84 +112,7 @@ def parse_csv_out(case: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def _infer(v: str):
-    if v is None or v == "":
-        return None
-    # Miller 6 keeps leading-zero integers as strings (zip codes;
-    # --infer-octal is off by default) — int("0377") then scans octal
-    if isinstance(v, str) and len(v) > 1 and (
-        v[0] == "0" and v[1:].isdigit() or v[:2] in ("-0", "+0") and v[2:].isdigit()
-    ):
-        return v
-    try:
-        return int(v)
-    except ValueError:
-        try:
-            f = float(v)
-        except ValueError:
-            return v
-        # Miller's scan inference accepts decimal/exponent forms only:
-        # "inf"/"nan"/"infinity" stay strings
-        if f != f or f in (float("inf"), float("-inf")):
-            if not any(ch.isdigit() for ch in v):
-                return v
-        return f
-
-
-def _infer_keep_void(v: str):
-    """Like _infer but Miller VOID ("") survives as "" — required by the
-    DSL, which distinguishes absent (missing key) from empty value. A
-    key whose values mix numbers and "" types its column STRING; the
-    DSL's carrier semantics re-infer numerics per value."""
-    if v == "":
-        return ""
-    return _infer(v)
-
-
-def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = False):
-    """Union-of-keys schema (het records -> nulls), __ord = stream order.
-    infer=False keeps every value a raw string (Miller VOID "" stays "",
-    absent stays null) — needed by void-sensitive verbs (fill-empty).
-
-    Column types are resolved per-key like Miller's scan inference
-    (int unless any float appears; strings dominate): avoids Spark's
-    createDataFrame choking on int/float mixes or all-null columns."""
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
-
-    keys: list[str] = []
-    for r in records:
-        for k in r:
-            if k not in keys:
-                keys.append(k)
-    conv = (_infer_keep_void if keep_void else _infer) if infer else (lambda v: v)
-    rows = [
-        {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
-        for i, r in enumerate(records)
-    ]
-    fields = []
-    for k in keys:
-        vals = [r[k] for r in rows if r[k] is not None]
-        if not vals or any(isinstance(v, str) for v in vals):
-            t = StringType()
-            for r in rows:
-                if r[k] is not None:
-                    r[k] = str(r[k])
-        elif any(isinstance(v, float) for v in vals):
-            t = DoubleType()
-            for r in rows:
-                if r[k] is not None:
-                    r[k] = float(r[k])
-        else:
-            t = LongType()
-        fields.append(StructField(k, t))
-    fields.append(StructField("__ord", LongType()))
-    return spark.createDataFrame(rows, schema=StructType(fields))
+from mlrsketch.mlrcli import _infer, _infer_keep_void, to_df  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
