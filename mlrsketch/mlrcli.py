@@ -841,7 +841,7 @@ def v_cut(df, argv):
     fl, _ = _flags(argv, {"-f": 1, "-x": 0, "-o": 0})
     fields = [f for f in _csl(fl["-f"]) if f in df.columns or fl.get("-x")]
     if fl.get("-x"):
-        return ev.cut(df.drop("__ord"), _csl(fl["-f"]), complement=True)
+        return ev.cut(df, _csl(fl["-f"]), complement=True)
     keep = [f for f in df.columns if f in _csl(fl["-f"])] if not fl.get("-o") else [
         f for f in _csl(fl["-f"]) if f in df.columns
     ]
@@ -875,6 +875,16 @@ def v_sort(df, argv):
     return out.withColumn("__ord", F.monotonically_increasing_id())
 
 
+def _group_ord(df, out, by):
+    """Attach Miller's emission order to a grouped aggregate: groups
+    stream out in FIRST-SEEN order (the reference's ordered maps), i.e.
+    min(__ord) per group; ungrouped aggregates emit one record."""
+    if not by:
+        return out.withColumn("__ord", F.lit(0))
+    o = df.groupBy(*by).agg(F.min("__ord").alias("__ord"))
+    return out.join(o, list(by), "left")
+
+
 def v_uniq(df, argv):
     fl, _ = _flags(argv, {"-g": 1, "-f": 1, "-c": 0, "-n": 0, "-a": 0, "-o": 1, "-x": 1})
     by = _csl(fl.get("-g") or fl.get("-f") or "")
@@ -882,12 +892,15 @@ def v_uniq(df, argv):
         # use each record's other fields (uniq.go:66-70): het records
         # keep their nulls in the grouping tuple
         excl = set(_csl(fl["-x"]))
-        by = [c for c in df.columns if c != "__ord" and c not in excl]
+        by = [c for c in df.columns if not c.startswith("__") and c not in excl]
     if fl.get("-a") or "-x" in fl:
         # whole-record (or other-fields) dedupe, first-occurrence order
         # (uniq.go:391-425); with -c the count is PREPENDED, with -n
-        # only the distinct count
-        cols = by if "-x" in fl else [c for c in df.columns if c != "__ord"]
+        # only the distinct count. The dedupe key is record CONTENT —
+        # drop the per-record key-order carrier before grouping.
+        if "__keys" in df.columns:
+            df = df.drop("__keys")
+        cols = by if "-x" in fl else [c for c in df.columns if not c.startswith("__")]
         if fl.get("-n"):
             out = ev.uniq_distinct_count(df, cols)
         else:
@@ -909,7 +922,10 @@ def v_uniq(df, argv):
         d = d.filter(F.col(b).isNotNull())
     if fl.get("-n"):
         return ev.uniq_distinct_count(d, by)
-    out = ev.uniq(d, by, show_counts=bool(fl.get("-c")))
+    agg = d.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("count"), F.min("__ord").alias("__ord")
+    )
+    out = agg if fl.get("-c") else agg.drop("count")
     if fl.get("-c") and "-o" in fl:
         out = out.withColumnRenamed("count", fl["-o"])
     return out
@@ -922,7 +938,7 @@ def v_count(df, argv):
         # number of distinct group-key values (count.go: -n)
         out = ev.uniq_distinct_count(_drop_missing_keys(df, by), by) if by else df.agg(F.lit(1).alias("count"))
     else:
-        out = ev.count_records(df, by=by)
+        out = _group_ord(df, ev.count_records(df, by=by), by)
     if "-o" in fl:
         out = out.withColumnRenamed("count", fl["-o"])
     return out
@@ -936,6 +952,8 @@ def v_count_distinct(df, argv):
     if fl.get("-n"):
         return ev.count_distinct_n(df, fields)  # -o is ignored with -n
     out = ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
+    if not fl.get("-u"):
+        out = _group_ord(df, out, fields)
     if "-o" in fl and not fl.get("-u"):
         out = out.withColumnRenamed("count", fl["-o"])
     return out
@@ -1034,7 +1052,7 @@ def v_stats1(df, argv):
     fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-i": 0, "-w": 1,
                           "--fr": 1, "--fx": 1, "--gr": 1, "--gx": 1, "-F": 0, "-s": 0})
     accs = _csl(fl["-a"])
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     if "--fr" in fl or "--fx" in fl:
         key = "--fr" if "--fr" in fl else "--fx"
         pat = _regexes([fl[key]])[0]
@@ -1092,8 +1110,29 @@ def v_stats1(df, argv):
                 extras[f"{f_}_mad"] = ev.mad(df, f_, by=by)
     for name, mdf in extras.items():
         out = mdf if out is None else (out.join(mdf, by) if by else out.crossJoin(mdf))
-    # restore Miller's column order f x acc
-    cols = by + [f"{f_}_{a}" for f_ in values for a in accs]
+    # int printrep: when every input value of a field scans INT, the
+    # int-preserving accumulators stay int-typed in the reference
+    # (sum/min/max and value PICKS; not mean/var/fences)
+    interp = bool(fl.get("-i"))
+    int_accs = {"sum", "min", "max", "mode", "antimode", "distinct_count",
+                "null_count", "minlen", "maxlen", "first", "last"}
+    for f_ in values:
+        sc = F.col(f_).cast("string")
+        nn = df.filter(sc.isNotNull() & (sc != ""))
+        if nn.count() == 0 or nn.filter(~sc.rlike("^-?[0-9]+$")).count() > 0:
+            continue
+        for a in accs:
+            c = f"{f_}_{a}"
+            picks = not interp and (
+                a == "median" or a == "iqr"
+                or (a.startswith("p") and a[1:].replace(".", "").isdigit())
+            )
+            if c in out.columns and (a in int_accs or picks):
+                out = out.withColumn(c, F.col(c).cast("long"))
+    # restore Miller's column order f x acc; groups emit in first-seen
+    # stream order (the reference accumulates into ordered maps)
+    out = _group_ord(df, out, by)
+    cols = by + [f"{f_}_{a}" for f_ in values for a in accs] + ["__ord"]
     return out.select(*[c for c in cols if c in out.columns])
 
 
@@ -1145,6 +1184,20 @@ def v_top(df, argv):
         if "-o" in fl:
             t = t.withColumnRenamed(f"{f_}_top", fl["-o"])
         out = t if out is None else out.join(t, [*by, "top_idx"])
+    if by:
+        mins = d.groupBy(*by).agg(F.min("__ord").alias("__m"))
+        from pyspark.sql import Window as _W
+
+        out = (
+            out.join(mins, by, "left")
+            .withColumn(
+                "__ord",
+                F.row_number().over(_W.orderBy(F.col("__m").asc(), F.col("top_idx").asc())),
+            )
+            .drop("__m")
+        )
+    else:
+        out = out.withColumn("__ord", F.col("top_idx").cast("long"))
     return out
 
 
@@ -1166,7 +1219,7 @@ def v_flatten(df, argv):
     sep, canon = fl.get("-s"), _flatsep()
     if sep and sep != canon:
         return df.withColumnsRenamed(
-            {c: c.replace(canon, sep) for c in df.columns if canon in c and c != "__ord"}
+            {c: c.replace(canon, sep) for c in df.columns if canon in c and not c.startswith("__")}
         )
     return df
 
@@ -1179,7 +1232,7 @@ def v_unflatten(df, argv):
     sep, canon = fl.get("-s"), _flatsep()
     if sep and sep != canon:
         return df.withColumnsRenamed(
-            {c: c.replace(sep, canon) for c in df.columns if sep in c and c != "__ord"}
+            {c: c.replace(sep, canon) for c in df.columns if sep in c and not c.startswith("__")}
         )
     return df
 
@@ -1197,7 +1250,7 @@ def v_json_parse(df, argv):
     for r in rows:
         rec = {}
         for k, v in r.asDict().items():
-            if k == "__ord":
+            if k.startswith("__"):
                 continue
             if (fields is None or k in fields) and isinstance(v, str):
                 try:
@@ -1271,7 +1324,7 @@ def v_json_stringify(df, argv):
     rows = df.orderBy("__ord").collect()
     recs = []
     for r in rows:
-        d = {k: v for k, v in r.asDict().items() if k != "__ord" and v is not None}
+        d = {k: v for k, v in r.asDict().items() if not k.startswith("__") and v is not None}
         tops: dict[str, dict] = {}
         for k in d:
             tops.setdefault(k.split(".", 1)[0], {})[k] = str(d[k])
@@ -1312,7 +1365,7 @@ def v_describe(df, argv):
     fl, _ = _flags(argv, {"-n": 1, "--max-values": 1})
     maxv = int(fl.get("-n", fl.get("--max-values", 20)))
     rows = df.orderBy("__ord").collect()
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
 
     def fmt(v):
         if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
@@ -1394,7 +1447,7 @@ def v_summary(df, argv):
     import math
 
     rows = df.orderBy("__ord").collect()
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     dtypes = dict(df.dtypes)
     tmap = {"bigint": "int", "int": "int", "double": "float", "float": "float"}
 
@@ -1518,8 +1571,15 @@ def v_rank(df, argv):
 
 
 def v_gap(df, argv):
-    _flags(argv, {"-n": 1, "-g": 1})
-    return df  # presentation-only: blank lines are invisible to the record compare
+    fl, _ = _flags(argv, {"-n": 1, "-g": 1})
+    # presentation-only: invisible to the record compare, but the text
+    # writers honor it (blank line / batch flush every n records or on
+    # group change — gap.go:157,178)
+    if "-g" in fl:
+        _TLS.render_opts["gap_keys"] = _csl(fl["-g"])
+    elif "-n" in fl:
+        _TLS.render_opts["gap_n"] = int(fl["-n"])
+    return df
 
 
 def v_tee(df, argv):
@@ -1566,7 +1626,7 @@ def v_unspace(df, argv):
             {
                 c: F.regexp_replace(F.col(c), " ", fill)
                 for c, t in out.dtypes
-                if t == "string" and c != "__ord"
+                if t == "string" and not c.startswith("__")
             }
         )
     return out
@@ -1577,7 +1637,7 @@ def v_altkv(df, argv):
     Keys come from DATA, so the output schema is discovered by a first
     pass over the (test-scale) pair sets, then built as one projection."""
     _flags(argv, {})
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     ks = [F.col(c).cast("string") for c in cols[0::2]]
     vs = [F.col(c).cast("string") for c in cols[1::2]]
     if len(ks) > len(vs):
@@ -1586,12 +1646,15 @@ def v_altkv(df, argv):
         ks[-1] = F.lit(str(len(ks)))
         vs.append(F.col(cols[-1]).cast("string"))
     pairs = df.select("__ord", F.map_from_arrays(F.array(*ks), F.array(*vs)).alias("__m"))
-    keys = [
-        r["k"]
-        for r in pairs.select(F.explode(F.map_keys("__m")).alias("k")).distinct().collect()
-    ]
+    keys: list[str] = []
+    for r in pairs.select("__ord", F.map_keys("__m").alias("k")).orderBy("__ord").collect():
+        for k in r["k"]:
+            if k not in keys:
+                keys.append(k)  # first-seen stream order (altkv.go)
     return pairs.select(
-        "__ord", *[F.col("__m").getItem(k).alias(k) for k in sorted(keys)]
+        "__ord",
+        F.map_keys("__m").alias("__keys"),
+        *[F.col("__m").getItem(k).alias(k) for k in keys],
     )
 
 
@@ -1605,12 +1668,12 @@ def v_sparsify(df, argv):
     is the filler (default "") — under the fixed schema, removal == null."""
     fl, _ = _flags(argv, {"-s": 1, "-f": 1})
     filler = fl.get("-s", "")
-    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if c != "__ord"]
+    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if not c.startswith("__")]
     return df.withColumns(
         {
             f_: F.when(F.col(f_).cast("string") == filler, None).otherwise(F.col(f_))
             for f_ in fields
-            if f_ in df.columns and f_ != "__ord"
+            if f_ in df.columns and not f_.startswith("__")
         }
     )
 
@@ -1635,7 +1698,7 @@ def v_format_values(df, argv):
     coerce_int = bool(fl.get("-n"))
     updates = {}
     for c, t in df.dtypes:
-        if c == "__ord":
+        if c.startswith("__"):
             continue
         if t in ("bigint", "int", "smallint", "tinyint"):
             col = F.col('`' + c + '`').cast("double" if coerce_int else "long")
@@ -1693,7 +1756,22 @@ def v_most_frequent(df, argv, descending=True):
         # most_frequent.go: records missing a -f field form no bucket;
         # a field no record has => empty output
         return df.limit(0)
-    out = ev.most_frequent(df, fields, n=int(fl.get("-n", 10)), descending=descending)
+    # the reference stable-sorts the ordered count map: ties keep
+    # FIRST-SEEN order (most_or_least_frequent.go SortStableFunc)
+    from pyspark.sql import Window as _W
+
+    counted = df.groupBy(*fields).agg(
+        F.count(F.lit(1)).alias("count"), F.min("__ord").alias("__m")
+    )
+    order = [
+        F.col("count").desc() if descending else F.col("count").asc(),
+        F.col("__m").asc(),
+    ]
+    out = (
+        counted.withColumn("__ord", F.row_number().over(_W.orderBy(*order)))
+        .filter(F.col("__ord") <= int(fl.get("-n", 10)))
+        .drop("__m")
+    )
     if fl.get("-b"):
         out = out.drop("count")
     elif "-o" in fl:
@@ -1715,9 +1793,9 @@ def v_fill_down(df, argv):
     if fl.get("--all"):
         if only_if_absent:
             return df  # --all -a: every iterated field is present => no-op
-        fields = [f_ for f_ in df.columns if f_ != "__ord"]
+        fields = [f_ for f_ in df.columns if not f_.startswith("__")]
         return ev.fill_down(df, fields, order_by=["__ord"], only_voids=True)
-    fields = [f_ for f_ in _csl(fl["-f"]) if f_ != "__ord" and f_ in df.columns]
+    fields = [f_ for f_ in _csl(fl["-f"]) if not f_.startswith("__") and f_ in df.columns]
     if not fields:
         return df  # fill-down on absent fields: records pass through
     return ev.fill_down(df, fields, order_by=["__ord"], only_if_absent=only_if_absent)
@@ -1748,7 +1826,7 @@ def v_grep(df, argv):
     if len(pos) != 1 or fl.get("-o"):
         raise Unsupported("grep form")
     pat = pos[0]
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     if fl.get("-a"):
         # values only: NIDX string = values joined by spaces (grep.go)
         ser = F.concat_ws(" ", *[F.col(c).cast("string") for c in cols])
@@ -1764,14 +1842,66 @@ def v_rename(df, argv):
         raise Unsupported("rename -r/-g")
     parts = _csl(pos[0])
     mapping = {parts[i]: parts[i + 1] for i in range(0, len(parts), 2) if parts[i] in df.columns}
+    if mapping and "__keys" in df.columns:
+        df = df.withColumn("__keys", _keys_rename_col(mapping)(F.col("__keys")))
     return ev.rename_fields(df, mapping)
 
 
 def v_label(df, argv):
     _, pos = _flags(argv, {})
     names = _csl(pos[0])
-    d = df.drop("__ord")
-    return ev.label(d, names[: len(d.columns)])
+    data_cols = [c for c in df.columns if not c.startswith("__")]
+    internals = [c for c in df.columns if c.startswith("__")]
+    mapping = dict(zip(data_cols, names[: len(data_cols)]))
+    if "__keys" in df.columns:
+        # label renames the first n keys POSITIONALLY in schema order;
+        # rewrite each record's key order through the same mapping
+        df = df.withColumn("__keys", _keys_rename_col(mapping)(F.col("__keys")))
+    # data cols first so the positional rename can't touch the internal
+    # order/key-order carriers riding at the tail
+    return ev.label(df.select(*data_cols, *internals), names[: len(data_cols)])
+
+
+def v_sort_within_records(df, argv):
+    """`mlr sort-within-records [-r]` (sort_within_records.go): sort each
+    record's keys lexically (-r: descending). Values untouched — only
+    the per-record key ORDER changes, carried in __keys."""
+    fl, _ = _flags(argv, {"-r": 0, "-f": 1, "-n": 0})
+    if "__keys" not in df.columns:
+        # no per-record order carrier: fall back to sorting the schema
+        data = sorted(
+            [c for c in df.columns if not c.startswith("__")],
+            reverse=bool(fl.get("-r")),
+        )
+        return df.select(*data, *[c for c in df.columns if c.startswith("__")])
+    arr = F.array_sort(F.col("__keys"))
+    if fl.get("-r"):
+        arr = F.reverse(arr)
+    return df.withColumn("__keys", arr)
+
+
+def _keys_rename_col(mapping: dict):
+    """Column fn: rewrite entries of __keys through a rename mapping."""
+    def one(k):
+        e = None
+        for old, new in mapping.items():
+            cond = k == F.lit(old)
+            e = F.when(cond, F.lit(new)) if e is None else e.when(cond, F.lit(new))
+        return e.otherwise(k) if e is not None else k
+    return lambda arr: F.transform(arr, one)
+
+
+def _keys_reorder(df, fields, to_end=False):
+    """Update per-record key order for `reorder`: listed fields move to
+    the front (or end with -e) in the given order; the rest keep their
+    record order."""
+    if "__keys" not in df.columns or not fields:
+        return df
+    arr = F.array(*[F.lit(x) for x in fields])
+    inter = F.array_intersect(arr, F.col("__keys"))
+    rest = F.array_except(F.col("__keys"), arr)
+    new = F.concat(rest, inter) if to_end else F.concat(inter, rest)
+    return df.withColumn("__keys", new)
 
 
 def v_reorder(df, argv):
@@ -1780,12 +1910,13 @@ def v_reorder(df, argv):
         # regex groups move to front (or end with -e), grouped by regex
         # order; within each group fields keep record order
         pats = _regexes(_csl(fl["-r"]))
-        cols = [c for c in df.columns if c != "__ord"]
+        cols = [c for c in df.columns if not c.startswith("__")]
         moved: list[str] = []
         for p in pats:
             moved += [c for c in cols if p.search(c) and c not in moved]
         if not moved:
             return df
+        df = _keys_reorder(df, moved, to_end=bool(fl.get("-e")))
         return ev.reorder(df, back=moved) if fl.get("-e") else ev.reorder(df, front=moved)
     fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
     if not fields:
@@ -1798,7 +1929,11 @@ def v_reorder(df, argv):
         idx = rest.index(anchor)
         pos = idx + 1 if "-a" in fl else idx
         ordered_cols = rest[:pos] + fields + rest[pos:]
+        if "__keys" in df.columns:
+            df = df.drop("__keys")  # anchored insert: schema order rules
+            ordered_cols = [c for c in ordered_cols if c != "__keys"]
         return df.select(*ordered_cols)
+    df = _keys_reorder(df, fields, to_end=bool(fl.get("-e")))
     return ev.reorder(df, back=fields) if fl.get("-e") else ev.reorder(df, front=fields)
 
 
@@ -1837,7 +1972,9 @@ def v_sec2gmtdate(df, argv):
 
 def v_repeat(df, argv):
     fl, _ = _flags(argv, {"-n": 1, "-f": 1})
-    d = df.drop("__ord")
+    # keep __ord: copies of a record are byte-identical, so tie order
+    # among them is immaterial while the stream stays ordered
+    d = df
     if "-f" in fl:
         fld = fl["-f"]
         if fld not in d.columns:
@@ -1848,7 +1985,24 @@ def v_repeat(df, argv):
 
 def v_count_similar(df, argv):
     fl, _ = _flags(argv, {"-g": 1, "-o": 1})
-    out = ev.count_similar(df, _csl(fl["-g"]))
+    by = _csl(fl["-g"])
+    out = ev.count_similar(df, by)
+    # count_similar.go BUFFERS each group and emits it whole when the
+    # stream ends: group-major order (first-seen group, stream order
+    # within the group)
+    if by and "__ord" in out.columns:
+        from pyspark.sql import Window as _W
+
+        mins = df.groupBy(*by).agg(F.min("__ord").alias("__m"))
+        out = (
+            out.join(mins, by, "left")
+            .withColumn(
+                "__ord2",
+                F.row_number().over(_W.orderBy(F.col("__m").asc(), F.col("__ord").asc())),
+            )
+            .drop("__m", "__ord")
+            .withColumnRenamed("__ord2", "__ord")
+        )
     if "-o" in fl:
         out = out.withColumnRenamed("count", fl["-o"])
     return out
@@ -1878,7 +2032,7 @@ def v_gsub(df, argv, first_only=False, literal=False):
     fields = df.columns if fl.get("-a") else _csl(fl["-f"])
     d = df
     for f_ in fields:
-        if f_ == "__ord" or f_ not in d.columns:
+        if f_.startswith("__") or f_ not in d.columns:
             continue
         if dict(d.dtypes).get(f_) != "string":
             continue
@@ -1896,7 +2050,7 @@ def v_case(df, argv):
     if mode is None:
         raise Unsupported("case mode")
     which = "keys" if fl.get("-k") else "values" if fl.get("-v") else "both"
-    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if c != "__ord"]
+    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if not c.startswith("__")]
     return ev.case_fields(df, fields, mode, which=which)
 
 
@@ -1965,6 +2119,12 @@ def v_join(spark, right, argv, to_df, ifmt):
         jsonin=(lfmt == "json"),
     )
     left = to_df(spark, lrecs, infer=(lfmt not in ("csv", "csvlite", "tsv"))) if lrecs else None
+    if left is not None and "__keys" in left.columns:
+        # both join sides carry the per-record key-order column; emission
+        # order/key order of joined records is not modeled anyway
+        left = left.drop("__keys")
+    if right is not None and "__keys" in right.columns:
+        right = right.drop("__keys")
     if lkeep is not None and left is not None:
         keep_cols = [c for c in left.columns if c in set(lkeep) | set(lk) or c == "__ord"]
         left = left.select(*keep_cols)
@@ -2148,6 +2308,45 @@ def v_step(df, argv):
             ours = f"{f_}_ewma_" + ("%g" % a).replace(".", "_")
             want = suffixes[ai] if suffixes else "%g" % a
             out = out.withColumnRenamed(ours, f"{f_}_ewma_{want}")
+    # shift-family columns: the reference seeds the first record with
+    # VOID "" (step.go shift acc), not absent — keep the key present so
+    # tabular writers don't see a schema change on record 2
+    seeded = []
+    for s in steppers:
+        base, _, kstr = s.partition("_")
+        if base in ("delta", "ratio"):
+            seed = "0" if base == "delta" else "1"
+            seeded.append((s, int(kstr) if kstr.isdigit() else 1, seed))
+    if seeded:
+        # the reference seeds delta with INT 0 and ratio with INT 1
+        # until a prev exists (step.go accumulators) — float 0.0 would
+        # print 0.00000000 under MLR_OFMT where the reference prints 0
+        from pyspark.sql import Window as _W
+
+        w = (_W.partitionBy(*by) if by else _W.partitionBy(F.lit(1))).orderBy("__ord")
+        rn = F.row_number().over(w)
+        for f_ in values:
+            for s, k, seed in seeded:
+                c = f"{f_}_{s}"
+                if c in out.columns:
+                    # null stays null (group-key passthrough rows)
+                    out = out.withColumn(
+                        c,
+                        F.when(F.col(c).isNull(), F.lit(None).cast("string"))
+                        .when(rn <= k, F.lit(seed))
+                        .otherwise(F.col(c).cast("string")),
+                    )
+    shift_names = {
+        shift_renames.get(s, s) for s in steppers
+        if s == "shift" or s.startswith(("shift_lag", "shift_lead"))
+    }
+    for f_ in values:
+        for s in shift_names:
+            c = f"{f_}_{s}"
+            if c in out.columns:
+                out = out.withColumn(
+                    c, F.coalesce(F.col(c).cast("string"), F.lit(""))
+                )
     return out
 
 
@@ -2312,7 +2511,7 @@ def v_merge_fields(df, argv):
         subs = _csl(fl["-c"])
         groups: dict[str, list[str]] = {}
         for c in df.columns:
-            if c == "__ord":
+            if c.startswith("__"):
                 continue
             for s in subs:
                 if s in c:
@@ -2336,9 +2535,17 @@ def v_merge_fields(df, argv):
             cnt = F.size(nn)
             nums = F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["n"])
             ssum = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
+            # all merged numerics scan as INTs -> int-typed sum/mean
+            # (mlrval arithmetic keeps int until a float appears)
+            all_int = F.forall(
+                F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["t"]),
+                lambda t: t.rlike("^-?[0-9]+$"),
+            )
 
             def sval(st):
-                return F.when(st["s"] == 1, st["t"]).otherwise(st["n"].cast("string"))
+                # the value's printrep: Miller emits picked values
+                # byte-identically to how they were read
+                return st["t"]
 
             def pick(p):
                 if interp:
@@ -2363,9 +2570,15 @@ def v_merge_fields(df, argv):
                 elif a == "max":
                     c_ = sval(F.get(srt, cnt - 1))
                 elif a == "sum":
-                    c_ = ssum.cast("string")
+                    c_ = F.when(
+                        all_int, F.round(ssum).cast("long").cast("string")
+                    ).otherwise(ssum.cast("string"))
                 elif a == "mean":
-                    c_ = (ssum / F.size(nums)).cast("string")
+                    ilong = F.round(ssum).cast("long")
+                    c_ = F.when(
+                        all_int & (ilong % F.size(nums) == 0),
+                        (ilong / F.size(nums)).cast("long").cast("string"),
+                    ).otherwise((ssum / F.size(nums)).cast("string"))
                 elif a == "count":
                     c_ = cnt.cast("string")
                 elif a == "median":
@@ -2381,10 +2594,31 @@ def v_merge_fields(df, argv):
         return out
     if "-r" in fl:
         pats = _regexes(_csl(fl["-r"]))
-        fields = [c for c in df.columns if c != "__ord" and any(p.search(c) for p in pats)]
+        fields = [c for c in df.columns if not c.startswith("__") and any(p.search(c) for p in pats)]
     else:
         fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
     out = ev.merge_fields(df, accs, fields, fl.get("-o", "out"), interpolated=interp)
+    # int printrep: all merged values scanning INT keep int-preserving
+    # accumulators int-typed (see v_stats1)
+    if fields:
+        all_int = True
+        for f_ in fields:
+            sc = F.col(f_).cast("string")
+            nn = df.filter(sc.isNotNull() & (sc != ""))
+            if nn.count() == 0 or nn.filter(~sc.rlike("^-?[0-9]+$")).count() > 0:
+                all_int = False
+                break
+        if all_int:
+            oname = fl.get("-o", "out")
+            int_accs = {"sum", "min", "max", "minlen", "maxlen", "first", "last"}
+            for a in accs:
+                c = f"{oname}_{a}"
+                picks = not interp and (
+                    a in ("median", "iqr")
+                    or (a.startswith("p") and a[1:].replace(".", "").isdigit())
+                )
+                if c in out.columns and (a in int_accs or picks):
+                    out = out.withColumn(c, F.col(c).cast("long"))
     if not fl.get("-k") and fields:
         out = out.drop(*fields)
     return out
@@ -2392,14 +2626,26 @@ def v_merge_fields(df, argv):
 
 def v_unsparsify(df, argv):
     fl, _ = _flags(argv, {"--fill-with": 1, "-f": 1})
+    fill = fl.get("--fill-with", "")
     if "-f" in fl:
-        # only the listed fields are filled-in; under the union schema
-        # (absent == void in the compare) this is a no-op projection
-        return df
-    fill = fl.get("--fill-with")
-    if fill is None:
-        return df  # union schema already holds all keys; absent==void in compare
-    cols = [c for c in df.columns if c != "__ord"]
+        # only the listed fields are filled-in (added at record end when
+        # absent); others keep their het key sets
+        out = df
+        for f_ in _csl(fl["-f"]):
+            if f_ in out.columns:
+                out = out.withColumn(
+                    f_, F.coalesce(F.col(f_).cast("string"), F.lit(fill))
+                )
+            else:
+                out = out.withColumn(f_, F.lit(fill))
+        return out
+    # every key of the stream present on every record, absent -> fill
+    # (unsparsify.go: VOID by default); all records take ONE key order
+    # (first-seen stream order = the union schema), so the per-record
+    # __keys order no longer applies
+    if "__keys" in df.columns:
+        df = df.drop("__keys")
+    cols = [c for c in df.columns if not c.startswith("__")]
     return df.withColumns(
         {c: F.coalesce(F.col(c).cast("string"), F.lit(fill)) for c in cols}
     )
@@ -2469,6 +2715,10 @@ def v_histogram(df, argv):
         out = h if out is None else out.join(h, ["bin_lo", "bin_hi"])
     if prefix:
         out = out.withColumnsRenamed({"bin_lo": f"{prefix}bin_lo", "bin_hi": f"{prefix}bin_hi"})
+    from pyspark.sql import Window as _W
+
+    lo_col = f"{prefix}bin_lo" if prefix else "bin_lo"
+    out = out.withColumn("__ord", F.row_number().over(_W.orderBy(F.col(lo_col).asc())))
     return out
 
 
@@ -2916,7 +3166,7 @@ def v_surv(df, argv):
 
 def v_utf8_to_latin1(df, argv):
     _flags(argv, {})
-    return ev.utf8_to_latin1(df, [c for c, t in df.dtypes if t == "string" and c != "__ord"])
+    return ev.utf8_to_latin1(df, [c for c, t in df.dtypes if t == "string" and not c.startswith("__")])
 
 
 def v_split(df, argv):
@@ -2943,7 +3193,7 @@ def v_split(df, argv):
 
 def v_skip_trivial(df, argv):
     _flags(argv, {})
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     cond = F.lit(False)
     for c in cols:
         cond = cond | (F.col(c).isNotNull() & (F.col(c).cast("string") != ""))
@@ -2973,7 +3223,7 @@ def v_cut_regex(df, argv):
     if not fl.get("-r"):
         return v_cut(df, argv)
     pats = _regexes(_csl(fl["-f"]))
-    cols = [c for c in df.columns if c != "__ord"]
+    cols = [c for c in df.columns if not c.startswith("__")]
     hit = [c for c in cols if any(p.search(c) for p in pats)]
     keep = [c for c in cols if (c in hit) != bool(fl.get("-x"))]
     return df.select(*keep) if keep else df.limit(0).select(*cols)
@@ -2989,7 +3239,7 @@ def v_rename_regex(df, argv):
         pat = _regexes([parts[i2]])[0]
         rep = parts[i2 + 1].replace("\\1", "\\g<1>").replace("\\2", "\\g<2>")
         for c in df.columns:
-            if c == "__ord" or c in mapping:
+            if c.startswith("__") or c in mapping:
                 continue
             if pat.search(c):
                 count = 0 if fl.get("-g") else 1
@@ -3001,6 +3251,8 @@ def v_rename_regex(df, argv):
     # REPLACES the value at the already-renamed key. Under the fixed
     # schema (column order == first-appearance key order) the surviving
     # value is the LAST present source — coalesce over reversed sources.
+    if mapping and "__keys" in df.columns:
+        df = df.withColumn("__keys", _keys_rename_col(mapping)(F.col("__keys")))
     targets: dict[str, list[str]] = {}
     for c in df.columns:
         if c in mapping:
@@ -3044,8 +3296,8 @@ def v_rename_regex(df, argv):
     sel = []
     emitted = set()
     for c in df.columns:
-        if c == "__ord":
-            sel.append(F.col("__ord"))
+        if c.startswith("__"):
+            sel.append(F.col(c))
         elif c in mapping:
             t = mapping[c]
             if t in emitted:
@@ -3067,10 +3319,10 @@ def v_having_fields_full(df, argv):
                           "--all-matching": 1, "--any-matching": 1, "--none-matching": 1})
     for key in ("--all-matching", "--any-matching", "--none-matching"):
         if fl.get(key):
-            return ev.having_fields(df, key[2:], pattern=fl[key], exclude=["__ord"])
+            return ev.having_fields(df, key[2:], pattern=fl[key], exclude=[c for c in df.columns if c.startswith("__")])
     for key in ("--which-are", "--any-defined", "--at-most", "--at-least", "--all-defined"):
         if fl.get(key):
-            return ev.having_fields(df, key[2:], fields=_csl(fl[key]), exclude=["__ord"])
+            return ev.having_fields(df, key[2:], fields=_csl(fl[key]), exclude=[c for c in df.columns if c.startswith("__")])
     return v_having_fields(df, argv)
 
 
@@ -3105,7 +3357,7 @@ def v_nest(df, argv):
     implode_af = (not explode) and across_fields and not pairs
     if "-r" in fl:
         pat = _regexes([fl["-r"]])[0]
-        matched = [c for c in df.columns if c != "__ord" and pat.search(c)]
+        matched = [c for c in df.columns if not c.startswith("__") and pat.search(c)]
     elif "-f" in fl:
         if fl["-f"] in df.columns or (
             implode_af and any(
@@ -3273,7 +3525,7 @@ def v_reshape(df, argv):
         return ev.reshape_long_to_wide(df.drop("__ord"), key, val, ids)
     if "-r" in fl:
         pats = _regexes(_csl(fl["-r"]))
-        measures = [c for c in df.columns if c != "__ord" and any(p.search(c) for p in pats)]
+        measures = [c for c in df.columns if not c.startswith("__") and any(p.search(c) for p in pats)]
     else:
         measures = [m for m in _csl(fl["-i"]) if m in df.columns]
     if not measures or "-o" not in fl:
@@ -3322,7 +3574,7 @@ def _go_rng():
     if seed is None:
         raise Unsupported("unseeded stochastic verb (nondeterministic)")
     if getattr(_TLS, "go_rng", None) is None:
-        from gorand import GoRand
+        from mlrsketch.gorand import GoRand
 
         _TLS.go_rng = GoRand(seed)
     return _TLS.go_rng
@@ -3340,9 +3592,14 @@ def _stream_rows(df):
 
 def _rebuild_stream(df, dicts):
     spark = df.sparkSession
-    cols = [c for c in df.columns if c != "__ord"]
-    recs = [[d.get(c) for c in cols] + [i] for i, d in enumerate(dicts)]
-    return spark.createDataFrame(recs, df.select(*cols, "__ord").schema)
+    cols = [c for c in df.columns if not c.startswith("__")]
+    keep_keys = "__keys" in df.columns
+    recs = [
+        [d.get(c) for c in cols] + [i] + ([d.get("__keys")] if keep_keys else [])
+        for i, d in enumerate(dicts)
+    ]
+    sel = [*cols, "__ord"] + (["__keys"] if keep_keys else [])
+    return spark.createDataFrame(recs, df.select(*sel).schema)
 
 
 def v_shuffle(df, argv):
@@ -3532,11 +3789,9 @@ VERBS = {
     "case": v_case, "having-fields": v_having_fields_full,
     "step": v_step, "stats2": v_stats2, "merge-fields": v_merge_fields,
     "unsparsify": v_unsparsify, "histogram": v_histogram,
-    # record-level compare ignores within-record key order
-    # sort-within-records reorders KEYS per record; the fixed schema
-    # carries one key order and the golden compare is key-sorted, so
-    # content passes through (flags -r/-f/-n affect only key order)
-    "sort-within-records": lambda df, a: (_flags(a, {"-r": 0, "-f": 1, "-n": 0}), df)[1],
+    # sort-within-records reorders KEYS per record: rewrite the
+    # per-record __keys order (renderer applies it); content unchanged
+    "sort-within-records": v_sort_within_records,
     "gap": v_gap,
     "skip-trivial-records": v_skip_trivial,
     "latin1-to-utf8": v_passthrough, "put": v_put, "filter": v_filter,
@@ -3571,10 +3826,17 @@ ORDER_PRESERVING = {
     "json-stringify", "describe", "summary", "seqgen", "group-by",
     "merge-fields", "format-values", "unspace", "remove-empty-columns",
     "latin1-to-utf8", "utf8-to-latin1", "surv", "nest", "split",
-    "shuffle", "bootstrap", "sample", "bootstrap-ci",
+    "shuffle", "bootstrap", "sample", "bootstrap-ci", "repeat",
+    "count-similar",
     # agg modes of these drop __ord (falling back to unordered); their
     # streaming modes (-s/-w/-a) keep it faithfully
     "stats1", "stats2", "uniq",
+    # grouped aggregates emit in FIRST-SEEN group order (min __ord per
+    # group — the reference streams ordered maps); most/least-frequent
+    # and top carry the reference's own emission ranks; histogram
+    # ascends bins
+    "count", "count-distinct", "most-frequent", "least-frequent", "top",
+    "histogram",
 }
 
 # Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`
@@ -3757,6 +4019,32 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
     # (regtester.go:161); an explicit --ofmt overrides it
     res = _exec_argv(spark, cmd, to_df, env_overrides, default_ofmt="%.8f")
     return _compare_result(res, case_dir, expect_err_text)
+
+
+def _order_record(rec: dict, rkeys) -> dict:
+    """Reapply a record's ORIGINAL key order (carried through the plan in
+    the internal __keys column) on top of the union-schema column order:
+    the contiguous run of original keys is emitted in its original
+    sequence at the position of its first member; keys added by verbs
+    keep their schema position (new columns append at the end; `cat -n`
+    prepends n as the first schema column)."""
+    if not rkeys:
+        return rec
+    members = [k for k in rkeys if k in rec]
+    if not members:
+        return rec
+    mset = set(members)
+    out: dict = {}
+    placed = False
+    for k in rec:
+        if k in mset:
+            if not placed:
+                for m in members:
+                    out[m] = rec[m]
+                placed = True
+        else:
+            out[k] = rec[k]
+    return out
 
 
 def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
@@ -4271,10 +4559,13 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         def _unfs(v):  # strip the fill-empty -S forced-string sentinel
             return v[1:] if isinstance(v, str) and v[:1] == "\x00" else v
 
-        got = [
-            {k: _unfs(v) for k, v in r.asDict().items() if not k.startswith("__")}
-            for r in spark_df.collect()
-        ]
+        got = []
+        for r in spark_df.collect():
+            d = r.asDict()
+            rec = {
+                k: _unfs(v) for k, v in d.items() if not k.startswith("__")
+            }
+            got.append(_order_record(rec, d.get("__keys")))
     return _ctx_result(
         got, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
         ofmt_num, olite, no_auto_unflatten, chains, ordered=ordered)
@@ -4453,6 +4744,7 @@ def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = Fals
     (int unless any float appears; strings dominate): avoids Spark's
     createDataFrame choking on int/float mixes or all-null columns."""
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
         LongType,
         StringType,
@@ -4467,7 +4759,8 @@ def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = Fals
                 keys.append(k)
     conv = (_infer_keep_void if keep_void else _infer) if infer else (lambda v: v)
     rows = [
-        {**{k: conv(r.get(k)) for k in keys}, "__ord": i}
+        {**{k: conv(r.get(k)) for k in keys}, "__ord": i,
+         "__keys": [k for k in r if not k.startswith("__")]}
         for i, r in enumerate(records)
     ]
     fields = []
@@ -4487,4 +4780,8 @@ def to_df(spark, records: list[dict], infer: bool = True, keep_void: bool = Fals
             t = LongType()
         fields.append(StructField(k, t))
     fields.append(StructField("__ord", LongType()))
+    # per-record key ORDER (het inputs interleave schemas): carried as an
+    # internal column so the text writers can reproduce each record's
+    # original key sequence byte-exactly (see _order_keys)
+    fields.append(StructField("__keys", ArrayType(StringType())))
     return spark.createDataFrame(rows, schema=StructType(fields))

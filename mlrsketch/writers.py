@@ -421,13 +421,40 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
            auto_unflatten: bool = True, float_ofmt: str | None = None,
            barred: bool = False, right_numeric: bool = False,
            right_all: bool = False, no_jvstack: bool = False,
-           str_only: bool = False) -> str:
+           str_only: bool = False, gap_n: int | None = None,
+           gap_keys: list | None = None) -> str:
     """Render a record stream as `ofmt` text (see module docstring).
     `float_ofmt` is MLR_OFMT / --ofmt: a Go-style %-format applied to
     float-typed values (not to byte-preserved input strings)."""
     w = _WRITERS.get(ofmt)
     if w is None:
         raise ValueError(f"unsupported output format: {ofmt}")
+    if (gap_n or gap_keys) and ofmt in ("pprint", "dkvp", "nidx", "xtab", "markdown"):
+        # `mlr gap`: blank line every n records / on group-key change;
+        # pprint flushes its batch (header repeats) — gap.go:157,178.
+        recs = list(records)
+        segs: list[list[dict]] = [[]]
+        prev_key = object()
+        for i, r in enumerate(recs):
+            if gap_keys is not None:
+                key = tuple(r.get(k) for k in gap_keys)
+                if segs[-1] and key != prev_key:
+                    segs.append([])
+                prev_key = key
+            elif gap_n and i > 0 and i % gap_n == 0:
+                segs.append([])
+            segs[-1].append(r)
+        return "\n".join(
+            render(
+                seg, ofmt, ofs=ofs, flatsep=flatsep, headerless=headerless,
+                quoted_dkvp=quoted_dkvp, lite=lite,
+                auto_unflatten=auto_unflatten, float_ofmt=float_ofmt,
+                barred=barred, right_numeric=right_numeric,
+                right_all=right_all, no_jvstack=no_jvstack,
+                str_only=str_only,
+            )
+            for seg in segs
+        )
     prev = MI.current_ofmt()
     MI.set_ofmt(float_ofmt)
     global _NO_SCAN_OFMT

@@ -95,8 +95,12 @@ def main():
     print("\n-- skip reasons --")
     for r, n in skips.most_common(12):
         print(f"  {n:5d}  {r}")
-    print("\n-- first 40 fails --")
-    for c, d in fails[:40]:
+    fam = Counter(c.split("/")[0] for c, _ in fails)
+    print("\n-- fail families --")
+    for r, n in fam.most_common(30):
+        print(f"  {n:5d}  {r}")
+    print("\n-- first 60 fails --")
+    for c, d in fails[:60]:
         print(f"  {c}: {d}")
 
 

@@ -43,9 +43,6 @@ KNOWN_DIVERGENCES: set[str] = {
     # record-level compare can reconstruct it
     "io-csv-auto-unsparsify/over",
     "io-tsv-auto-unsparsify/over",
-    # headerless csv output of HET records: each record prints its own
-    # key order, but the fixed union schema has one global column order
-    "io-het-csv-input/0026",
     # Miller's number inference keeps leading-zero integers ("0123") as
     # STRINGS and arithmetic on them yields (error); the fixed-schema
     # reader infers them numeric. Documented inference divergence.

@@ -6,7 +6,7 @@ import sys
 
 sys.path.insert(0, "/root/repo/tests")
 
-from gorand import GoRand
+from mlrsketch.gorand import GoRand
 
 
 def test_seed1_int63_sequence():
