@@ -123,6 +123,31 @@ class _Closure:
 _OCTALISH = re.compile(r"^[+-]?0\d+$")
 
 
+class PInt(int):
+    """An int that remembers its data spelling (mlrval OriginalString,
+    pkg/mlrval/mlrval_type.go:20-44): "+75" scans as 75 but prints back
+    byte-identically. Any arithmetic yields a plain int, so only values
+    never touched keep their printrep."""
+
+    __slots__ = ("printrep",)
+
+    def __new__(cls, val, printrep):
+        o = super().__new__(cls, val)
+        o.printrep = printrep
+        return o
+
+
+class PFloat(float):
+    """Float with OriginalString (see PInt); MLR_OFMT overrides it."""
+
+    __slots__ = ("printrep",)
+
+    def __new__(cls, val, printrep):
+        o = super().__new__(cls, val)
+        o.printrep = printrep
+        return o
+
+
 def infer_value(v):
     """Miller scan inference for a string read from data: int (decimal /
     0x / 0b), float, else string. Leading-zero integers stay strings
@@ -143,11 +168,14 @@ def infer_value(v):
     try:
         if body[:2].lower() == "0x":
             n = int(body, 16)
-            return -n if s[0] == "-" else n
+            n = -n if s[0] == "-" else n
+            return PInt(n, s)
         if body[:2].lower() == "0b":
             n = int(body, 2)
-            return -n if s[0] == "-" else n
-        return int(s)
+            n = -n if s[0] == "-" else n
+            return PInt(n, s)
+        n = int(s)
+        return n if str(n) == s else PInt(n, s)
     except ValueError:
         pass
     try:
@@ -159,7 +187,8 @@ def infer_value(v):
         c.isdigit() for c in s
     ):
         return s
-    return f
+    canonical = str(int(f)) if f == int(f) and abs(f) < 1e15 else repr(f)
+    return f if canonical == s else PFloat(f, s)
 
 
 _OFMT_TLS = threading.local()
@@ -198,9 +227,17 @@ def format_value(v):
         fmt = getattr(_OFMT_TLS, "fmt", None)
         if fmt:
             return fmt % v
+        pr = getattr(v, "printrep", None)
+        if pr is not None:
+            return pr
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
+    if isinstance(v, int):
+        pr = getattr(v, "printrep", None)
+        if pr is not None:
+            return pr
+        return v
     if isinstance(v, (dict, list)):
         return json_encode(v)
     return v

@@ -2879,6 +2879,9 @@ def _run_dsl(df, argv, mode):
         return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
                                emit_only, presets)
     hidden = tuple(c for c in df.columns if c.startswith("__"))
+    if getattr(_TLS, "prefer_interp", False):
+        return _run_dsl_interp(df.sparkSession, df, prog, mode, negate,
+                               emit_only, presets)
     if not emit_only and not presets and not (mode == "put" and negate):
         try:
             out = _dsl.apply_program(
@@ -3973,7 +3976,8 @@ def execute(spark, cmd, to_df=None, env: dict | None = None) -> ExecResult:
     if to_df is None:
         to_df = globals()["to_df"]
     env = env or {}
-    return _exec_argv(spark, cmd, to_df, env, default_ofmt=env.get("MLR_OFMT"))
+    return _exec_argv(spark, cmd, to_df, env, default_ofmt=env.get("MLR_OFMT"),
+                      prefer_interp=True)
 
 
 def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
@@ -4065,10 +4069,16 @@ def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
 
 
 def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
-               default_ofmt: str | None = None) -> ExecResult:
+               default_ofmt: str | None = None,
+               prefer_interp: bool = False) -> ExecResult:
     run_case.__globals__["_TO_DF"] = to_df
     _TLS.env_overrides = env_overrides
     _TLS.render_opts = {}
+    # the CLI/byte path favors the stream interpreter for put/filter —
+    # it executes on the original records (printrep preservation, exact
+    # int/float typing); the golden record gate keeps the compiled tier
+    # primary so the Catalyst compiler stays corpus-tested
+    _TLS.prefer_interp = prefer_interp
     argv = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
     if argv and argv[0] == "mlr":
         argv = argv[1:]
