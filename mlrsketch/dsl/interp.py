@@ -127,9 +127,9 @@ class PInt(int):
     """An int that remembers its data spelling (mlrval OriginalString,
     pkg/mlrval/mlrval_type.go:20-44): "+75" scans as 75 but prints back
     byte-identically. Any arithmetic yields a plain int, so only values
-    never touched keep their printrep."""
-
-    __slots__ = ("printrep",)
+    never touched keep their printrep. (int is variable-length, so a
+    subclass cannot declare nonempty __slots__ — instances carry a
+    __dict__; these exist only transiently per record.)"""
 
     def __new__(cls, val, printrep):
         o = super().__new__(cls, val)
