@@ -136,6 +136,16 @@ class PInt(int):
         o.printrep = printrep
         return o
 
+    # immutable: copy/deepcopy return self; pickle rebuilds both args
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __reduce__(self):
+        return (type(self), (int(self), self.printrep))
+
 
 class PFloat(float):
     """Float with OriginalString (see PInt); MLR_OFMT overrides it."""
@@ -146,6 +156,15 @@ class PFloat(float):
         o = super().__new__(cls, val)
         o.printrep = printrep
         return o
+
+    def __copy__(self):
+        return self
+
+    def __deepcopy__(self, memo):
+        return self
+
+    def __reduce__(self):
+        return (type(self), (float(self), self.printrep))
 
 
 def infer_value(v):

@@ -2722,6 +2722,173 @@ def v_histogram(df, argv):
     return out
 
 
+def v_group_like(df, argv):
+    """`mlr group-like` (group_like.go:90-118): re-emit records in
+    batches having identical key signatures — groups in first-seen
+    order, records in stream order within each group."""
+    _flags(argv, {})
+    if "__keys" not in df.columns or "__ord" not in df.columns:
+        return df  # fixed schema: every record is already "like"
+    from pyspark.sql import Window as _W
+
+    sig = F.array_join(F.col("__keys"), "\x1f")
+    d = df.withColumn("__gord", F.min("__ord").over(_W.partitionBy(sig)))
+    return (
+        d.withColumn(
+            "__ord",
+            F.row_number().over(_W.orderBy(F.col("__gord"), F.col("__ord"))) - 1,
+        ).drop("__gord")
+    )
+
+
+def v_check(df, argv):
+    """`mlr check` (check.go:91-122): consume the stream producing no
+    records; warn once per input file (on its first offending record
+    number) if any key is the empty string."""
+    _flags(argv, {})
+    has_empty = None
+    if "__keys" in df.columns:
+        has_empty = F.array_contains(F.col("__keys"), F.lit(""))
+    elif "" in df.columns:
+        has_empty = F.lit(True)
+    if has_empty is not None:
+        fname = F.col("__fname") if "__fname" in df.columns else F.lit("")
+        rows = (
+            df.filter(has_empty)
+            .groupBy(fname.alias("__f"))
+            .agg(F.min("__ord").alias("__o"))
+            .orderBy("__o")
+            .collect()
+        )
+        msgs = [
+            "mlr: warning: empty-string key at filename %s record number %d\n"
+            % (_re.sub(r"^/root/reference/", "", r["__f"]), int(r["__o"]) + 1)
+            for r in rows
+        ]
+        if msgs:
+            _TLS.dsl_stderr = getattr(_TLS, "dsl_stderr", []) + [
+                ("txt", m) for m in msgs
+            ]
+    return df.limit(0)
+
+
+def v_sparkline(df, argv):
+    """`mlr sparkline -f a,b` (sparkline.go:117-159): reduce each field,
+    across all records in input order, to one summary record with a
+    block-character sparkline. Holds all values in memory by the
+    reference's own design (presentation verb)."""
+    from mlrsketch.dsl import interp as MI
+
+    fl, _ = _flags(argv, {"-f": 1})
+    fields = _csl(fl["-f"])
+    cols = [c for c in df.columns if not c.startswith("__")]
+    sel = ["__ord"] + [f_ for f_ in fields if f_ in cols]
+    if "__keys" in df.columns:
+        sel.append("__keys")
+    rows = df.select(*dict.fromkeys(sel)).orderBy("__ord").collect()
+    recs = []
+    for f_ in fields:
+        vals = []
+        for r in rows:
+            d = r.asDict()
+            if f_ not in d or d[f_] is None:
+                continue
+            keys = d.get("__keys")
+            if keys is not None and f_ not in keys:
+                continue  # absent from this record
+            vals.append(d[f_])
+        rec = {"field": f_, "n": len(vals)}
+        floats, err = [], False
+        for v in vals:
+            iv = MI.infer_value(v) if isinstance(v, str) else v
+            if isinstance(iv, bool) or not isinstance(iv, (int, float)):
+                err = True  # BIF_sparkline: any non-numeric -> (error)
+                break
+            floats.append(float(iv))
+        if err:
+            rec["sparkline"] = "(error)"
+        elif not floats:
+            rec["sparkline"] = ""  # VOID for n=0; lo/hi omitted
+        else:
+            rec["lo"] = min(floats)
+            rec["hi"] = max(floats)
+            rec["sparkline"] = _sparkline(floats)
+        recs.append(rec)
+    to_df = run_case.__globals__.get("_TO_DF")
+    return to_df(df.sparkSession, recs, infer=False)
+
+
+def _go_g(f: float) -> str:
+    """Go fmt %g with shortest precision, for bar --auto range labels
+    (bar.go:309-310): integral floats print without a decimal point."""
+    f = float(f)
+    if f == int(f) and abs(f) < 1e15:
+        return str(int(f))
+    return repr(f)
+
+
+def v_bar(df, argv):
+    """`mlr bar -f ... [--lo/--hi/-w/-c/-x/-b/--auto]` (bar.go:234-340):
+    replace numeric fields with fill-character bars; --auto computes
+    per-field limits from the data and brackets each bar with them."""
+    fl, _ = _flags(argv, {"-f": 1, "--lo": 1, "--hi": 1, "-w": 1,
+                          "--auto": 0, "-c": 1, "-x": 1, "-b": 1})
+    fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
+    width = int(fl.get("-w", 40))
+    fill = fl.get("-c", "*")
+    oob = fl.get("-x", "#")
+    blank = fl.get("-b", ".")
+    # bars[i] for i in 0..width (bar.go:199-211): index 0 and width are
+    # the out-of-bounds forms
+    bars = []
+    for i in range(width + 1):
+        if i == 0:
+            bars.append(oob + blank * (width - 1))
+        elif i < width:
+            bars.append(fill * i + blank * (width - i))
+        else:
+            bars.append(fill * (width - 1) + oob)
+    bars_arr = F.array(*[F.lit(b) for b in bars])
+
+    def bar_col(f_, lo, hi, labeled):
+        v = F.col(f_).cast("double")
+        if hi == lo:  # degenerate range (Go: int(NaN) clamps to 0)
+            idx = F.lit(0)
+        else:
+            idx = F.least(
+                F.greatest(
+                    F.floor(F.lit(float(width)) * (v - F.lit(lo)) / F.lit(hi - lo))
+                    .cast("int"),
+                    F.lit(0),
+                ),
+                F.lit(width),
+            )
+        bar = F.element_at(bars_arr, idx + 1)
+        if labeled:
+            bar = F.concat(F.lit("[%s]" % _go_g(lo)), bar,
+                           F.lit("[%s]" % _go_g(hi)))
+        # non-numeric / absent values pass through untouched
+        return F.when(v.isNotNull(), bar).otherwise(F.col(f_).cast("string"))
+
+    if fl.get("--auto"):
+        aggs = []
+        for f_ in fields:
+            c = F.col(f_).cast("double")
+            aggs += [F.min(c).alias(f_ + "__lo"), F.max(c).alias(f_ + "__hi")]
+        row = df.agg(*aggs).first() if fields else None
+        for f_ in fields:
+            lo, hi = row[f_ + "__lo"], row[f_ + "__hi"]
+            if lo is None:
+                continue  # no numeric values for this field
+            df = df.withColumn(f_, bar_col(f_, lo, hi, labeled=True))
+        return df
+    lo = float(fl.get("--lo", 0.0))
+    hi = float(fl.get("--hi", 100.0))
+    for f_ in fields:
+        df = df.withColumn(f_, bar_col(f_, lo, hi, labeled=False))
+    return df
+
+
 import re as _re
 
 from mlrsketch import dsl as _dsl
@@ -3812,6 +3979,8 @@ VERBS = {
     "surv": v_surv, "utf8-to-latin1": v_utf8_to_latin1,
     "shuffle": v_shuffle, "bootstrap": v_bootstrap_seeded,
     "sample": v_sample_seeded, "bootstrap-ci": v_bootstrap_ci,
+    "group-like": v_group_like, "check": v_check,
+    "sparkline": v_sparkline, "bar": v_bar,
 }
 
 # Verbs whose output carries a faithful Miller emission order in the
@@ -3830,7 +3999,7 @@ ORDER_PRESERVING = {
     "merge-fields", "format-values", "unspace", "remove-empty-columns",
     "latin1-to-utf8", "utf8-to-latin1", "surv", "nest", "split",
     "shuffle", "bootstrap", "sample", "bootstrap-ci", "repeat",
-    "count-similar",
+    "count-similar", "group-like", "check", "sparkline", "bar",
     # agg modes of these drop __ord (falling back to unordered); their
     # streaming modes (-s/-w/-a) keep it faithfully
     "stats1", "stats2", "uniq",
@@ -3891,6 +4060,10 @@ VERB_VALUE_FLAGS = {
     "json-parse": {"-f"},
     "json-stringify": {"-f"},
     "unsparsify": {"--fill-with", "-f"},
+    "group-like": set(),
+    "check": set(),
+    "sparkline": {"-f"},
+    "bar": {"-f", "--lo", "--hi", "-w", "-c", "-x", "-b"},
 }
 
 _FMT_NAMES = {
@@ -4014,7 +4187,7 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         cmd_tokens = set(
             open(os.path.join(case_dir, "cmd")).read().split()
         )
-        if not ({"put", "filter"} & cmd_tokens):
+        if not ({"put", "filter", "check"} & cmd_tokens):
             raise Unsupported("expected-error case")
     cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
     if shlex.split(cmd)[:1] != ["mlr"]:
@@ -4393,6 +4566,9 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     ) or any(
         chain and chain[0] == "cat" and ("--filename" in chain or "--filenum" in chain)
         for chain in chains
+    ) or any(
+        # check's empty-key warning names the offending file
+        chain and chain[0] == "check" for chain in chains
     )
     spark_df = None
     if igen and not files:

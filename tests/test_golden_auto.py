@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 904
+MIN_PASS = 913
 
 # Round-3 status: EMPTY. Every formerly-divergent case is now
 # implemented faithfully — the step het event model (ingest-gated
