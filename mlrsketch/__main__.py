@@ -58,7 +58,8 @@ def main(argv: list[str] | None = None) -> int:
                 sys.stderr.write(payload)
         sys.stdout.write(
             render(
-                res.records or [],
+                (res.render_records if res.render_records is not None
+                 else res.records) or [],
                 res.ofmt,
                 ofs=res.ofs,
                 flatsep=res.flatsep,

@@ -80,6 +80,9 @@ class Err:
         return hash("(error)")
 
 
+_FILTER_UNSET = object()  # FilterExpression never written this record
+
+
 class MlrRuntimeError(Exception):
     """A runtime condition the reference reports as a fatal error."""
 
@@ -296,7 +299,11 @@ def json_encode(v, indent=None):
             if not x:
                 return "[]"
             parts = [enc(v2, level + 1) for v2 in x]
-            if indent is None:
+            # arrays of all-terminal elements stay on one line even in
+            # multiline mode (mlrval_json.go:495-517 marshalJSONArray)
+            if indent is None or not any(
+                isinstance(v2, (dict, list)) for v2 in x
+            ):
                 return "[" + ", ".join(parts) + "]"
             pad, pad2 = " " * indent * level, " " * indent * (level + 1)
             return ("[\n" + ",\n".join(pad2 + p for p in parts)
@@ -326,6 +333,17 @@ def flatten_into(out: dict, key: str, v, sep: str = "."):
     out[key] = v
 
 
+def _unflatten_terminal(v):
+    """Reverse flatten's empty-collection special case: the literal
+    strings "{}" / "[]" become empty map / empty array
+    (mlrmap_flatten_unflatten.go:264-275 unflattenTerminal)."""
+    if v == "{}":
+        return {}
+    if v == "[]":
+        return []
+    return v
+
+
 def unflatten_record(rec: dict, sep: str = ".") -> dict:
     """Inverse of flatten for JSON-origin records: dotted keys nest."""
     out: dict = {}
@@ -343,9 +361,9 @@ def unflatten_record(rec: dict, sep: str = ".") -> dict:
                     break
                 cur = nxt
             if ok:
-                cur[parts[-1]] = "{}" if v == "{}" else v
+                cur[parts[-1]] = _unflatten_terminal(v)
                 continue
-        out[k] = v
+        out[k] = _unflatten_terminal(v)
     return _arrayify(out)
 
 
@@ -668,7 +686,7 @@ class StreamInterp:
         self.filenum = 1
         self.scopes: list[dict] = []
         self.fence: list[int] = [0]
-        self.filter_flag = True
+        self.filter_expr = _FILTER_UNSET
 
     # -- scope helpers ----------------------------------------------------
 
@@ -733,7 +751,7 @@ class StreamInterp:
             else:
                 self.fnr = self.nr
             self.rec = rec
-            self.filter_flag = True
+            self.filter_expr = _FILTER_UNSET
             self.scopes = [{}]
             self.fence = [0]
             try:
@@ -741,7 +759,7 @@ class StreamInterp:
                     self._exec(st)
             except _Return:
                 pass
-            keep = self.filter_flag
+            keep = self._decide_keep()
             if self.invert:
                 # -x inverts the final filter boolean for BOTH put and
                 # filter (put_or_filter.go:592 XORs regardless of verb)
@@ -754,6 +772,22 @@ class StreamInterp:
         self._run_block_list(self.ends)
         self._flush_pipes()
         return self.out
+
+    def _decide_keep(self) -> bool:
+        """put_or_filter.go:561-590: bool -> itself; under filter,
+        absent -> drop and any other non-bool -> fatal; under put,
+        non-bool (incl. never-set) -> keep."""
+        fe = self.filter_expr
+        if isinstance(fe, bool):
+            return fe
+        if self.mode == "filter" and fe is not _FILTER_UNSET:
+            if fe is ABSENT:
+                return False
+            raise MlrRuntimeError(
+                "mlr: filter expression did not evaluate to boolean: "
+                f"got value {format_value(fe)}"
+            )
+        return True
 
     def _run_block_list(self, blocks):
         for blk in blocks:
@@ -823,12 +857,15 @@ class StreamInterp:
         if op == "assign":
             self._exec_assign(st[1], st[2], st[3])
         elif op == "bare":
+            # bare booleans set the filter state only under mlr filter;
+            # under put they are no-ops beyond side effects
+            # (cst/filter.go:29-59 writeToState = instance != put)
             v = self._eval(st[1])
-            if isinstance(v, bool):
-                self.filter_flag = v
+            if self.mode != "put":
+                self.filter_expr = v
         elif op == "filter":
-            v = self._eval(st[1])
-            self.filter_flag = bool(v) if isinstance(v, bool) else False
+            # the explicit `filter` statement writes state in BOTH verbs
+            self.filter_expr = self._eval(st[1])
         elif op == "decl":
             val = self._eval(st[3]) if st[3] is not None else ABSENT
             self._declare_var(st[2], _coerce_decl(st[1], val), st[1])
@@ -2513,6 +2550,14 @@ def _minmax_pick(args, want_max):
             take = c > 0 if want_max else c < 0
         if take:
             best = v
+    if (
+        isinstance(best, int)
+        and not isinstance(best, bool)
+        and any(isinstance(v, float) for v in vals)
+    ):
+        # int×float mixing returns FLOAT (max_f_fi/max_f_if,
+        # arithmetic.go:905-915): max(71.2, 76) prints 76.00000000
+        return float(best)
     return best
 
 
@@ -4912,14 +4957,23 @@ def run_stream(
             float("inf"), float("-inf")
         ):
             # quantize to print precision so value-compare sees what
-            # the reference printed (MLR_OFMT)
-            return float(fmt % v)
+            # the reference printed (MLR_OFMT) — carrying the printed
+            # form as the printrep so the byte path renders it verbatim
+            # (a bare float(fmt % v) re-canonicalizes 0.00000000 -> "0",
+            # losing the float-typing the writers re-scan for)
+            s = fmt % v
+            return PFloat(float(s), s)
         return v
+
+    nat_out = kwargs.get("nat_out")  # optional NESTED-record sink for
+    # the byte-render path (values typed, nesting as the program left it)
 
     def _post(items):
         out = []
         for kind, payload in items:
             if kind == "rec":
+                if nat_out is not None:
+                    nat_out.append(payload)
                 flat: dict = {}
                 for k, v in payload.items():
                     flatten_into(flat, str(format_value(k)), v, flatsep)

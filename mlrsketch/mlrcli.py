@@ -289,11 +289,25 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
     if jsonin:
         import json as _json
 
+        from mlrsketch.dsl.interp import PFloat, PInt
+
+        # number hooks preserve the data spelling (mlrval
+        # OriginalString): 1.50 scans as 1.5 but prints back "1.50"
+        def _pfloat(s):
+            f = float(s)
+            canon = (str(int(f)) if f == int(f) and abs(f) < 1e15
+                     else repr(f))
+            return f if canon == s else PFloat(f, s)
+
+        def _pint(s):
+            n = int(s)
+            return n if str(n) == s else PInt(n, s)
+
         try:
-            data = _json.loads(text)
+            data = _json.loads(text, parse_float=_pfloat, parse_int=_pint)
         except ValueError:
             # Miller also accepts concatenated objects: {..}\n{..}
-            dec = _json.JSONDecoder()
+            dec = _json.JSONDecoder(parse_float=_pfloat, parse_int=_pint)
             data, idx = [], 0
             s = text.strip()
             try:
@@ -1210,6 +1224,52 @@ def _flatsep() -> str:
     return getattr(_TLS, "flatsep", ".")
 
 
+def _native_json_records():
+    """The parsed nested typed records, when a restructuring verb can
+    additionally feed the byte-render path natively: it must be the
+    LAST verb, over an untouched stream, with JSON/JSONL input (where
+    the reference's records carry real nesting the flat canonical form
+    cannot express)."""
+    if not getattr(_TLS, "chain_is_last", False):
+        return None
+    if not getattr(_TLS, "df_pristine", False):
+        return None
+    if getattr(_TLS, "ifmt", "dkvp") not in ("json", "jsonl"):
+        return None
+    if getattr(_TLS, "ofmt", "dkvp") not in ("json", "jsonl"):
+        # non-nestable output auto-flattens at write: the flat carrier
+        # channel is already the right shape
+        return None
+    nested = getattr(_TLS, "orig_json", [])
+    orig = getattr(_TLS, "orig_records", [])
+    if not nested or len(nested) != len(orig):
+        return None
+    return nested
+
+
+def _flatten_typed(out: dict, key: str, v, sep: str):
+    """Explicit-flatten semantics on NATIVE values (FlattenToMap,
+    mlrval_accessors.go:30-80): nested spread, 1-based array indices,
+    empty collections -> literal "{}" / "[]" strings, scalars typed."""
+    if isinstance(v, dict):
+        if not v:
+            out[key] = "{}"
+            return
+        for k2, v2 in v.items():
+            from mlrsketch.dsl import interp as MI
+
+            _flatten_typed(out, f"{key}{sep}{MI.format_value(k2)}", v2, sep)
+        return
+    if isinstance(v, list):
+        if not v:
+            out[key] = "[]"
+            return
+        for i, v2 in enumerate(v):
+            _flatten_typed(out, f"{key}{sep}{i + 1}", v2, sep)
+        return
+    out[key] = v
+
+
 def v_flatten(df, argv):
     # records are kept in flattened canonical form (separator =
     # --flatsep, default ".") on both sides of the compare, so flatten
@@ -1217,10 +1277,42 @@ def v_flatten(df, argv):
     # re-flattens with X, i.e. renames canonical-sep -> X
     fl, _ = _flags(argv, {"-f": 1, "-s": 1})
     sep, canon = fl.get("-s"), _flatsep()
+    nat = _native_json_records()
+    if nat is not None:
+        # JSON in / JSON out with explicit flatten: only the requested
+        # fields flatten; everything else keeps its REAL nesting
+        # (DecideFinalUnflatten: last-verb flatten disables the final
+        # unflatten — cli/flatten_unflatten.go:83-98)
+        fields = set(_csl(fl["-f"])) if "-f" in fl else None
+        out_recs = []
+        for r in nat:
+            out: dict = {}
+            for k, v in r.items():
+                if isinstance(v, (dict, list)) and (
+                    fields is None or k in fields
+                ):
+                    _flatten_typed(out, str(k), v, sep or canon)
+                else:
+                    out[k] = v
+            out_recs.append(out)
+        _TLS.render_records = out_recs
+        _TLS.render_opts["json_typed"] = True
+        _TLS.render_opts["no_unflatten"] = True
     if sep and sep != canon:
-        return df.withColumnsRenamed(
+        df = df.withColumnsRenamed(
             {c: c.replace(canon, sep) for c in df.columns if canon in c and not c.startswith("__")}
         )
+        if "__keys" in df.columns:
+            # the per-record key-order carrier must rename too, or the
+            # renamed columns fall out of the original emission order
+            df = df.withColumn(
+                "__keys",
+                F.transform(
+                    "__keys",
+                    lambda k: F.regexp_replace(k, _re.escape(canon), sep.replace("\\", "\\\\").replace("$", "\\$")),
+                ),
+            )
+        return df
     return df
 
 
@@ -1231,9 +1323,18 @@ def v_unflatten(df, argv):
     fl, _ = _flags(argv, {"-f": 1, "-s": 1})
     sep, canon = fl.get("-s"), _flatsep()
     if sep and sep != canon:
-        return df.withColumnsRenamed(
+        df = df.withColumnsRenamed(
             {c: c.replace(sep, canon) for c in df.columns if sep in c and not c.startswith("__")}
         )
+        if "__keys" in df.columns:
+            df = df.withColumn(
+                "__keys",
+                F.transform(
+                    "__keys",
+                    lambda k: F.regexp_replace(k, _re.escape(sep), canon.replace("\\", "\\\\").replace("$", "\\$")),
+                ),
+            )
+        return df
     return df
 
 
@@ -1245,6 +1346,25 @@ def v_json_parse(df, argv):
 
     fl, _ = _flags(argv, {"-f": 1, "-k": 0})
     fields = _csl(fl["-f"]) if "-f" in fl else None
+    nat = _native_json_records()
+    if nat is not None:
+        from mlrsketch.dsl import interp as MI
+
+        out_recs = []
+        for r in nat:
+            rec = {}
+            for k, v in r.items():
+                if (fields is None or k in fields) and isinstance(v, str):
+                    try:
+                        rec[k] = _json.loads(v)
+                    except ValueError:
+                        rec[k] = v if fl.get("-k") else MI.Err("json_decode")
+                else:
+                    rec[k] = v
+            out_recs.append(rec)
+        _TLS.render_records = out_recs
+        _TLS.render_opts["json_typed"] = True
+        _TLS.render_opts["no_unflatten"] = True
     rows = df.orderBy("__ord").collect()
     recs = []
     for r in rows:
@@ -1321,6 +1441,22 @@ def v_json_stringify(df, argv):
     fl, _ = _flags(argv, {"-f": 1, "--jvstack": 0, "--no-jvstack": 0})
     fields = _csl(fl["-f"]) if "-f" in fl else None
     indent = 2 if fl.get("--jvstack") else None
+    nat = _native_json_records()
+    if nat is not None:
+        # native byte channel: every (selected) value becomes its JSON
+        # text — a REAL string the json writer must keep quoted
+        from mlrsketch.dsl import interp as MI
+
+        _TLS.render_records = [
+            {
+                k: (MI.json_encode(v, indent=indent)
+                    if fields is None or k in fields else v)
+                for k, v in r.items()
+            }
+            for r in nat
+        ]
+        _TLS.render_opts["json_typed"] = True
+        _TLS.render_opts["no_unflatten"] = True
     rows = df.orderBy("__ord").collect()
     recs = []
     for r in rows:
@@ -3152,6 +3288,7 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
         json_native = False
         recs, fctx, nrs = [], None, []
     err_items: list = []
+    nat_records: list = []
     try:
         items = MI.run_stream(
             prog,
@@ -3163,6 +3300,7 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
             flatsep=_flatsep(),
             presets=presets,
             err_sink=err_items,
+            nat_out=nat_records,
             json_input=(not json_native
                         and getattr(_TLS, "ifmt", "dkvp")
                         in ("json", "jsonl")),
@@ -3187,6 +3325,25 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
         items = [("txt", pre_text)] + list(items)
     txts = [p for k, p in items if k == "txt"]
     recs_out = [p for k, p in items if k == "rec"]
+    if (
+        recs_out
+        and not txts
+        and len(nat_records) == len(recs_out)
+        and getattr(_TLS, "chain_is_last", False)
+        and getattr(_TLS, "ofmt", "dkvp") in ("json", "jsonl")
+    ):
+        # byte-render path: the interpreter's NESTED typed records print
+        # natively; the final unflatten applies only converting a
+        # non-nestable input to json (cli/flatten_unflatten.go
+        # DecideFinalUnflatten), and never under --no-auto-unflatten
+        _TLS.render_records = [
+            {str(MI.format_value(k)): v for k, v in r.items()}
+            for r in nat_records
+        ]
+        _TLS.render_opts["json_typed"] = True
+        if (getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl")
+                or getattr(_TLS, "no_auto_unflatten", False)):
+            _TLS.render_opts["no_unflatten"] = True
     if txts and not recs_out:
         raise _TextResult("".join(txts))
     if txts:
@@ -4112,13 +4269,17 @@ class ExecResult:
     __slots__ = ("records", "text", "ordered", "ofmt", "ofs", "flatsep",
                  "headerless_out", "quoted_dkvp", "ofmt_num", "olite",
                  "stderr", "last_verb", "no_auto_unflatten", "float_ofmt",
-                 "render_opts")
+                 "render_opts", "render_records")
 
     def __init__(self, records=None, text=None, ordered=True, ofmt="dkvp",
                  ofs=None, flatsep=".", headerless_out=False,
                  quoted_dkvp=False, ofmt_num=None, olite=False,
                  stderr=(), last_verb="", no_auto_unflatten=False,
-                 float_ofmt=None, render_opts=None):
+                 float_ofmt=None, render_opts=None, render_records=None):
+        # render_records: NATIVE typed records for the byte-render path
+        # when the compare channel (`records`) had to stay flat — set by
+        # verbs that restructure nesting (flatten/json-stringify/...)
+        self.render_records = render_records
         self.records = records
         self.text = text
         self.ordered = ordered
@@ -4229,6 +4390,7 @@ def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
                 ordered=True, text=None) -> ExecResult:
     float_ofmt = getattr(_TLS, "ofmt_go", None) or None
     render_opts = dict(getattr(_TLS, "render_opts", {}) or {})
+    render_records = getattr(_TLS, "render_records", None)
     return ExecResult(
         records=records, text=text, ordered=ordered, ofmt=ofmt, ofs=ofs,
         flatsep=flatsep, headerless_out=headerless_out,
@@ -4238,6 +4400,7 @@ def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
         no_auto_unflatten=no_auto_unflatten,
         float_ofmt=float_ofmt,
         render_opts=render_opts,
+        render_records=render_records,
     )
 
 
@@ -4247,6 +4410,7 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     run_case.__globals__["_TO_DF"] = to_df
     _TLS.env_overrides = env_overrides
     _TLS.render_opts = {}
+    _TLS.render_records = None
     # the CLI/byte path favors the stream interpreter for put/filter —
     # it executes on the original records (printrep preservation, exact
     # int/float typing); the golden record gate keeps the compiled tier
@@ -4726,10 +4890,47 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         # pristine pass-through (e.g. `--icsv --ojson cat`): the original
         # records carry the per-record KEY ORDER the union-schema
         # DataFrame cannot — byte-exact het rendering
-        got = [
-            {k: v for k, v in r.items() if not k.startswith("__")}
-            for r in _TLS.orig_records
-        ]
+        nested = getattr(_TLS, "orig_json", [])
+        orig = _TLS.orig_records
+        if (getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl")
+                and getattr(_TLS, "ofmt", "dkvp") in ("json", "jsonl")
+                and len(nested) == len(orig)):
+            # JSON in and out: flatten the parsed NATIVE records so
+            # scalar types (int vs string "1") and number spellings
+            # survive to the writer; json_typed = no string re-scan
+            from mlrsketch.dsl import interp as MI
+
+            sep = _flatsep()
+
+            def _flat_typed(out, key, v):
+                # like MI.flatten_into but EMPTY collections stay {}/[]
+                # (typed) so the json writer prints them bare, not "{}"
+                if isinstance(v, dict) and v:
+                    for k2, v2 in v.items():
+                        _flat_typed(out, f"{key}{sep}{MI.format_value(k2)}", v2)
+                elif isinstance(v, list) and v:
+                    for i, v2 in enumerate(v):
+                        _flat_typed(out, f"{key}{sep}{i + 1}", v2)
+                else:
+                    out[key] = v
+
+            got = []
+            for r in nested:
+                flat: dict = {}
+                for k, v in r.items():
+                    _flat_typed(flat, str(MI.format_value(k)), v)
+                got.append(flat)
+            # the byte path renders the NESTED records verbatim — no
+            # final unflatten is needed or wanted (json->json is never
+            # unflattened in the reference: DecideFinalUnflatten)
+            _TLS.render_records = [dict(r) for r in nested]
+            _TLS.render_opts["json_typed"] = True
+            _TLS.render_opts["no_unflatten"] = True
+        else:
+            got = [
+                {k: v for k, v in r.items() if not k.startswith("__")}
+                for r in _TLS.orig_records
+            ]
         ordered = ordered_ok
     else:
         # lowercase booleans for the text compare (DSL programs can

@@ -188,20 +188,26 @@ def w_tsv(records, ofs=None, headerless=False, lite=False, **_):
 _JSON_NUM_RE = __import__("re").compile(r"-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?")
 
 
-def _json_scalar(v) -> str:
+def _json_scalar(v, typed: bool = False) -> str:
     """One JSON value: numeric-typed (or numeric-scanning string) values
     print bare, everything else as a JSON string — Miller prints from
     the typed mlrval, and our string-carrier model re-scans like the
-    reader did (mlrval_new.go inference)."""
+    reader did (mlrval_new.go inference). `typed` = the records carry
+    native JSON types already (pristine json pass-through): strings are
+    REAL strings and must stay quoted, no re-scan."""
     import json as _json
 
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, MI.Err):
+        return "(error)"  # Miller prints the bare token (invalid JSON)
     if isinstance(v, (int, float)) and not isinstance(v, bool):
         s = _fmt(v)
         return s if s is not None else "null"
     if isinstance(v, (dict, list)):
         return MI.json_encode(v)
+    if typed and isinstance(v, str):
+        return _json.dumps(v, ensure_ascii=False)
     s = v if isinstance(v, str) else str(v)
     from mlrsketch.mlrcli import _infer
 
@@ -219,10 +225,38 @@ def _json_scalar(v) -> str:
     return _json.dumps(s, ensure_ascii=False)
 
 
+def _scan_leaves(v):
+    """Carrier-mode leaf scan for nested values rebuilt by the final
+    unflatten: string leaves re-infer like the reader did (the reference
+    had typed mlrvals all along), keeping the original spelling via
+    PInt/PFloat printreps."""
+    if isinstance(v, dict):
+        return {k: _scan_leaves(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_scan_leaves(x) for x in v]
+    if isinstance(v, str):
+        return MI.infer_value(v)
+    return v
+
+
 def _maybe_unflatten(rec: dict, flatsep: str, auto: bool) -> dict:
-    if not auto or not any(flatsep in k for k in rec):
+    if not auto:
         return {k: v for k, v in rec.items() if v is not None}
-    return MI.unflatten_record({k: v for k, v in rec.items() if v is not None}, flatsep)
+    if not any(flatsep in k for k in rec):
+        # the final unflatten still reverses flatten's empty-collection
+        # special case on every terminal ("{}"/"[]" -> {} / [],
+        # mlrmap_flatten_unflatten.go unflattenTerminal)
+        return {
+            k: MI._unflatten_terminal(v)
+            for k, v in rec.items() if v is not None
+        }
+    out = MI.unflatten_record(
+        {k: v for k, v in rec.items() if v is not None}, flatsep
+    )
+    return {
+        k: (_scan_leaves(v) if isinstance(v, (dict, list)) else v)
+        for k, v in out.items()
+    }
 
 
 def _json_key(k: str) -> str:
@@ -231,7 +265,8 @@ def _json_key(k: str) -> str:
     return _json.dumps(str(k), ensure_ascii=False)
 
 
-def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False, **_):
+def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
+           json_typed=False, **_):
     if no_jvstack:
         # --no-jvstack: single-line objects inside the list wrapper
         bodies = []
@@ -241,7 +276,7 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False, **_):
                 continue
             parts = [
                 f"{_json_key(k)}: "
-                + (MI.json_encode(v) if isinstance(v, (dict, list)) else _json_scalar(v))
+                + (MI.json_encode(v) if isinstance(v, (dict, list)) else _json_scalar(v, json_typed))
                 for k, v in nested.items()
             ]
             bodies.append("{" + ", ".join(parts) + "}")
@@ -260,14 +295,14 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False, **_):
                 )
                 fields.append(f"  {_json_key(k)}: {enc}")
             else:
-                fields.append(f"  {_json_key(k)}: {_json_scalar(v)}")
+                fields.append(f"  {_json_key(k)}: {_json_scalar(v, json_typed)}")
         bodies.append("{\n" + ",\n".join(fields) + "\n}")
     # no records -> no output at all (the reference writer emits the
     # [ ] wrapper lazily, around the first record)
     return "[\n" + ",\n".join(bodies) + "\n]\n" if bodies else ""
 
 
-def w_jsonl(records, flatsep=".", auto_unflatten=True, **_):
+def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False, **_):
     lines = []
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
@@ -275,7 +310,8 @@ def w_jsonl(records, flatsep=".", auto_unflatten=True, **_):
             continue
         parts = []
         for k, v in nested.items():
-            enc = MI.json_encode(v) if isinstance(v, (dict, list)) else _json_scalar(v)
+            enc = (MI.json_encode(v) if isinstance(v, (dict, list))
+                   else _json_scalar(v, json_typed))
             parts.append(f"{_json_key(k)}: {enc}")
         lines.append("{" + ", ".join(parts) + "}")
     return "".join(ln + "\n" for ln in lines)
@@ -422,13 +458,18 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
            barred: bool = False, right_numeric: bool = False,
            right_all: bool = False, no_jvstack: bool = False,
            str_only: bool = False, gap_n: int | None = None,
-           gap_keys: list | None = None) -> str:
+           gap_keys: list | None = None, json_typed: bool = False,
+           no_unflatten: bool = False) -> str:
     """Render a record stream as `ofmt` text (see module docstring).
     `float_ofmt` is MLR_OFMT / --ofmt: a Go-style %-format applied to
     float-typed values (not to byte-preserved input strings)."""
     w = _WRITERS.get(ofmt)
     if w is None:
         raise ValueError(f"unsupported output format: {ofmt}")
+    if no_unflatten:
+        # set by an explicit last-verb flatten: the final unflatten is
+        # suppressed (cli/flatten_unflatten.go DecideFinalUnflatten)
+        auto_unflatten = False
     if (gap_n or gap_keys) and ofmt in ("pprint", "dkvp", "nidx", "xtab", "markdown"):
         # `mlr gap`: blank line every n records / on group-key change;
         # pprint flushes its batch (header repeats) — gap.go:157,178.
@@ -451,7 +492,7 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
                 auto_unflatten=auto_unflatten, float_ofmt=float_ofmt,
                 barred=barred, right_numeric=right_numeric,
                 right_all=right_all, no_jvstack=no_jvstack,
-                str_only=str_only,
+                str_only=str_only, json_typed=json_typed,
             )
             for seg in segs
         )
@@ -465,7 +506,7 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
             list(records), ofs=ofs, flatsep=flatsep, headerless=headerless,
             quoted=quoted_dkvp, lite=lite, auto_unflatten=auto_unflatten,
             barred=barred, right_numeric=right_numeric, right_all=right_all,
-            no_jvstack=no_jvstack,
+            no_jvstack=no_jvstack, json_typed=json_typed,
         )
     finally:
         MI.set_ofmt(prev)

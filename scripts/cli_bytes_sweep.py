@@ -55,7 +55,9 @@ def try_case(spark, case_dir: str):
             return "skip", "unordered chain"
         try:
             got = render(
-                res.records or [], res.ofmt, ofs=res.ofs, flatsep=res.flatsep,
+                (res.render_records if res.render_records is not None
+                 else res.records) or [],
+                res.ofmt, ofs=res.ofs, flatsep=res.flatsep,
                 headerless=res.headerless_out, quoted_dkvp=res.quoted_dkvp,
                 lite=res.olite, auto_unflatten=not res.no_auto_unflatten,
                 float_ofmt=res.float_ofmt,
