@@ -272,6 +272,8 @@ def json_encode(v, indent=None):
     def enc(x, level):
         if x is ABSENT:
             return '"(absent)"'
+        if x is NULL:
+            return "null"
         if isinstance(x, Err):
             return '"(error)"'
         if isinstance(x, bool):
@@ -406,6 +408,35 @@ def _num_result(v):
     return v
 
 
+def _arith_null(op, a, b):
+    """MT_NULL rows/columns of the disposition matrices
+    (arithmetic.go:110-557, mathlib.go:187 pow): numbers pass through
+    +,-,*,.+,.*,num/null and num.-null UNCHANGED (even minus: null-5
+    is 5); null./null-paired //,%,**,./ are type errors; null with
+    bool/void/string is a type error; absent wins over null."""
+    aN, bN = a is NULL, b is NULL
+    other = b if aN else a
+    if aN and bN:
+        return NULL if op in ("+", "-", "*", ".+", ".-") else Err()
+    if other is ABSENT:
+        return ABSENT
+    if isinstance(other, (dict, list)):
+        return ABSENT
+    if (isinstance(other, bool) or (isinstance(other, str) and other == "")
+            or (n := _to_num(other)) is None):
+        return Err()
+    if op in ("//", "%", "**", "./"):
+        return Err()
+    if bN:  # number OP null -> the number, except / keeps it too (_1___)
+        return other
+    # null OP number
+    if op == "/":
+        return 0 if isinstance(n, int) else 0.0  # _i0__ / _f0__
+    if op == ".-":
+        return -n  # _n2__
+    return other  # +, -, *, .+, .* -> _2___
+
+
 def arith(op: str, a, b):
     """Binary arithmetic with Miller dispositions for absent/void
     (pkg/bifs/arithmetic.go plus/minus/times/divide matrices,
@@ -418,6 +449,8 @@ def arith(op: str, a, b):
         return Err() if op == "**" else ABSENT
     if isinstance(a, Err) or isinstance(b, Err):
         return Err()
+    if a is NULL or b is NULL:
+        return _arith_null(op, a, b)
     if aA and bA:
         return ABSENT
     if (aA and bV) or (aV and bA):
@@ -1480,6 +1513,8 @@ class StreamInterp:
         v = self._eval(sub)
         if v is ABSENT:
             return ABSENT
+        if v is NULL and op in ("-", "+", "~"):
+            return NULL  # _null1 rows (arithmetic.go:28,61,860)
         if isinstance(v, Err):
             return v
         if op == "!":

@@ -105,18 +105,22 @@ def _pprint_void(rec: dict) -> dict:
 
 
 def _sanitize_json_native(v):
-    """Nested JSON record -> interp value model: bools stay bool, null
-    keys drop (absent), array nulls become void. Keeps map-vs-array
+    """Nested JSON record -> interp value model: bools stay bool, JSON
+    null becomes the first-class NULL sentinel (MT_NULL,
+    mlrval_type.go:70-72 — prints back as null, passes through
+    arithmetic per the NULL disposition rows). Keeps map-vs-array
     distinction that the flat column model cannot (dsl-sorts/sortmv:
     {"1":6,"2":5} is a MAP, not an array)."""
+    from mlrsketch.dsl.interp import NULL
+
     if isinstance(v, dict):
         return {
-            k: _sanitize_json_native(x)
-            for k, x in v.items() if x is not None
+            k: (NULL if x is None else _sanitize_json_native(x))
+            for k, x in v.items()
         }
     if isinstance(v, list):
         return [
-            "" if x is None else _sanitize_json_native(x) for x in v
+            NULL if x is None else _sanitize_json_native(x) for x in v
         ]
     return v
 

@@ -197,6 +197,8 @@ def _json_scalar(v, typed: bool = False) -> str:
     REAL strings and must stay quoted, no re-scan."""
     import json as _json
 
+    if v is MI.NULL:
+        return "null"  # MT_NULL prints bare (mlrval_json.go:326-328)
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, MI.Err):
@@ -317,15 +319,18 @@ def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False, **_):
     return "".join(ln + "\n" for ln in lines)
 
 
-def w_xtab(records, **_):
+def w_xtab(records, ofs=None, **_):
+    # OFS is xtab's LINE terminator (default "\n"); two consecutive OFS
+    # stand in for the record separator (record_writer_xtab.go:31,82,101)
+    ofs = "\n" if not ofs else ofs
     chunks = []
     for rec in records:
         cells = _cells(rec)
         if not cells:
             continue
         width = max((len(k) for k, _ in cells), default=1)
-        chunks.append("".join(f"{k.ljust(width)} {v}\n" for k, v in cells))
-    return "\n".join(chunks)
+        chunks.append("".join(f"{k.ljust(width)} {v}{ofs}" for k, v in cells))
+    return ofs.join(chunks)
 
 
 def _is_numeric(v) -> bool:

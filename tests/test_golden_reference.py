@@ -188,7 +188,12 @@ def assert_matches(got: list[dict], exp: list[dict], ordered: bool = False):
 
 
 def collect_dicts(df) -> list[dict]:
-    return [r.asDict() for r in df.collect()]
+    # __-prefixed columns are engine carriers (order, per-record key
+    # order) the CLI strips at render; strip them here the same way
+    return [
+        {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+        for r in df.collect()
+    ]
 
 
 # ---------------------------------------------------------------------------
