@@ -1103,8 +1103,28 @@ def v_stats1(df, argv):
         for f_ in values:
             nn = F.collect_list(F.col(f_).try_cast("double")).over(frame)
             total = F.count(F.lit(1)).over(frame)
+            # all-int fields: int-preserving accumulators keep INT typing
+            # per window (sum/min/max/picks always integral; mean only
+            # when the window sum divides evenly — divide_n_ii)
+            sc = F.col(f_).cast("string")
+            all_int = (
+                df.filter(sc.isNotNull() & (sc != "")
+                          & ~sc.rlike("^-?[0-9]+$")).count() == 0
+            )
             for a in accs:
-                adds[f"{f_}_{a}"] = _arr_acc(nn, total, a, interp)
+                c = _arr_acc(nn, total, a, interp)
+                # variance-family always finalizes float64
+                # (bifs/stats.go:26-45); everything else keeps int
+                # typing when the inputs are int and the result is
+                # whole (divide_n_ii for mean)
+                if all_int and a not in (
+                    "count", "var", "stddev", "meaneb",
+                    "skewness", "kurtosis",
+                ):
+                    c = F.when(
+                        c == F.floor(c), c.cast("long").cast("string")
+                    ).otherwise(c.cast("string"))
+                adds[f"{f_}_{a}"] = c
         return out.withColumns(adds)
     if any(v not in df.columns for v in values):
         raise Unsupported("stats1 absent value field")
@@ -1113,7 +1133,8 @@ def v_stats1(df, argv):
             raise Unsupported(f"stats1 acc {a}")
     plain = [a for a in accs if a not in ("mode", "antimode", "mad")]
     out = (
-        ev.stats1(df, plain, values, by=by, interpolated=bool(fl.get("-i")))
+        ev.stats1(df, plain, values, by=by, interpolated=bool(fl.get("-i")),
+                  typed=True)
         if plain
         else None
     )
@@ -1131,8 +1152,9 @@ def v_stats1(df, argv):
     # int printrep: when every input value of a field scans INT, the
     # int-preserving accumulators stay int-typed in the reference
     # (sum/min/max and value PICKS; not mean/var/fences)
-    interp = bool(fl.get("-i"))
-    int_accs = {"sum", "min", "max", "mode", "antimode", "distinct_count",
+    # (min/max and the percentile family come back Miller-typed from
+    # ev.stats1(typed=True) and need no post-hoc casting)
+    int_accs = {"sum", "mode", "antimode", "distinct_count",
                 "null_count", "minlen", "maxlen", "first", "last"}
     for f_ in values:
         sc = F.col(f_).cast("string")
@@ -1141,12 +1163,32 @@ def v_stats1(df, argv):
             continue
         for a in accs:
             c = f"{f_}_{a}"
-            picks = not interp and (
-                a == "median" or a == "iqr"
-                or (a.startswith("p") and a[1:].replace(".", "").isdigit())
-            )
-            if c in out.columns and (a in int_accs or picks):
+            if c in out.columns and a in int_accs:
                 out = out.withColumn(c, F.col(c).cast("long"))
+            elif c in out.columns and a == "mean":
+                # int mean: sum/count goes through BIF_divide — int/int
+                # with a%b==0 stays INT (arithmetic.go:284-298); carry
+                # the per-group typing in a string column the writer
+                # re-scans (int prints bare, float through OFMT)
+                d = F.col(c)
+                out = out.withColumn(
+                    c,
+                    F.when(d == F.floor(d), d.cast("long").cast("string"))
+                    .otherwise(d.cast("string")),
+                )
+    # variance-family accumulators with n<2 (or no numeric inputs) emit
+    # VOID, not absent: the key stays with an empty value
+    # (stats1_accumulators.go var/stddev/meaneb finalizers return void)
+    for f_ in values:
+        for a in accs:
+            c = f"{f_}_{a}"
+            if a in ("var", "stddev", "meaneb", "skewness", "kurtosis") \
+                    and c in out.columns:
+                col = F.col(c)
+                out = out.withColumn(
+                    c, F.when(col.isNull(), F.lit("")).otherwise(
+                        col.cast("string"))
+                )
     # restore Miller's column order f x acc; groups emit in first-seen
     # stream order (the reference accumulates into ordered maps)
     out = _group_ord(df, out, by)

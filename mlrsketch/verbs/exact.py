@@ -74,6 +74,168 @@ def _pct_needs(a: str) -> list[float] | None:
     return None
 
 
+_INT_PAT = r"^-?[0-9]+$"
+
+
+def _stats1_typed(df, accs, values, by, interpolated):
+    """Typed (mlr-CLI byte path) stats1 — see the stats1 docstring.
+
+    min/max/percentile results are STRING columns carrying the typed
+    Miller value: the original element spelling for picks (the writer
+    re-scans: int prints bare, float through OFMT, strings verbatim),
+    Miller collation (numbers numerically before strings lexically,
+    cmp_dispositions mlrval_cmp.go:146; min/max matrices
+    arithmetic.go:783-965) and int->float promotion when any float
+    entered the fold. Plan shape is unchanged: one hash aggregation,
+    one shared sorted buffer per field for the percentile family.
+    """
+    pct_points: dict[str, list[float]] = {}
+    for f in values:
+        pts = sorted({p for a in accs for p in (_pct_needs(a) or [])})
+        if pts:
+            pct_points[f] = pts
+    want_mx = {"min", "max"} & set(accs)
+
+    aggs = []
+    dtypes = dict(df.dtypes)
+    for f in values:
+        num = F.col(f).try_cast("double")
+        if dtypes.get(f, "string") == "string":
+            s = F.col(f).cast("string")
+        else:
+            # numeric carrier column: integral values re-spell as INT
+            # (a long/double column cast to string would say "1.0";
+            # Miller's per-value typing prints data int 1 as "1")
+            s = F.when(
+                num.isNotNull() & (num == F.floor(num))
+                & (F.abs(num) < F.lit(9.0e18)),
+                num.cast("long").cast("string"),
+            ).otherwise(F.col(f).cast("string"))
+        present = F.col(f).isNotNull() & (s != "")  # void skips ingest
+        # (stats1.go:667-675)
+        isnum = present & num.isNotNull()
+        elem = F.struct(
+            F.when(isnum, F.lit(0)).otherwise(F.lit(1)).alias("r"),
+            F.when(isnum, num).alias("num"),
+            # int64 tiebreak: near-2^63 ints are indistinguishable as
+            # doubles (cmp_b_ii compares exact int64)
+            F.when(isnum, s.try_cast("long")).alias("lnum"),
+            s.alias("s"),
+        )
+        for a in accs:
+            if _pct_needs(a) is not None:
+                continue
+            if a in ("min", "max"):
+                agg = (F.min if a == "min" else F.max)(
+                    F.when(present, elem)
+                )
+                aggs.append(agg.alias(f"__mx_{f}_{a}"))
+            else:
+                aggs.append(_acc(a, f, interpolated).alias(f"{f}_{a}"))
+        if f in pct_points:
+            aggs.append(
+                F.array_sort(
+                    F.collect_list(F.when(present, elem))
+                ).alias(f"__sorted_{f}")
+            )
+        if want_mx or f in pct_points:
+            aggs.append(
+                F.max(
+                    F.when(isnum & ~s.rlike(_INT_PAT), 1).otherwise(0)
+                ).alias(f"__anyf_{f}")
+            )
+
+    grouped = df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+    def pickv(f: str, p: float):
+        """(isnum, isint, num, out) of the Miller percentile result."""
+        arr = F.col(f"__sorted_{f}")
+        n = F.size(arr)
+        if not interpolated:
+            # sorted[clamp(int(p/100*n), 0, n-1)], the element ITSELF
+            # (percentiles.go:193-208)
+            idx = F.least(
+                F.greatest(
+                    F.floor(F.lit(p / 100.0) * n).cast("int"), F.lit(0)
+                ),
+                n - 1,
+            )
+            el = F.get(arr, idx)
+            return (
+                el.getField("r") == 0,
+                el.getField("s").rlike(_INT_PAT),
+                el.getField("num"),
+                F.when(n == 0, F.lit("")).otherwise(el.getField("s")),
+            )
+        # linear interpolation (percentiles.go:9-28): findex =
+        # p/100*(n-1); iindex>=n-1 returns the element itself; else
+        # a + frac*(b-a) via the BIFs — float whenever computed
+        findex = F.lit(p / 100.0) * (n - 1).cast("double")
+        iindex = F.floor(findex).cast("int")
+        a_el = F.get(arr, iindex)
+        b_el = F.get(arr, F.least(iindex + 1, n - 1))
+        top = iindex >= n - 1
+        bothnum = (a_el.getField("r") == 0) & (b_el.getField("r") == 0)
+        comp = a_el.getField("num") + (findex - iindex.cast("double")) * (
+            b_el.getField("num") - a_el.getField("num")
+        )
+        isnum = F.when(top, a_el.getField("r") == 0).otherwise(bothnum)
+        isint = F.when(top, a_el.getField("s").rlike(_INT_PAT)).otherwise(
+            F.lit(False)
+        )
+        numv = F.when(top, a_el.getField("num")).otherwise(comp)
+        out = (
+            F.when(n == 0, F.lit(""))
+            .when(top, a_el.getField("s"))
+            .when(bothnum, comp.cast("string"))
+            .otherwise(F.lit("(error)"))
+        )
+        return isnum, isint, numv, out
+
+    out_cols: list[Column] = [F.col(c) for c in by]
+    for f in values:
+        anyf = F.col(f"__anyf_{f}") == 1
+        for a in accs:
+            if a in ("min", "max"):
+                st = F.col(f"__mx_{f}_{a}")
+                out_cols.append(
+                    F.when(
+                        (st.getField("r") == 0) & anyf,
+                        st.getField("num").cast("string"),
+                    )
+                    .otherwise(st.getField("s"))
+                    .alias(f"{f}_{a}")
+                )
+            elif _pct_needs(a) is None:
+                out_cols.append(F.col(f"{f}_{a}"))
+            elif a == "iqr" or a in _FENCE_K:
+                n75, i75, v75, _ = pickv(f, 75.0)
+                n25, i25, v25, _ = pickv(f, 25.0)
+                d = v75 - v25
+                if a == "iqr":
+                    # BIF_minus: int-int stays int, any float -> float,
+                    # non-numeric operand -> (error)
+                    out_cols.append(
+                        F.when(~(n75 & n25), F.lit("(error)"))
+                        .when(i75 & i25, d.cast("long").cast("string"))
+                        .otherwise(d.cast("string"))
+                        .alias(f"{f}_{a}")
+                    )
+                else:
+                    k = _FENCE_K[a]
+                    nb, _, vb, _ = pickv(f, 25.0 if k < 0 else 75.0)
+                    # base + K*iqr with float K -> always float
+                    out_cols.append(
+                        F.when(~(n75 & n25 & nb), F.lit("(error)"))
+                        .otherwise((vb + F.lit(k) * d).cast("string"))
+                        .alias(f"{f}_{a}")
+                    )
+            else:
+                p = 50.0 if a == "median" else float(a[1:])
+                out_cols.append(pickv(f, p)[3].alias(f"{f}_{a}"))
+    return grouped.select(*out_cols)
+
+
 # accumulator registry mirroring stats1 (pkg/transformers/utils/
 # stats1_accumulators.go:29-124). Each returns a Column for value field f.
 def _acc(name: str, f: str, interpolated: bool = False) -> Column:
@@ -142,6 +304,7 @@ def stats1(
     values: Sequence[str],
     by: Sequence[str] = (),
     interpolated: bool = False,
+    typed: bool = False,
 ) -> DataFrame:
     """`mlr stats1 -a ... -f ... -g ...` (pkg/transformers/stats1.go:36).
 
@@ -154,8 +317,19 @@ def stats1(
     or one sorted ``collect_list`` (Miller non-interpolated pick) —
     mirroring Miller's shared PercentileKeeper instead of sorting the
     group once per requested percentile.
+
+    ``typed=True`` (the mlr-CLI byte path): min/max/percentile-family
+    results become STRING columns carrying Miller's typed result —
+    original element spelling for percentile picks
+    (percentiles.go:9-28,193-208 return the mlrval itself), the
+    min/max disposition collation (numbers before strings,
+    arithmetic.go:783-965) with int->float promotion when any float
+    entered the fold (min_f_fi/max_f_fi). Same plan shape — the only
+    change is WHAT the one aggregation buffer carries.
     """
     accs, values, by = _cols(accs), _cols(values), _cols(by)
+    if typed:
+        return _stats1_typed(df, accs, values, by, interpolated)
     pct_points: dict[str, list[float]] = {}  # field -> sorted needed points
     for f in values:
         pts = sorted({p for a in accs for p in (_pct_needs(a) or [])})
