@@ -2045,21 +2045,92 @@ def v_label(df, argv):
 
 
 def v_sort_within_records(df, argv):
-    """`mlr sort-within-records [-r]` (sort_within_records.go): sort each
-    record's keys lexically (-r: descending). Values untouched — only
-    the per-record key ORDER changes, carried in __keys."""
-    fl, _ = _flags(argv, {"-r": 0, "-f": 1, "-n": 0})
-    if "__keys" not in df.columns:
-        # no per-record order carrier: fall back to sorting the schema
-        data = sorted(
-            [c for c in df.columns if not c.startswith("__")],
-            reverse=bool(fl.get("-r")),
+    """sort_within_records.go: rewrite each record's key ORDER only
+    (values untouched, order carried in __keys). With -f names or
+    -r regex, the MATCHING keys sort among themselves and move to the
+    record FRONT; the rest keep their order (transformSelective,
+    :241-270). No selector sorts all keys; bare -r (no regex arg)
+    additionally sorts subobjects — on the flattened carrier the
+    lexical sort of dotted paths is that recursion. -f ... -r treats
+    the names as regexes (:74-87). -n = natural order."""
+    fields, regexes, natural, bare_r = None, [], False, False
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-f":
+            fields = _csl(argv[i + 1])
+            i += 2
+        elif a == "-r":
+            # arity 0 or 1: consume a regex unless the next token is a
+            # flag (sort_within_records.go:74-87)
+            if i + 1 < len(argv) and not argv[i + 1].startswith("-"):
+                regexes.append(argv[i + 1])
+                i += 2
+            else:
+                bare_r = True
+                i += 1
+        elif a == "-n":
+            natural = True
+            i += 1
+        else:
+            raise Unsupported(f"sort-within-records flag {a}")
+    if fields is not None and bare_r:
+        regexes, fields = list(fields), None
+
+    def ci(p):
+        # Miller "..."i case-insensitive regex spelling
+        if len(p) > 2 and p.endswith('"i') and p.startswith('"'):
+            return "(?i)" + p[1:-2]
+        return p.strip('"')
+
+    def sel(k):
+        if fields is not None:
+            return k.isin(*fields) if fields else F.lit(False)
+        if regexes:
+            m = F.lit(False)
+            for p in regexes:
+                m = m | k.rlike(ci(p))
+            return m
+        return F.lit(True)
+
+    def sort_arr(arr):
+        if not natural:
+            return F.array_sort(arr)
+        st = F.transform(
+            arr,
+            lambda k: F.struct(
+                ev._natural_sort_key(k).alias("nk"), k.alias("k")
+            ),
         )
-        return df.select(*data, *[c for c in df.columns if c.startswith("__")])
-    arr = F.array_sort(F.col("__keys"))
-    if fl.get("-r"):
-        arr = F.reverse(arr)
-    return df.withColumn("__keys", arr)
+        return F.transform(F.array_sort(st), lambda s: s["k"])
+
+    if "__keys" not in df.columns:
+        data = [c for c in df.columns if not c.startswith("__")]
+        import re as _re_
+
+        def py_sel(k):
+            if fields is not None:
+                return k in fields
+            if regexes:
+                return any(_re_.search(p.strip('"'), k) for p in regexes)
+            return True
+
+        def py_key(k):
+            if not natural:
+                return k
+            return _re_.sub(
+                r"\d+", lambda m: m.group(0).rjust(20, "0"), k
+            )
+
+        hit = sorted([c for c in data if py_sel(c)], key=py_key)
+        rest = [c for c in data if not py_sel(c)]
+        return df.select(
+            *hit, *rest, *[c for c in df.columns if c.startswith("__")]
+        )
+    keys = F.col("__keys")
+    new = F.concat(sort_arr(F.filter(keys, sel)),
+                   F.filter(keys, lambda k: ~sel(k)))
+    return df.withColumn("__keys", new)
 
 
 def _keys_rename_col(mapping: dict):
@@ -2134,7 +2205,22 @@ def v_template(df, argv):
 
 
 def v_regularize(df, argv):
-    return df  # fixed schema: no-op
+    # regularize.go: records whose SORTED key list was seen before are
+    # reordered to the key order of the first such record. Per-record
+    # key order lives in the __keys carrier; first-seen = min __ord
+    # within the sorted-key-set partition (distributed: one window
+    # keyed by the sorted key list).
+    if "__keys" not in df.columns or "__ord" not in df.columns:
+        return df
+    from pyspark.sql import Window as W
+
+    sk = F.array_join(F.array_sort(F.col("__keys")), "\x1f")
+    w = (
+        W.partitionBy(sk)
+        .orderBy("__ord")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn("__keys", F.first("__keys").over(w))
 
 
 def v_sec2gmt(df, argv):
@@ -2674,22 +2760,186 @@ def v_stats2(df, argv):
     return out
 
 
+def _merge_group_adds(df, groups, accs, interp, empty_void):
+    """Shared merge-fields engine (merge_fields.go): per RECORD, the
+    stats1 accumulators fold HORIZONTALLY across each group's fields.
+    Pure row-wise expressions, zero shuffle. Values carry Miller typing
+    via (numeric-rank, double, printrep) structs: picks return the
+    value's original spelling, sums/means follow int arithmetic
+    (divide_n_ii), voids skip ingest (merge_fields.go:349,416,519).
+    empty_void: a group with nothing ingested emits VOID (""), int 0
+    for sum, 0 for count (accumulator initial states) — the -f/-r
+    named mode; collapse mode emits NO key instead (null)."""
+    adds = {}
+    est = "array<struct<s:int,n:double,t:string>>"
+    for base, cols in groups.items():
+        elems = [
+            F.when(
+                F.col(c).isNotNull() & (F.col(c).cast("string") != ""),
+                F.struct(
+                    F.col(c).try_cast("double").isNull().cast("int").alias("s"),
+                    F.coalesce(F.col(c).try_cast("double"), F.lit(0.0)).alias("n"),
+                    F.col(c).cast("string").alias("t"),
+                ),
+            )
+            for c in cols
+            if c in df.columns
+        ]
+        nn = (
+            F.filter(F.array(*elems), lambda x: x.isNotNull())
+            if elems
+            else F.lit(None).cast(est)
+        )
+        srt = F.array_sort(nn)
+        cnt = F.coalesce(F.size(nn), F.lit(0))
+        nums = F.transform(
+            F.filter(nn, lambda x: x["s"] == 0), lambda x: x["n"]
+        )
+        ncnt = F.coalesce(F.size(nums), F.lit(0))
+        ssum = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
+        ssum2 = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x * x)
+        # all merged numerics scan as INTs -> int-typed sum/mean
+        # (mlrval arithmetic keeps int until a float appears)
+        all_int = F.forall(
+            F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["t"]),
+            lambda t: t.rlike("^-?[0-9]+$"),
+        )
+
+        def sval(st):
+            # the value's printrep: Miller emits picked values
+            # byte-identically to how they were read
+            return st["t"]
+
+        def pick(p):
+            if interp:
+                # percentiles.go:9-28: iindex>=n-1 returns the element
+                # itself (original typing); else a+frac*(b-a) -> float
+                findex = F.greatest(
+                    F.lit(p / 100.0) * (cnt - 1).cast("double"), F.lit(0.0)
+                )
+                iidx = F.floor(findex).cast("int")
+                frac = findex - iidx.cast("double")
+                lo = F.get(srt, iidx)
+                hi = F.coalesce(F.get(srt, iidx + 1), lo)
+                return (
+                    F.when(iidx >= cnt - 1, sval(F.get(srt, cnt - 1)))
+                    .when(
+                        (lo["s"] == 0) & (hi["s"] == 0),
+                        (lo["n"] + frac * (hi["n"] - lo["n"])).cast("string"),
+                    )
+                    .otherwise(sval(lo))
+                )
+            idx = F.least(
+                F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)),
+                cnt - 1,
+            )
+            return sval(F.get(srt, idx))
+
+        for a in accs:
+            name = f"{base}_{a}"
+            empty = F.lit("")
+            if a == "min":
+                c_ = sval(F.get(srt, 0))
+            elif a == "max":
+                c_ = sval(F.get(srt, cnt - 1))
+            elif a == "sum":
+                c_ = F.when(
+                    all_int, F.round(ssum).cast("long").cast("string")
+                ).otherwise(ssum.cast("string"))
+                empty = F.lit("0")  # sum starts FromInt(0)
+            elif a == "mean":
+                ilong = F.round(ssum).cast("long")
+                c_ = F.when(
+                    all_int & (ilong % ncnt == 0),
+                    (ilong / ncnt).cast("long").cast("string"),
+                ).otherwise((ssum / ncnt).cast("string"))
+                empty = F.lit("NaN")  # divide(int 0, int 0)
+            elif a == "count":
+                c_ = cnt.cast("string")
+                empty = F.lit("0")
+            elif a in ("var", "stddev"):
+                v_ = (ssum2 - ssum * ssum / ncnt) / (ncnt - 1).cast("double")
+                v_ = F.sqrt(v_) if a == "stddev" else v_
+                # n<2 emits VOID (bifs/stats.go:34-36)
+                c_ = F.when(ncnt < 2, F.lit("")).otherwise(v_.cast("string"))
+            elif a == "minlen":
+                c_ = F.array_min(
+                    F.transform(nn, lambda x: F.length(x["t"]))
+                ).cast("string")
+            elif a == "maxlen":
+                c_ = F.array_max(
+                    F.transform(nn, lambda x: F.length(x["t"]))
+                ).cast("string")
+            elif a == "first":
+                c_ = sval(F.get(nn, 0))
+            elif a == "last":
+                c_ = sval(F.get(nn, cnt - 1))
+            elif a == "median":
+                c_ = pick(50.0)
+            elif a == "iqr":
+                c_ = None
+            elif a in _FENCE_K_R:
+                c_ = None
+            elif a.startswith("p") and a[1:].replace(".", "").isdigit():
+                c_ = pick(float(a[1:]))
+            else:
+                raise Unsupported(f"merge-fields acc {a}")
+            if c_ is None:
+                # iqr / fences from the shared picks; BIF typing: int-int
+                # iqr stays int via the printrep re-scan of pick values
+                def pnum(p):
+                    idx = F.least(
+                        F.greatest(
+                            F.floor(F.lit(p / 100.0) * cnt).cast("int"),
+                            F.lit(0),
+                        ),
+                        cnt - 1,
+                    )
+                    el = F.get(srt, idx)
+                    if interp:
+                        findex = F.greatest(
+                            F.lit(p / 100.0) * (cnt - 1).cast("double"),
+                            F.lit(0.0),
+                        )
+                        iidx = F.floor(findex).cast("int")
+                        frac = findex - iidx.cast("double")
+                        lo = F.get(srt, iidx)
+                        hi = F.coalesce(F.get(srt, iidx + 1), lo)
+                        return F.when(iidx >= cnt - 1, F.get(srt, cnt - 1)["n"]).otherwise(
+                            lo["n"] + frac * (hi["n"] - lo["n"])
+                        )
+                    return el["n"]
+
+                d_ = pnum(75.0) - pnum(25.0)
+                if a == "iqr":
+                    ints = all_int & ~F.lit(interp)
+                    c_ = F.when(
+                        ints, d_.cast("long").cast("string")
+                    ).otherwise(d_.cast("string"))
+                else:
+                    k2 = _FENCE_K_R[a]
+                    c_ = (
+                        (pnum(25.0) if k2 < 0 else pnum(75.0))
+                        + F.lit(k2) * d_
+                    ).cast("string")
+            adds[name] = (
+                F.when(cnt > 0, c_).otherwise(empty)
+                if empty_void
+                else F.when(cnt > 0, c_)
+            )
+    return adds
+
+
 def v_merge_fields(df, argv):
     fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-o": 1, "-k": 0, "-c": 1, "-r": 1,
                           "-i": 0, "-S": 0, "-F": 0})
     accs = _csl(fl["-a"])
-    ok = {"min", "max", "sum", "mean", "count", "var", "stddev", "median",
-          "iqr", "lof", "lif", "uif", "uof", "first", "last", "minlen", "maxlen"}
-    for a in accs:
-        if a not in ok and not (a.startswith("p") and a[1:].replace(".", "").isdigit()):
-            raise Unsupported(f"merge-fields acc {a}")
     interp = bool(fl.get("-i"))
     if "-c" in fl:
         # collapse mode (merge_fields.go): per RECORD, fields sharing a
         # name after removing any -c substring are merged; base name is
         # the stripped name. A record with no matching fields for a base
-        # emits NO columns for it (dynamic schema -> null-guarded here).
-        # Values use Miller's collation: numbers sort before strings.
+        # emits NO columns for it (dynamic schema -> null-guarded).
         subs = _csl(fl["-c"])
         groups: dict[str, list[str]] = {}
         for c in df.columns:
@@ -2699,78 +2949,7 @@ def v_merge_fields(df, argv):
                 if s in c:
                     groups.setdefault(c.replace(s, "", 1), []).append(c)
                     break
-        adds = {}
-        for base, cols in groups.items():
-            elems = [
-                F.when(
-                    F.col(c).isNotNull(),
-                    F.struct(
-                        F.col(c).try_cast("double").isNull().cast("int").alias("s"),
-                        F.coalesce(F.col(c).try_cast("double"), F.lit(0.0)).alias("n"),
-                        F.col(c).cast("string").alias("t"),
-                    ),
-                )
-                for c in cols
-            ]
-            nn = F.filter(F.array(*elems), lambda x: x.isNotNull())
-            srt = F.array_sort(nn)
-            cnt = F.size(nn)
-            nums = F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["n"])
-            ssum = F.aggregate(nums, F.lit(0.0), lambda acc, x: acc + x)
-            # all merged numerics scan as INTs -> int-typed sum/mean
-            # (mlrval arithmetic keeps int until a float appears)
-            all_int = F.forall(
-                F.transform(F.filter(nn, lambda x: x["s"] == 0), lambda x: x["t"]),
-                lambda t: t.rlike("^-?[0-9]+$"),
-            )
-
-            def sval(st):
-                # the value's printrep: Miller emits picked values
-                # byte-identically to how they were read
-                return st["t"]
-
-            def pick(p):
-                if interp:
-                    findex = F.greatest(F.lit(p / 100.0) * (cnt - 1).cast("double"), F.lit(0.0))
-                    iidx = F.floor(findex).cast("int")
-                    frac = findex - iidx.cast("double")
-                    lo, hi = F.get(srt, iidx), F.coalesce(F.get(srt, iidx + 1), F.get(srt, iidx))
-                    return F.when(
-                        (lo["s"] == 0) & (hi["s"] == 0),
-                        (lo["n"] + frac * (hi["n"] - lo["n"])).cast("string"),
-                    ).otherwise(sval(lo))
-                idx = F.least(
-                    F.greatest(F.floor(F.lit(p / 100.0) * cnt).cast("int"), F.lit(0)),
-                    cnt - 1,
-                )
-                return sval(F.get(srt, idx))
-
-            for a in accs:
-                name = f"{base}_{a}"
-                if a == "min":
-                    c_ = sval(F.get(srt, 0))
-                elif a == "max":
-                    c_ = sval(F.get(srt, cnt - 1))
-                elif a == "sum":
-                    c_ = F.when(
-                        all_int, F.round(ssum).cast("long").cast("string")
-                    ).otherwise(ssum.cast("string"))
-                elif a == "mean":
-                    ilong = F.round(ssum).cast("long")
-                    c_ = F.when(
-                        all_int & (ilong % F.size(nums) == 0),
-                        (ilong / F.size(nums)).cast("long").cast("string"),
-                    ).otherwise((ssum / F.size(nums)).cast("string"))
-                elif a == "count":
-                    c_ = cnt.cast("string")
-                elif a == "median":
-                    c_ = pick(50.0)
-                elif a.startswith("p") and a[1:].replace(".", "").isdigit():
-                    c_ = pick(float(a[1:]))
-                else:
-                    raise Unsupported(f"merge-fields collapse acc {a}")
-                adds[name] = F.when(cnt > 0, c_)
-        out = df.withColumns(adds)
+        out = df.withColumns(_merge_group_adds(df, groups, accs, interp, False))
         if not fl.get("-k") and groups:
             out = out.drop(*[c for cols in groups.values() for c in cols])
         return out
@@ -2778,31 +2957,13 @@ def v_merge_fields(df, argv):
         pats = _regexes(_csl(fl["-r"]))
         fields = [c for c in df.columns if not c.startswith("__") and any(p.search(c) for p in pats)]
     else:
-        fields = [f_ for f_ in _csl(fl["-f"]) if f_ in df.columns]
-    out = ev.merge_fields(df, accs, fields, fl.get("-o", "out"), interpolated=interp)
-    # int printrep: all merged values scanning INT keep int-preserving
-    # accumulators int-typed (see v_stats1)
-    if fields:
-        all_int = True
-        for f_ in fields:
-            sc = F.col(f_).cast("string")
-            nn = df.filter(sc.isNotNull() & (sc != ""))
-            if nn.count() == 0 or nn.filter(~sc.rlike("^-?[0-9]+$")).count() > 0:
-                all_int = False
-                break
-        if all_int:
-            oname = fl.get("-o", "out")
-            int_accs = {"sum", "min", "max", "minlen", "maxlen", "first", "last"}
-            for a in accs:
-                c = f"{oname}_{a}"
-                picks = not interp and (
-                    a in ("median", "iqr")
-                    or (a.startswith("p") and a[1:].replace(".", "").isdigit())
-                )
-                if c in out.columns and (a in int_accs or picks):
-                    out = out.withColumn(c, F.col(c).cast("long"))
-    if not fl.get("-k") and fields:
-        out = out.drop(*fields)
+        fields = _csl(fl["-f"])
+    oname = fl.get("-o", "out")
+    out = df.withColumns(
+        _merge_group_adds(df, {oname: fields}, accs, interp, True)
+    )
+    if not fl.get("-k"):
+        out = out.drop(*[f_ for f_ in fields if f_ in out.columns])
     return out
 
 
@@ -2810,16 +2971,33 @@ def v_unsparsify(df, argv):
     fl, _ = _flags(argv, {"--fill-with": 1, "-f": 1})
     fill = fl.get("--fill-with", "")
     if "-f" in fl:
-        # only the listed fields are filled-in (added at record end when
-        # absent); others keep their het key sets
+        # only the listed fields fill in, and a filled field APPENDS at
+        # record end in -f order (unsparsify.go -f: record.Put on a
+        # missing key); keys the record already has stay in place
         out = df
+        has_keys = "__keys" in out.columns
         for f_ in _csl(fl["-f"]):
-            if f_ in out.columns:
+            if f_ not in out.columns:
+                out = out.withColumn(f_, F.lit(None).cast("string"))
+            has = (
+                F.array_contains(F.col("__keys"), f_)
+                if has_keys
+                else F.col(f_).isNotNull()
+            )
+            out = out.withColumn(
+                f_,
+                F.when(~has, F.lit(fill)).otherwise(
+                    F.col(f_).cast("string")
+                ),
+            )
+            if has_keys:
                 out = out.withColumn(
-                    f_, F.coalesce(F.col(f_).cast("string"), F.lit(fill))
+                    "__keys",
+                    F.when(
+                        ~F.array_contains(F.col("__keys"), f_),
+                        F.concat(F.col("__keys"), F.array(F.lit(f_))),
+                    ).otherwise(F.col("__keys")),
                 )
-            else:
-                out = out.withColumn(f_, F.lit(fill))
         return out
     # every key of the stream present on every record, absent -> fill
     # (unsparsify.go: VOID by default); all records take ONE key order

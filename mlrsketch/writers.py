@@ -275,6 +275,7 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
         for rec in records:
             nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
             if not nested:
+                bodies.append("{}")  # zero-key record prints {} (sparsify)
                 continue
             parts = [
                 f"{_json_key(k)}: "
@@ -287,6 +288,7 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
         if not nested:
+            bodies.append("{}")  # zero-key record prints {} (sparsify)
             continue
         fields = []
         for k, v in nested.items():
@@ -309,6 +311,7 @@ def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False, **_):
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
         if not nested:
+            lines.append("{}")  # zero-key record prints {} (sparsify)
             continue
         parts = []
         for k, v in nested.items():
