@@ -4982,12 +4982,19 @@ def run_stream(
             r2 = unflatten_record(r2, flatsep)
         prepared.append(r2)
     fmt = kwargs.get("ofmt")
+    # quantize=False (mid-chain use): keep full float precision — OFMT
+    # is an OUTPUT format; a downstream verb must see the unrounded
+    # double (reference applies ofmt only in the record writers;
+    # golden verb-sec2gmt/0009-0010: put then sec2gmt -8)
+    quantize = kwargs.get("quantize", True)
 
     def _typed_out(v):
         if isinstance(v, Err):
             return "(error)"
         if v is ABSENT:
             return None
+        if not quantize and isinstance(v, float):
+            return float(v)
         if fmt and isinstance(v, float) and v == v and v not in (
             float("inf"), float("-inf")
         ):

@@ -751,14 +751,17 @@ def v_cat(df, argv):
     if fl.get("--filename") or fl.get("--filenum"):
         cols = [c for c in df.columns if not c.startswith("__")]
         front = []
-        if fl.get("--filename"):
-            if "__fname" not in df.columns:
-                raise Unsupported("cat --filename without file context")
-            front.append(F.col("__fname").alias("filename"))
+        # reference prepend order: filenum BEFORE filename (cat.go: the
+        # counters map is built filename-first then PrependReference
+        # reverses — expout verb-cat/0015 pins filenum,filename,...)
         if fl.get("--filenum"):
             if "__fnum" not in df.columns:
                 raise Unsupported("cat --filenum without file context")
             front.append(F.col("__fnum").cast("int").alias("filenum"))
+        if fl.get("--filename"):
+            if "__fname" not in df.columns:
+                raise Unsupported("cat --filename without file context")
+            front.append(F.col("__fname").alias("filename"))
         df = df.select(*front, *cols, "__ord")
     counter_name = fl.get("-N", "n") if ("-N" in fl or fl.get("-n")) else None
     if counter_name is None:
@@ -912,25 +915,66 @@ def v_uniq(df, argv):
         excl = set(_csl(fl["-x"]))
         by = [c for c in df.columns if not c.startswith("__") and c not in excl]
     if fl.get("-a") or "-x" in fl:
-        # whole-record (or other-fields) dedupe, first-occurrence order
-        # (uniq.go:391-425); with -c the count is PREPENDED, with -n
-        # only the distinct count. The dedupe key is record CONTENT —
-        # drop the per-record key-order carrier before grouping.
-        if "__keys" in df.columns:
-            df = df.drop("__keys")
-        cols = by if "-x" in fl else [c for c in df.columns if not c.startswith("__")]
-        if fl.get("-n"):
-            out = ev.uniq_distinct_count(df, cols)
-        else:
-            out = ev.uniq_records(
-                df,
-                show_counts=bool(fl.get("-c")),
-                order_by=["__ord"],
-                exclude=_csl(fl["-x"]) if "-x" in fl else (),
+        # whole-record / other-fields dedupe, first-occurrence order.
+        # -a keys on the full record string incl. KEY ORDER
+        # (uniq.go:391-425 `inrec.String()`, count PREPENDED); -x keys
+        # on the VALUES of each record's own non-excluded fields
+        # (uniq.go:573 GetSelectedValuesAndJoined over
+        # getFieldNamesForGrouping, count APPENDED), emitting the first
+        # record's fields in that record's own key order.
+        excl = _csl(fl["-x"]) if "-x" in fl else []
+        cols = [c for c in df.columns if not c.startswith("__")]
+        out_cols = [c for c in cols if c not in excl]
+        if "__keys" not in df.columns:
+            df = df.withColumn(
+                "__keys", F.array(*[F.lit(c) for c in cols])
             )
-        if "-o" in fl and (fl.get("-c") or fl.get("-n")):
-            out = out.withColumnRenamed("count", fl["-o"])
-        return out
+        keysf = F.array_except(
+            F.col("__keys"), F.array(*[F.lit(e) for e in excl])
+        ) if excl else F.col("__keys")
+        valmap = F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        if fl.get("-a"):
+            sig = F.array_join(
+                F.transform(
+                    keysf,
+                    lambda k: F.concat(
+                        k, F.lit("="),
+                        F.coalesce(F.element_at(valmap, k), F.lit("")),
+                    ),
+                ), "\x1f",
+            )
+        else:
+            sig = F.array_join(
+                F.transform(
+                    keysf,
+                    lambda k: F.coalesce(F.element_at(valmap, k), F.lit("")),
+                ), "\x1f",
+            )
+        d2 = df.withColumn("__gk", sig)
+        if fl.get("-n"):
+            return d2.select("__gk").distinct().agg(
+                F.count("*").alias(fl.get("-o") or "count")
+            )
+        agg = d2.groupBy("__gk").agg(
+            F.min("__ord").alias("__ord"),
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min_by(F.struct(*out_cols, "__keys"), "__ord").alias("__s"),
+        )
+        cname = fl.get("-o") or "count"
+        sel = [F.col(f"__s.{c}").alias(c) for c in out_cols]
+        cnt = [F.col("__cnt").alias(cname)] if fl.get("-c") else []
+        if fl.get("-a"):
+            sel = cnt + sel  # count PREPENDED (uniq.go:417)
+        else:
+            sel = sel + cnt  # count APPENDED (uniq.go:601-604)
+        keys_out = (
+            F.array_except(
+                F.col("__s.__keys"), F.array(*[F.lit(e) for e in excl])
+            ) if excl else F.col("__s.__keys")
+        )
+        return agg.select(*sel, keys_out.alias("__keys"), "__ord")
     if not by or by == [""]:
         raise Unsupported("uniq without -g/-f")
     d = df
@@ -1240,7 +1284,14 @@ def v_top(df, argv):
         ).drop("top_idx", "__ord")
     out = None
     for f_ in fields:
-        t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=bool(by))
+        t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=True)
+        # exactly n rows per group; short groups pad with Miller VOID
+        # (top.go emit: `newrec.PutCopy(key, mlrval.VOID)`) — stringify
+        # so "" can live in the value column (floats re-scan at render)
+        t = t.withColumn(
+            f"{f_}_top",
+            F.coalesce(F.col(f"{f_}_top").cast("string"), F.lit("")),
+        )
         if "-o" in fl:
             t = t.withColumnRenamed(f"{f_}_top", fl["-o"])
         out = t if out is None else out.join(t, [*by, "top_idx"])
@@ -1422,8 +1473,12 @@ def v_json_parse(df, argv):
                 try:
                     parsed = _json.loads(v)
                 except ValueError:
-                    # unparseable: (error) value, or original with -k
-                    rec[k] = v if fl.get("-k") else "(error)"
+                    # unparseable: MT_ERROR value (or original with -k).
+                    # \x02 marks error-as-value in the flat string
+                    # carrier: the json writer prints the token BARE
+                    # (mlrval_json.go: invalid JSON by design), text
+                    # writers print it plain
+                    rec[k] = v if fl.get("-k") else "\x02(error)"
                     continue
                 _flatten_json_value(rec, k, parsed, ".")
             elif v is not None:
@@ -1580,7 +1635,10 @@ def v_describe(df, argv):
         def as_num(v):
             if isinstance(v, (int, float)) and not isinstance(v, bool):
                 return v
-            if _mlr_value_type(v) in ("int", "float"):
+            t = _mlr_value_type(v)
+            if t == "int":
+                return int(v)  # int spelling stays int (prints bare)
+            if t == "float":
                 return float(v)
             return None
 
@@ -1595,7 +1653,11 @@ def v_describe(df, argv):
         recs.append(rec)
     spark = df.sparkSession
     to_df = run_case.__globals__.get("_TO_DF")
-    out = to_df(spark, recs, infer=True, keep_void=True)
+    # infer=False: the profile values are already print-form strings;
+    # union-schema re-inference would coerce int spellings to double
+    # when another field's values share the column (verb-describe/het:
+    # values.6 holds i's "6" AND x's "0.527..." -> double -> "6.000...")
+    out = to_df(spark, recs, infer=False, keep_void=True)
     return out
 
 
@@ -1708,16 +1770,20 @@ def v_summary(df, argv):
     from pyspark.sql.types import StringType, StructField, StructType
 
     order = ["field_name"] + (list(cols) if fl.get("--transpose") else stats)
+    # non-applicable stats emit VOID (reference summary.go keeps ONE
+    # uniform key set per field record; pprint renders "" as "-"):
+    # golden verb-summary/default — string fields carry mean="" etc.
     if fl.get("--transpose"):
         recs = []
         for s in stats:
             rec = {"field_name": s}
             for p in profiles:
-                rec[p["field_name"]] = None if p[s] is None else str(p[s])
+                rec[p["field_name"]] = "" if p[s] is None else str(p[s])
             recs.append(rec)
     else:
         recs = [
-            {"field_name": p["field_name"], **{s: None if p[s] is None else str(p[s]) for s in stats}}
+            {"field_name": p["field_name"],
+             **{s: "" if p[s] is None else str(p[s]) for s in stats}}
             for p in profiles
         ]
     schema = StructType([StructField(c, StringType()) for c in order])
@@ -1850,14 +1916,39 @@ def v_sparsify(df, argv):
     is the filler (default "") — under the fixed schema, removal == null."""
     fl, _ = _flags(argv, {"-s": 1, "-f": 1})
     filler = fl.get("-s", "")
-    fields = _csl(fl["-f"]) if "-f" in fl else [c for c in df.columns if not c.startswith("__")]
-    return df.withColumns(
-        {
-            f_: F.when(F.col(f_).cast("string") == filler, None).otherwise(F.col(f_))
-            for f_ in fields
-            if f_ in df.columns and not f_.startswith("__")
-        }
-    )
+    fields = [
+        f_ for f_ in (
+            _csl(fl["-f"]) if "-f" in fl
+            else [c for c in df.columns if not c.startswith("__")]
+        )
+        if f_ in df.columns and not f_.startswith("__")
+    ]
+    if "__keys" in df.columns and fields:
+        # removal must leave the per-record key-order carrier too, or
+        # void restoration resurrects the dropped key as `k=`. Carrier
+        # voids are null — they match the default "" filler. Rewrite
+        # __keys FIRST (its own projection): withColumns would resolve
+        # the value map against the already-nulled columns.
+        cols = [c for c in df.columns if not c.startswith("__")]
+        valmap = F.create_map(
+            *[x for c in cols for x in (F.lit(c), F.col(c).cast("string"))]
+        )
+        fset = F.array(*[F.lit(f_) for f_ in fields])
+        df = df.withColumn(
+            "__keys",
+            F.filter(
+                F.col("__keys"),
+                lambda k: ~(
+                    F.array_contains(fset, k)
+                    & (F.coalesce(F.element_at(valmap, k), F.lit(""))
+                       == F.lit(filler))
+                ),
+            ),
+        )
+    return df.withColumns({
+        f_: F.when(F.col(f_).cast("string") == filler, None).otherwise(F.col(f_))
+        for f_ in fields
+    })
 
 
 def _go_fmt_to_java(fmt: str) -> str:
@@ -2164,6 +2255,45 @@ def v_reorder(df, argv):
         # order; within each group fields keep record order
         pats = _regexes(_csl(fl["-r"]))
         cols = [c for c in df.columns if not c.startswith("__")]
+        anchor = fl.get("-a") or fl.get("-b")
+        if anchor:
+            # reorderBeforeOrAfterWithRegex (reorder.go:366-404): per
+            # record, matched fields (grouped by regex order, record
+            # order within) move next to the center field; records
+            # without the center pass through unchanged. Pure __keys
+            # permutation — values untouched.
+            specs = [(p.pattern, p.flags) for p in pats]
+            put_after = "-a" in fl
+
+            def rework(keys):
+                if not keys or anchor not in keys:
+                    return keys
+                compiled = [_re.compile(p, f) for p, f in specs]
+                matched: list = []
+                for p in compiled:
+                    for k in keys:
+                        if k != anchor and k not in matched and p.search(k):
+                            matched.append(k)
+                out = []
+                for k in keys:
+                    if k == anchor:
+                        if put_after:
+                            out.append(k)
+                            out.extend(matched)
+                        else:
+                            out.extend(matched)
+                            out.append(k)
+                    elif k not in matched:
+                        out.append(k)
+                return out
+
+            from pyspark.sql.types import ArrayType, StringType
+            ud = F.udf(rework, ArrayType(StringType()))
+            if "__keys" not in df.columns:
+                df = df.withColumn(
+                    "__keys", F.array(*[F.lit(c) for c in cols])
+                )
+            return df.withColumn("__keys", ud("__keys"))
         moved: list[str] = []
         for p in pats:
             moved += [c for c in cols if p.search(c) and c not in moved]
@@ -2477,6 +2607,213 @@ _STEPPERS_OK = {"shift", "shift_lag", "shift_lead", "delta", "ratio", "rsum",
                 "rprod", "counter", "from-first"}
 
 
+def _step_parse_count(name: str):
+    """(base, n) for variable-count steppers; (name, 0) otherwise
+    (step.go parseStepperCount: shift == shift_lag, shift_7 etc)."""
+    for base in ("shift_lead", "shift_lag", "shift", "delta", "ratio"):
+        if name == base:
+            return base, 1
+        tail = name[len(base) + 1:]
+        if name.startswith(base + "_") and tail.isdigit():
+            return base, int(tail)
+    return name, 0
+
+
+def _step_miller_driver(spark, records, stepper_names, fields, by):
+    """Reference step event model driver-side, for the byte-exact CLI
+    path when step is the LAST verb over a pristine stream: per-value
+    Miller typing (int deltas stay int, mixed int/float fields keep
+    per-prefix types), ingest-gated outputs, value-ring nil pushes on
+    absent fields, end-of-stream drain (step.go:369-546 handleRecord/
+    handleDrainRecord, valueRing :819-846, steppers :894-1420). The
+    distributed scale path is mlrsketch.verbs.exact.step — this runs
+    only where emission bytes are compared, like v_describe/v_summary.
+    """
+    from mlrsketch.dsl import interp as MI
+
+    max_fwd = 0
+    for s in stepper_names:
+        b, n = _step_parse_count(s)
+        if b == "shift_lead":
+            max_fwd = max(max_fwd, n)
+
+    def scan(v):
+        return MI.infer_value(v) if isinstance(v, str) else v
+
+    class Ring:
+        __slots__ = ("vals", "nxt", "filled")
+
+        def __init__(self, n):
+            self.vals = [None] * n
+            self.nxt = 0
+            self.filled = 0
+
+        def push(self, v):
+            nback = self.vals[self.nxt]
+            has = self.filled >= len(self.vals)
+            self.vals[self.nxt] = v
+            self.nxt = (self.nxt + 1) % len(self.vals)
+            if not has:
+                self.filled += 1
+            return nback, has
+
+    class Win:
+        """Per-group window keeper; get(0) = center = max_fwd back."""
+        __slots__ = ("ing",)
+
+        def __init__(self):
+            self.ing = []
+
+        def ingest(self, rec):
+            self.ing.append(rec)
+
+        def get(self, j):
+            idx = len(self.ing) - 1 - max_fwd + j
+            return self.ing[idx] if 0 <= idx < len(self.ing) else None
+
+    class St:
+        __slots__ = ("name", "base", "n", "f", "out", "ring", "acc",
+                     "first", "has_first")
+
+        def __init__(self, name, f):
+            self.name, self.f = name, f
+            self.base, self.n = _step_parse_count(name)
+            self.out = f + ("_from_first" if name == "from-first"
+                            else "_" + name)
+            self.ring = (Ring(self.n) if self.base in
+                         ("shift", "shift_lag", "delta", "ratio") else None)
+            self.acc = None
+            self.first = None
+            self.has_first = False
+
+        def clear_prev(self):
+            if self.ring is not None:
+                self.ring.push(None)
+
+        def process(self, wk):
+            cur = wk.get(0)
+            if cur is None:
+                return
+            f, b = self.f, self.base
+            has_f = f in cur
+            curraw = cur.get(f)
+            if b in ("shift", "shift_lag"):
+                prev, has = self.ring.push(curraw if has_f else None)
+                cur[self.out] = prev if (has and prev is not None) else ""
+                return
+            if b == "shift_lead":
+                nxt = wk.get(self.n)
+                if nxt is None:
+                    cur[self.out] = ""
+                    return
+                if f in nxt:
+                    cur[self.out] = nxt[f]
+                return
+            if b in ("delta", "ratio"):
+                if not has_f:
+                    self.ring.push(None)
+                    return
+                if curraw == "":
+                    self.ring.push(None)
+                    cur[self.out] = ""
+                    return
+                v = scan(curraw)
+                prev, has = self.ring.push(v)
+                if has and prev is not None:
+                    cur[self.out] = MI.arith(
+                        "-" if b == "delta" else "/", v, prev)
+                else:
+                    cur[self.out] = 0 if b == "delta" else 1
+                return
+            if not has_f:
+                return
+            if self.name == "from-first":
+                v = scan(curraw)
+                if not self.has_first:
+                    self.first, self.has_first = v, True
+                    cur[self.out] = 0
+                else:
+                    cur[self.out] = MI.arith("-", v, self.first)
+                return
+            if curraw == "":
+                cur[self.out] = ""
+                return
+            v = scan(curraw)
+            if self.name == "rsum":
+                self.acc = MI.arith("+", v, 0 if self.acc is None else self.acc)
+                cur[self.out] = self.acc
+            elif self.name == "rprod":
+                self.acc = MI.arith("*", v, 1 if self.acc is None else self.acc)
+                cur[self.out] = self.acc
+            elif self.name == "counter":
+                self.acc = MI.arith("+", 0 if self.acc is None else self.acc, 1)
+                cur[self.out] = self.acc
+
+    emitted: list[dict] = []
+    groups: dict[str, tuple] = {}
+    log: list[tuple] = []
+    drained: set[int] = set()
+
+    def run_steppers(rec, win, sts):
+        for f in fields:
+            if f not in rec:
+                for st in (sts.get(f) or {}).values():
+                    st.clear_prev()
+                continue
+            st_f = sts.setdefault(f, {})
+            for name in stepper_names:
+                st = st_f.get(name)
+                if st is None:
+                    st = st_f[name] = St(name, f)
+                st.process(win)
+
+    for rec0 in records:
+        rec = dict(rec0)
+        if by and any(b not in rec for b in by):
+            emitted.append(rec)
+            continue
+        gkey = "\x1f".join(str(rec[b]) for b in by) if by else ""
+        ent = groups.get(gkey)
+        if ent is None:
+            ent = groups[gkey] = (Win(), {})
+        win, sts = ent
+        win.ingest(rec)
+        log.append((rec, win, sts))
+        run_steppers(rec, win, sts)
+        c = win.get(0)
+        if c is not None:
+            emitted.append(c)
+            drained.add(id(c))
+    for rec, win, sts in log:
+        if id(rec) in drained:
+            continue
+        win.ingest(None)
+        run_steppers(rec, win, sts)
+        c = win.get(0)
+        if c is not None:
+            emitted.append(c)
+
+    def outv(v):
+        if v is None:
+            return None
+        if isinstance(v, MI.Err):
+            return "\x02(error)"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return repr(float(v))
+        if isinstance(v, int):
+            return str(int(v))
+        return v
+
+    recs_out = [
+        {k: outv(v) for k, v in r.items() if not k.startswith("__")}
+        for r in emitted
+    ]
+    to_df = run_case.__globals__.get("_TO_DF")
+    return to_df(spark, recs_out, infer=False)
+
+
 def v_step(df, argv):
     fl, _ = _flags(argv, {"-a": 1, "-f": 1, "-g": 1, "-d": 1, "-o": 1, "-F": 0})
     slwins = []
@@ -2517,6 +2854,24 @@ def v_step(df, argv):
     values = _csl(fl["-f"])
     if any(v not in df.columns for v in values):
         raise Unsupported("step absent field")
+    # byte-exact driver path (see _step_miller_driver): last verb over a
+    # pristine stream, ring/accumulator steppers only (-F is a Miller-6
+    # no-op, step.go:91)
+    orig_names = _csl(fl["-a"])
+    ring_ok = all(
+        _step_parse_count(s)[0] in
+        ("shift", "shift_lag", "shift_lead", "delta", "ratio")
+        or s in ("rsum", "rprod", "counter", "from-first")
+        for s in orig_names
+    )
+    if (
+        ring_ok
+        and getattr(_TLS, "df_pristine", False)
+        and getattr(_TLS, "orig_records", None)
+        and getattr(_TLS, "chain_is_last", False)
+    ):
+        return _step_miller_driver(
+            df.sparkSession, _TLS.orig_records, orig_names, values, by)
     dtypes = dict(df.dtypes)
     numeric_needed = bool(
         [s for s in steppers if s not in ("shift", "shift_lag", "shift_lead", "counter")]
@@ -2671,32 +3026,43 @@ def v_stats2(df, argv):
             l2 = (vx + vy - disc) / 2
             m_pca = (l1 - vx) / cxy
             b_pca = sy / n - m_pca * (sx / n)
-            ok2 = (n >= 2) & (dden != 0)
+
+            # reference -s emission (stats2_accumulators.go Populate):
+            # outputs append only to records CARRYING the pair; n<2
+            # emits VOID (""), not absent — xtab keeps the key with an
+            # empty value (golden verb-stats2/0003*-0004*)
+            def _vs(c):
+                return F.when(~both, F.lit(None).cast("string")).otherwise(
+                    F.when(n < 2, F.lit("")).otherwise(c.cast("string"))
+                )
+
             for a in accs:
                 if a == "linreg-ols":
-                    adds[f"{x}_{y}_ols_m"] = F.when(ok2, m_ols)
-                    adds[f"{x}_{y}_ols_b"] = F.when(ok2, b_ols)
-                    adds[f"{x}_{y}_ols_n"] = n.cast("long")
+                    adds[f"{x}_{y}_ols_m"] = _vs(m_ols)
+                    adds[f"{x}_{y}_ols_b"] = _vs(b_ols)
+                    # ols_n always prints (int), even at n=1
+                    adds[f"{x}_{y}_ols_n"] = F.when(both, n.cast("long"))
                 elif a == "linreg-pca":
-                    okp = (n >= 2) & (cxy != 0)
-                    adds[f"{x}_{y}_pca_m"] = F.when(okp, m_pca)
-                    adds[f"{x}_{y}_pca_b"] = F.when(okp, b_pca)
-                    adds[f"{x}_{y}_pca_n"] = F.when(n >= 2, n.cast("long"))
-                    adds[f"{x}_{y}_pca_quality"] = F.when(
-                        okp, F.when(F.abs(l1) == 0, F.lit(0.0)).otherwise(1.0 - F.abs(l2) / F.abs(l1))
+                    adds[f"{x}_{y}_pca_m"] = _vs(m_pca)
+                    adds[f"{x}_{y}_pca_b"] = _vs(b_pca)
+                    # pca_n is VOID below n=2 (unlike ols_n)
+                    adds[f"{x}_{y}_pca_n"] = _vs(n.cast("long"))
+                    adds[f"{x}_{y}_pca_quality"] = _vs(
+                        F.when(F.abs(l1) == 0, F.lit(0.0))
+                        .otherwise(1.0 - F.abs(l2) / F.abs(l1))
                     )
                 elif a == "r2":
                     num = (n * sxy - sx * sy)
-                    adds[f"{x}_{y}_r2"] = F.when(
-                        ok2, num * num / (dden * (n * syy - sy * sy))
+                    adds[f"{x}_{y}_r2"] = _vs(
+                        num * num / (dden * (n * syy - sy * sy))
                     )
                 elif a == "corr":
                     num = n * sxy - sx * sy
-                    adds[f"{x}_{y}_corr"] = F.when(
-                        ok2, num / F.sqrt(dden * (n * syy - sy * sy))
+                    adds[f"{x}_{y}_corr"] = _vs(
+                        num / F.sqrt(dden * (n * syy - sy * sy))
                     )
                 elif a == "cov":
-                    adds[f"{x}_{y}_cov"] = F.when(n >= 2, cxy)
+                    adds[f"{x}_{y}_cov"] = _vs(cxy)
                 else:
                     raise Unsupported(f"stats2 -s acc {a}")
         return df.withColumns(adds)
@@ -3166,7 +3532,7 @@ def v_sparkline(df, argv):
                 break
             floats.append(float(iv))
         if err:
-            rec["sparkline"] = "(error)"
+            rec["sparkline"] = "\x02(error)"  # error-as-value (bare in json)
         elif not floats:
             rec["sparkline"] = ""  # VOID for n=0; lo/hi omitted
         else:
@@ -3534,6 +3900,7 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
             tz=getattr(_TLS, "tz", None),
             env=getattr(_TLS, "env_overrides", None),
             typed=True,
+            quantize=bool(getattr(_TLS, "chain_is_last", False)),
             nrs=nrs,
             final_nr=(len(getattr(_TLS, "orig_records", []) or [])
                       or (max(nrs) if nrs else 0)) or None,
@@ -3671,9 +4038,21 @@ def _run_dsl_interp(spark, df, prog, mode, negate, emit_only, presets=None,
              for r in recs_out]
         )
     to_df = _TO_DF
+
+    def _carrier_out(v):
+        # MID-CHAIN materialization: keep full float precision (repr
+        # round-trips); OFMT applies only at final render, like the
+        # reference (verb-sec2gmt/0009: put then sec2gmt -8 must see
+        # the unrounded double, not the %.8f-formatted spelling)
+        if isinstance(v, float) and v == v and v not in (
+            float("inf"), float("-inf")
+        ):
+            return repr(v)
+        return _fmt_scalar_out(v)
+
     out = to_df(
         spark,
-        [{k: _fmt_scalar_out(v) for k, v in r.items()}
+        [{k: _carrier_out(v) for k, v in r.items()}
          for r in recs_out],
         infer=True,
         keep_void=True,
@@ -4033,9 +4412,19 @@ def v_nest(df, argv):
             if not parts:
                 raise Unsupported("nest implode across-fields: no parts")
             cols = []
+            # a record with NO parts at all never had the field — keep
+            # it ABSENT (concat_ws would fabricate ""): golden
+            # verb-nest/ivaf-0001 record `u=100,y=d:60`
+            all_null = F.lit(True)
+            for p in parts:
+                all_null = all_null & F.col(p).isNull()
             for c in df.columns:
                 if c == parts[0]:
-                    cols.append(F.concat_ws(sep, *[F.col(p) for p in parts]).alias(base))
+                    cols.append(
+                        F.when(all_null, F.lit(None).cast("string"))
+                        .otherwise(F.concat_ws(sep, *[F.col(p) for p in parts]))
+                        .alias(base)
+                    )
                 elif c in parts:
                     continue
                 else:
@@ -5176,7 +5565,17 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             rec = {
                 k: _unfs(v) for k, v in d.items() if not k.startswith("__")
             }
-            got.append(_order_record(rec, d.get("__keys")))
+            # Miller VOID restoration: a key listed in the record's own
+            # __keys whose (existing) column is null was read as "" and
+            # nulled by scan inference — it is VOID, not absent, and
+            # must render as `k=` (mix-null-field-input, verb-repeat).
+            # Keys missing from __keys stay absent (het records).
+            rkeys = d.get("__keys")
+            if rkeys:
+                for k in rkeys:
+                    if k in rec and rec[k] is None:
+                        rec[k] = ""
+            got.append(_order_record(rec, rkeys))
     return _ctx_result(
         got, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
         ofmt_num, olite, no_auto_unflatten, chains, ordered=ordered)
@@ -5190,6 +5589,15 @@ def _compare_result(res: ExecResult, case_dir: str, expect_err_text):
     ofmt_num = res.ofmt_num
     ordered = res.ordered
     got = res.records
+    if got:
+        # record-level compare sees the plain error token, not the
+        # \x02 error-as-value carrier mark (the byte path's writers
+        # strip it themselves)
+        got = [
+            {k: (v[1:] if isinstance(v, str) and v[:1] == "\x02" else v)
+             for k, v in r.items()}
+            for r in got
+        ]
     if res.text is not None:
         # print/dump-only output: compare at raw-text level. The
         # reference goldens carry floats at 8-decimal print precision;

@@ -548,13 +548,17 @@ def top(
     if show_full_records:
         return ranked
     out = ranked.select(*by, "top_idx", F.col(value).alias(f"{value}_top"))
-    if by and pad:
-        # Miller emits exactly n rows per group, void-padded when the
-        # group has fewer candidates (golden verb-top/0002)
+    if pad:
+        # Miller emits exactly n rows per group (one group when
+        # ungrouped), void-padded when the group has fewer candidates
+        # (top.go emit loop `for i < topCount`; golden verb-top/0002)
         idxs = df.sparkSession.range(1, n + 1).select(
             F.col("id").cast("int").alias("top_idx")
         )
-        full = out.select(*by).distinct().crossJoin(F.broadcast(idxs))
+        if by:
+            full = out.select(*by).distinct().crossJoin(F.broadcast(idxs))
+        else:
+            full = idxs
         out = full.join(out, [*by, "top_idx"], "left")
     return out
 

@@ -40,6 +40,8 @@ _NO_SCAN_OFMT = False  # set by render() for -S (all-strings) streams
 def _fmt(v) -> str | None:
     if v is None:
         return None
+    if isinstance(v, str) and v[:1] == "\x02":
+        return v[1:]  # error-as-value mark: print the bare token
     fmt = None if _NO_SCAN_OFMT else MI.current_ofmt()
     if fmt and isinstance(v, str):
         # Under MLR_OFMT the reference formats every FLOAT-typed value
@@ -199,6 +201,10 @@ def _json_scalar(v, typed: bool = False) -> str:
 
     if v is MI.NULL:
         return "null"  # MT_NULL prints bare (mlrval_json.go:326-328)
+    if isinstance(v, str) and v[:1] == "\x02":
+        # error-as-value carrier mark: bare token, intentionally
+        # invalid JSON like the reference (mlrval_json.go MT_ERROR)
+        return v[1:]
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, MI.Err):

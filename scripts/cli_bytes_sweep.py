@@ -65,6 +65,18 @@ def try_case(spark, case_dir: str):
             )
         except ValueError as e:
             return "skip", f"writer: {e}"
+    if res.last_verb == "utf8-to-latin1":
+        # the reference writes LATIN-1 bytes here (intentionally not
+        # UTF-8); compare raw bytes instead of the lossy utf-8 decode
+        with open(os.path.join(case_dir, "expout"), "rb") as f:
+            raw = f.read()
+        try:
+            gb = got.encode("latin-1")
+        except UnicodeEncodeError:
+            return "fail", "latin-1 encode"
+        if gb == raw:
+            return "pass", None
+        return "fail", f"{len(gb)}b vs {len(raw)}b (latin-1)"
     if got == exp:
         return "pass", None
     return "fail", f"{len(got)}b vs {len(exp)}b"

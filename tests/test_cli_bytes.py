@@ -63,3 +63,22 @@ def test_cli_bytes_io(spark):
         f"only {n_pass} io cases byte-exact (floor {MIN_PASS_IO}); "
         f"first fails: {fails[:5]}"
     )
+
+
+# round 3: the verb-* byte channel closed its fail list (45 -> 0):
+# void restoration through the flat carrier, reference uniq -x/-a key
+# semantics, top void padding, per-value Miller typing for
+# step/describe/summary, stats2 -s iterative emission, reorder -r
+# anchors, error-as-value marks. Ordered-chain coverage is the floor;
+# zero byte MISMATCHES is the invariant (skips are unordered chains).
+MIN_PASS_VERB = 585
+
+
+def test_cli_bytes_verb(spark):
+    n_pass, fails = _sweep(spark, ["verb-*"])
+    assert not fails, (
+        f"{len(fails)} verb byte mismatches (passed {n_pass}): {fails[:8]}"
+    )
+    assert n_pass >= MIN_PASS_VERB, (
+        f"only {n_pass} verb cases byte-exact (floor {MIN_PASS_VERB})"
+    )
