@@ -2481,7 +2481,18 @@ def v_join(spark, right, argv, to_df, ifmt):
     (join.go:24-31 emit-flag matrix). The join field is renamed to the
     -j output name on EVERY emitted record, paired or not (golden
     verb-join/0009); records missing the key never pair and flow to the
-    unpaired side."""
+    unpaired side.
+
+    Emission ORDER is the reference's (join.go:417-455): right-driven —
+    per right record in stream order, its pairs (left-bucket order
+    inside) or its unpaired self; then at end of stream the left
+    unpaired BUCKETS in first-seen key order (records in left order)
+    followed by left records lacking the join keys. Key order of a
+    paired record: output join names, left non-join fields in left
+    record order, right non-join fields in right record order
+    (formAndEmitPairs, join.go:623-680). Sorted mode (-s) with --ul
+    interleaves left-unpaired by key position — not modeled: flagged
+    unordered."""
     expanded = []
     for a in argv:
         if a.startswith("--lp=") or a.startswith("--rp="):
@@ -2517,24 +2528,39 @@ def v_join(spark, right, argv, to_df, ifmt):
         jsonin=(lfmt == "json"),
     )
     left = to_df(spark, lrecs, infer=(lfmt not in ("csv", "csvlite", "tsv"))) if lrecs else None
-    if left is not None and "__keys" in left.columns:
-        # both join sides carry the per-record key-order column; emission
-        # order/key order of joined records is not modeled anyway
-        left = left.drop("__keys")
-    if right is not None and "__keys" in right.columns:
-        right = right.drop("__keys")
-    if lkeep is not None and left is not None:
-        keep_cols = [c for c in left.columns if c in set(lkeep) | set(lk) or c == "__ord"]
-        left = left.select(*keep_cols)
 
     emit_paired = not fl.get("--np")
     emit_ul, emit_ur = bool(fl.get("--ul")), bool(fl.get("--ur"))
+    sorted_mode = bool(fl.get("-s"))
+
+    def _carriers(df, ordc, keyc):
+        if df is None:
+            return None
+        cols = [c for c in df.columns if not c.startswith("__")]
+        df = df.withColumnRenamed("__ord", ordc)
+        if "__keys" in df.columns:
+            df = df.withColumnRenamed("__keys", keyc)
+        else:
+            df = df.withColumn(keyc, F.array(*[F.lit(c) for c in cols]))
+        return df.drop(*[c for c in df.columns
+                         if c.startswith("__") and c not in (ordc, keyc)])
+
+    left = _carriers(left, "__lord", "__lkeys")
+    right = _carriers(right, "__rord", "__rkeys")
+
+    if lkeep is not None and left is not None:
+        keep = set(lkeep) | set(lk)
+        left = left.select(
+            *[c for c in left.columns if c in keep or c.startswith("__")]
+        ).withColumn(
+            "__lkeys", F.filter(F.col("__lkeys"), lambda k: k.isin(*keep))
+        )
 
     def prep(df, keys):
         """Rename key cols to the output names; return (all, nonnull)."""
         if df is None or any(k not in df.columns for k in keys):
             return None, None
-        allr = df.withColumnsRenamed(dict(zip(keys, j))).drop("__ord")
+        allr = df.withColumnsRenamed(dict(zip(keys, j)))
         nn = allr
         for k in j:
             nn = nn.filter(F.col(k).isNotNull())
@@ -2549,45 +2575,229 @@ def v_join(spark, right, argv, to_df, ifmt):
     # and unpaired (join.go). Without explicit flags the defaults kick
     # in only to resolve paired-record collisions, on both sides.
     if "--lp" in fl and l_all is not None:
-        ren = {c: lp + c for c in l_all.columns if c not in j}
+        ren = {c: lp + c for c in l_all.columns
+               if c not in j and not c.startswith("__")}
         l_all = l_all.withColumnsRenamed(ren)
         l_nn = l_nn.withColumnsRenamed(ren) if l_nn is not None else None
     if "--rp" in fl and r_all is not None:
-        ren = {c: rp + c for c in r_all.columns if c not in j}
+        ren = {c: rp + c for c in r_all.columns
+               if c not in j and not c.startswith("__")}
         r_all = r_all.withColumnsRenamed(ren)
         r_nn = r_nn.withColumnsRenamed(ren) if r_nn is not None else None
 
+    _LO = 1 << 16         # left-ordinal stride (in-slot release pos)
+    _B = 1 << 20          # bucket stride for unsorted end-of-stream
+    _S = 1 << 34          # per-right-record slot width
+    _HALF = 1 << 33       # pairs/right-unpaired live in the upper half;
+    #                       sort-merge left-unpaired-passed-over in the
+    #                       lower half (emitted while advancing the
+    #                       bucket keeper, BEFORE that right record's
+    #                       own output — join_bucket_keeper.go)
+    _OFF_UL = 1 << 52     # left-unpaired buckets after all right-driven
+    _OFF_NOKEY = 1 << 56  # then left records lacking the join keys
+
+    def _keys_out(arr, side_keys, prefix, do_prefix, drop_keys):
+        """Rewrite a side's key-order array for emission: join keys
+        renamed to the -j output names (or dropped for the paired
+        record body), the rest optionally prefixed."""
+        m = dict(zip(side_keys, j))
+
+        def one(k):
+            rest = F.concat(F.lit(prefix), k) if do_prefix else k
+            e = None
+            for a, b in m.items():
+                e = (F.when(k == F.lit(a), F.lit(b)) if e is None
+                     else e.when(k == F.lit(a), F.lit(b)))
+            return e.otherwise(rest) if e is not None else rest
+
+        if drop_keys:
+            arr = F.filter(arr, lambda k: ~k.isin(*side_keys))
+        return F.transform(arr, one)
+
     parts = []
     if emit_paired and l_nn is not None and r_nn is not None:
-        lcols = [c for c in l_nn.columns if c not in j]
-        rcols = [c for c in r_nn.columns if c not in j]
+        lcols = [c for c in l_nn.columns if c not in j and not c.startswith("__")]
+        rcols = [c for c in r_nn.columns if c not in j and not c.startswith("__")]
         collide = set(lcols) & set(rcols)
         if collide and not use_prefixes:
             raise Unsupported("join non-key column collision")
-        if collide:
-            l_nn = l_nn.withColumnsRenamed({c: lp + c for c in collide})
-            r_nn = r_nn.withColumnsRenamed({c: rp + c for c in collide})
-        parts.append(l_nn.join(r_nn, on=j, how="inner"))
+        joined = l_nn.join(r_nn, on=j, how="inner")
+        pair_keys = F.concat(
+            F.array(*[F.lit(x) for x in j]),
+            _keys_out(F.col("__lkeys"), lk, lp, "--lp" in fl, drop_keys=True),
+            _keys_out(F.col("__rkeys"), rk, rp, "--rp" in fl, drop_keys=True),
+        )
+        parts.append(
+            joined.withColumn(
+                "__ord",
+                F.col("__rord") * _S + _HALF + F.col("__lord") + 1,
+            ).withColumn("__keys", pair_keys)
+            .drop("__lord", "__lkeys", "__rord", "__rkeys")
+        )
+
+    def _left_emit(df, anti=True):
+        """Left-unpaired: unsorted mode emits buckets at END of stream
+        in first-seen key order, records in left order inside; keyless
+        records after all buckets. Sort-merge mode (-s) emits a
+        passed-over bucket while ingesting the first right record whose
+        key sorts ABOVE it — i.e. interleaved, just before that right
+        record's own output (join_bucket_keeper.go cursor advance)."""
+        from pyspark.sql import Window as _W
+
+        pre_keys = None
+        for k in j:
+            c = F.col(k).isNotNull() if k in df.columns else F.lit(False)
+            pre_keys = c if pre_keys is None else (pre_keys & c)
+        keysd = None
+        if (sorted_mode and pre_keys is not None
+                and all(k in df.columns for k in j)):
+            # effective key must see PAIRED keyed records too (the
+            # cursor passes a keyless record while reading through its
+            # preceding keyed run) — compute before the anti-join
+            lks0 = F.struct(*[F.col(k).cast("string") for k in j])
+            df = df.withColumn(
+                "__ek",
+                F.last(F.when(pre_keys, lks0), ignorenulls=True).over(
+                    _W.orderBy("__lord")
+                    .rowsBetween(_W.unboundedPreceding, 0)
+                ),
+            )
+            # per distinct keyed key: its predecessor (keyless
+            # pass-through threshold) and its run TERMINATOR ordinal —
+            # the first keyed record with a greater key, where an
+            # unpaired bucket is discarded mid-slot
+            keysd = (
+                df.filter(pre_keys)
+                .groupBy(lks0.alias("__k"))
+                .agg(F.min("__lord").alias("__kmin"))
+                .withColumn("__p2", F.lag("__k").over(_W.orderBy("__k")))
+                .withColumn(
+                    "__term", F.lead("__kmin").over(_W.orderBy("__k"))
+                )
+                .drop("__kmin")
+            )
+        if anti and r_nn is not None:
+            df = df.join(r_nn.select(*j).distinct(), on=j, how="left_anti")
+
+        have_keys = None
+        for k in j:
+            c = F.col(k).isNotNull() if k in df.columns else F.lit(False)
+            have_keys = c if have_keys is None else (have_keys & c)
+        if have_keys is None:
+            have_keys = F.lit(False)
+        wmin = F.min(F.when(have_keys, F.col("__lord"))).over(
+            _W.partitionBy(*[F.col(k) for k in j if k in df.columns])
+        ) if any(k in df.columns for k in j) else F.lit(0)
+        ordc = F.when(
+            have_keys, F.lit(_OFF_UL) + wmin * _B + F.col("__lord")
+        ).otherwise(F.lit(_OFF_NOKEY) + F.col("__lord"))
+        if (sorted_mode and r_nn is not None
+                and all(k in df.columns for k in j)):
+            # doubly-streaming cursor (join_bucket_keeper.go): a left
+            # record passes out while ingesting the first right KEYED
+            # record whose key sorts above the record's EFFECTIVE key —
+            # its own key, or (keyless record) the last keyed key
+            # before it in the left stream; -inf when none. No such
+            # right record -> the end-of-stream branch above. Field-wise
+            # lexical compare, per the -s sorted-input contract.
+            # Bucket-keeper replay (join_bucket_keeper.go FindJoinBucket
+            # / prepareForNewJoinBucket / fillNextJoinBucket /
+            # markRemainingsAsUnpaired; het-join goldens
+            # verb-join/0078-0104):
+            #  * a left record releases in the SLOT of the first keyed
+            #    right record whose key exceeds its threshold — own key
+            #    for keyed records, pred(preceding run key) for keyless
+            #    ones (read while that run is filled or seeked past);
+            #    no such right record -> end-of-stream drain;
+            #  * within a slot, order is READ order, except a run that
+            #    had become the KEEPER'S BUCKET: its group releases at
+            #    its terminator position, as one move event before any
+            #    same-ordinal read. A run becomes the bucket iff it is
+            #    the first keyed run or some right key lands in
+            #    (pred(k), k].
+            rmin = r_nn.groupBy(*j).agg(F.min("__rord").alias("__rmin"))
+            rmin = rmin.select(
+                F.struct(
+                    *[F.col(k).cast("string") for k in j]
+                ).alias("__rk"),
+                "__rmin",
+            )
+            bhit = (
+                keysd.filter(F.col("__p2").isNotNull())
+                .join(
+                    rmin.select("__rk"),
+                    (F.col("__rk") > F.col("__p2"))
+                    & (F.col("__rk") <= F.col("__k")),
+                    "left_semi",
+                )
+                .select("__k")
+                .withColumn("__isb", F.lit(True))
+            )
+            keysd = keysd.join(bhit, "__k", "left").withColumn(
+                "__isb",
+                F.coalesce(F.col("__isb"), F.col("__p2").isNull()),
+            )
+            df = df.join(
+                keysd.withColumnRenamed("__k", "__ek"), "__ek", "left"
+            )
+            thr = F.when(have_keys, F.col("__ek")).otherwise(F.col("__p2"))
+            df = df.withColumn("__thr", thr)
+            first_r = r_nn.agg(F.min("__rord")).first()[0]
+            bef = (
+                df.select(F.col("__lord"), F.col("__thr"))
+                .join(rmin, F.col("__rk") > F.col("__thr"), "inner")
+                .groupBy("__lord")
+                .agg(F.min("__rmin").alias("__bef"))
+            )
+            df = df.join(bef, "__lord", "left")
+            if first_r is not None:
+                df = df.withColumn(
+                    "__bef",
+                    F.when(
+                        F.col("__thr").isNull(), F.lit(int(first_r))
+                    ).otherwise(F.col("__bef")),
+                )
+            is_bucket = have_keys & F.coalesce(F.col("__isb"), F.lit(False))
+            eff = F.when(
+                is_bucket,
+                F.coalesce(F.col("__term"), F.lit((_LO >> 1) - 1)),
+            ).otherwise(F.col("__lord"))
+            phase = F.when(is_bucket, F.lit(0)).otherwise(F.lit(1))
+            inslot = (eff * 2 + phase) * _LO + F.col("__lord")
+            # end-of-stream drain follows the same event order
+            ordc = F.when(
+                F.col("__bef").isNotNull(),
+                F.col("__bef") * _S + inslot,
+            ).otherwise(F.lit(_OFF_UL) + inslot)
+        keysc = _keys_out(F.col("__lkeys"), lk, lp, "--lp" in fl,
+                          drop_keys=False)
+        out_ = (df.withColumn("__ord", ordc).withColumn("__keys", keysc)
+                .drop("__lord", "__lkeys"))
+        return out_.drop(
+            *[c for c in ("__bef", "__ek", "__p2", "__thr", "__term",
+                          "__isb")
+              if c in out_.columns])
+
     if emit_ul:
         if l_all is None and left is not None:
-            parts.append(left.drop("__ord"))  # key absent from schema: all unpaired
+            parts.append(_left_emit(left, anti=False))
         elif l_all is not None:
-            if r_nn is not None:
-                parts.append(
-                    l_all.join(r_nn.select(*j).distinct(), on=j, how="left_anti")
-                )
-            else:
-                parts.append(l_all)
+            parts.append(_left_emit(l_all))
     if emit_ur:
+
+        def _right_emit(df, anti=True):
+            if anti and l_nn is not None:
+                df = df.join(l_nn.select(*j).distinct(), on=j, how="left_anti")
+            keysc = _keys_out(F.col("__rkeys"), rk, rp, "--rp" in fl,
+                              drop_keys=False)
+            return (df.withColumn("__ord", F.col("__rord") * _S + _HALF)
+                    .withColumn("__keys", keysc)
+                    .drop("__rord", "__rkeys"))
+
         if r_all is None and right is not None:
-            parts.append(right.drop("__ord"))
+            parts.append(_right_emit(right, anti=False))
         elif r_all is not None:
-            if l_nn is not None:
-                parts.append(
-                    r_all.join(l_nn.select(*j).distinct(), on=j, how="left_anti")
-                )
-            else:
-                parts.append(r_all)
+            parts.append(_right_emit(r_all))
 
     parts = [p for p in parts if p is not None]
     if not parts:
@@ -2595,7 +2805,10 @@ def v_join(spark, right, argv, to_df, ifmt):
         # with no --ul/--ur survivors): empty record stream
         for d in (l_all, r_all, right):
             if d is not None:
-                return d.limit(0)
+                out0 = d.limit(0)
+                if "__ord" not in out0.columns:
+                    out0 = out0.withColumn("__ord", F.lit(0).cast("long"))
+                return out0
         raise Unsupported("join emits nothing computable")
     out = parts[0]
     for p in parts[1:]:
@@ -4779,6 +4992,9 @@ ORDER_PRESERVING = {
     # ascends bins
     "count", "count-distinct", "most-frequent", "least-frequent", "top",
     "histogram",
+    # right-driven emission order modeled in v_join (sort-merge --ul
+    # flags itself unordered via _TLS.join_unordered)
+    "join",
 }
 
 # Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`
@@ -5454,10 +5670,17 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             _TLS.df_pristine = False
             continue
         if verb == "join":
-            # join emission order is not modeled; __ord only seeds
-            # downstream window verbs (ordered_ok already False)
+            # join emits in the reference's right-driven order (__ord
+            # computed by v_join); sort-merge --ul interleaving is the
+            # one unmodeled combination
+            _TLS.join_unordered = False
             spark_df = v_join(spark, spark_df, vargv, to_df, ifmt)
-            spark_df = spark_df.withColumn("__ord", F.monotonically_increasing_id())
+            if getattr(_TLS, "join_unordered", False):
+                ordered_ok = False
+            if "__ord" not in spark_df.columns:
+                spark_df = spark_df.withColumn(
+                    "__ord", F.monotonically_increasing_id())
+                ordered_ok = False
             _TLS.df_pristine = False
             continue
         if verb not in VERBS:
