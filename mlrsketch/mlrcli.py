@@ -866,7 +866,27 @@ def v_cut(df, argv):
     keep = [f for f in df.columns if f in _csl(fl["-f"])] if not fl.get("-o") else [
         f for f in _csl(fl["-f"]) if f in df.columns
     ]
-    return df.select(*keep) if keep else df.select(*fields)
+    sel = keep if keep else fields
+    # stream order survives projection; per-record key order: kept keys
+    # in record order, or in -f order under -o (cut.go:26 -o flag)
+    extra = []
+    if "__ord" in df.columns:
+        extra.append(F.col("__ord"))
+    if "__keys" in df.columns and sel:
+        if fl.get("-o"):
+            kc = F.filter(
+                F.array(*[F.lit(f) for f in sel]),
+                lambda k: F.array_contains(F.col("__keys"), k),
+            )
+        else:
+            kc = F.filter(F.col("__keys"), lambda k: k.isin(*sel))
+        extra.append(kc.alias("__keys"))
+    if sel:
+        return df.select(*sel, *extra)
+    # nothing kept: keyless records (writers skip them) in stream order
+    if "__ord" in df.columns:
+        return df.select(*fields, "__ord")
+    return df.select(*fields)
 
 
 def v_sort(df, argv):
@@ -997,8 +1017,12 @@ def v_count(df, argv):
     fl, _ = _flags(argv, {"-g": 1, "-o": 1, "-n": 0})
     by = _csl(fl["-g"]) if "-g" in fl else []
     if fl.get("-n"):
-        # number of distinct group-key values (count.go: -n)
-        out = ev.uniq_distinct_count(_drop_missing_keys(df, by), by) if by else df.agg(F.lit(1).alias("count"))
+        # number of distinct group-key values (count.go: -n); single
+        # output record at end of stream
+        out = (
+            ev.uniq_distinct_count(_drop_missing_keys(df, by), by)
+            if by else df.agg(F.lit(1).alias("count"))
+        ).withColumn("__ord", F.lit(0).cast("long"))
     else:
         out = _group_ord(df, ev.count_records(df, by=by), by)
     if "-o" in fl:
@@ -1012,11 +1036,33 @@ def v_count_distinct(df, argv):
     if any(f_ not in df.columns for f_ in fields):
         raise Unsupported("count-distinct absent field")
     if fl.get("-n"):
-        return ev.count_distinct_n(df, fields)  # -o is ignored with -n
-    out = ev.count_distinct(df, fields, unlashed=bool(fl.get("-u")))
-    if not fl.get("-u"):
-        out = _group_ord(df, out, fields)
-    if "-o" in fl and not fl.get("-u"):
+        return ev.count_distinct_n(df, fields).withColumn(
+            "__ord", F.lit(0).cast("long"))  # -o is ignored with -n
+    if fl.get("-u"):
+        # unlashed emission order (uniq.go:510-530): per field in -f
+        # order, values in first-seen stream order
+        parts = []
+        for i, f_ in enumerate(fields):
+            p = (
+                df.filter(F.col(f_).isNotNull())
+                .groupBy(
+                    F.lit(f_).alias("field"),
+                    F.col(f_).cast("string").alias("value"),
+                )
+                .agg(F.count("*").alias("count"), F.min("__ord").alias("__m"))
+                .withColumn(
+                    "__ord", F.lit(i) * F.lit(1 << 40) + F.col("__m")
+                )
+                .drop("__m")
+            )
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    out = ev.count_distinct(df, fields, unlashed=False)
+    out = _group_ord(df, out, fields)
+    if "-o" in fl:
         out = out.withColumnRenamed("count", fl["-o"])
     return out
 
@@ -1275,13 +1321,29 @@ def v_top(df, argv):
     for b in by:
         d = d.filter(F.col(b).isNotNull())
     if fl.get("-a"):
-        # full records of the top-n rows (top.go: -a; single -f only)
+        # full records of the top-n rows (top.go: -a; single -f only);
+        # emission: groups in first-seen order, keeper rank within
         if len(fields) != 1:
             raise Unsupported("top -a with multiple fields")
-        return ev.top(
+        t = ev.top(
             d, fields[0], n=n, by=by, use_min=bool(fl.get("--min")),
             show_full_records=True, tiebreak=["__ord"],
-        ).drop("top_idx", "__ord")
+        )
+        if by:
+            gmin = d.groupBy(*by).agg(F.min("__ord").alias("__gm"))
+            t = (
+                t.drop("__ord").join(gmin, by)
+                .withColumn(
+                    "__ord",
+                    F.col("__gm") * (1 << 20) + F.col("top_idx"),
+                )
+                .drop("__gm", "top_idx")
+            )
+        else:
+            t = t.drop("__ord").withColumn(
+                "__ord", F.col("top_idx").cast("long")
+            ).drop("top_idx")
+        return t
     out = None
     for f_ in fields:
         t = ev.top(d, f_, n=n, by=by, use_min=bool(fl.get("--min")), pad=True)
@@ -2331,7 +2393,10 @@ def v_template(df, argv):
                 fields = fh.readline().strip().split(",")
     else:
         fields = _csl(fl["-f"])
-    return ev.template(df, fields, fill=fl.get("--fill-with"))
+    # absent fields fill with "" by default (template.go:58 fillWith);
+    # template order IS the output key order (carrier dropped), and the
+    # stream ordinal survives inside ev.template
+    return ev.template(df, fields, fill=fl.get("--fill-with", ""))
 
 
 def v_regularize(df, argv):
@@ -3329,14 +3394,56 @@ def v_stats2(df, argv):
             ren[f"{x}_{y}_m"] = f"{x}_{y}_ols_m"
             ren[f"{x}_{y}_b"] = f"{x}_{y}_ols_b"
         s = s.withColumnsRenamed(ren)
+        pair = F.sum(
+            F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), 1).otherwise(0)
+        ).alias("__pn")
+        n = df.groupBy(*by).agg(pair) if by else df.agg(pair)
+        s = s.join(n, by) if by else s.crossJoin(n)
         if "linreg-ols" in accs:
-            pair = F.sum(
-                F.when(F.col(x).isNotNull() & F.col(y).isNotNull(), 1).otherwise(0)
-            ).alias(f"{x}_{y}_ols_n")
-            n = df.groupBy(*by).agg(pair) if by else df.agg(pair)
-            s = s.join(n, by) if by else s.crossJoin(n)
+            s = s.withColumn(f"{x}_{y}_ols_n", F.col("__pn"))
+        # reference field order within the output record: each
+        # accumulator's fields in -a order (stats2_accumulators.go
+        # Populate: ols m,b,n / pca m,b,n,quality / r2 / corr / cov /
+        # covx matrix); n<2 emits VOID, except ols_n which always
+        # prints (verb-stats2/0001, 0010)
+        ordered_cols = []
+        for a in accs:
+            if a == "linreg-ols":
+                ordered_cols += [f"{x}_{y}_ols_m", f"{x}_{y}_ols_b",
+                                 f"{x}_{y}_ols_n"]
+            elif a == "linreg-pca":
+                ordered_cols += [f"{x}_{y}_pca_m", f"{x}_{y}_pca_b",
+                                 f"{x}_{y}_pca_n", f"{x}_{y}_pca_quality"]
+            elif a == "covx":
+                ordered_cols += [f"{x}_{x}_covx", f"{x}_{y}_covx",
+                                 f"{y}_{x}_covx", f"{y}_{y}_covx"]
+            else:
+                ordered_cols += [f"{x}_{y}_{a.replace('-', '_')}"]
+        ordered_cols = [c for c in ordered_cols if c in s.columns]
+        # a group with NO valid pair never creates the accumulator: all
+        # its output keys stay ABSENT (stats2.go:335-343 continue-before
+        # -create); with exactly one pair the fields emit VOID
+        none_ = F.col("__pn") == 0
+        small = F.col("__pn") < 2
+        proj = []
+        for c in ordered_cols:
+            col = F.col(c)
+            if c.endswith("_ols_n"):
+                proj.append(
+                    F.when(none_, F.lit(None)).otherwise(col)
+                    .cast("long").alias(c)
+                )
+            else:
+                proj.append(
+                    F.when(none_, F.lit(None).cast("string"))
+                    .when(small | col.isNull(), F.lit(""))
+                    .otherwise(col.cast("string")).alias(c)
+                )
+        s = s.select(*by, *proj)
         out = s if out is None else (out.join(s, by) if by else out.crossJoin(s))
-    return out
+    # Miller emission: groups in first-seen stream order, one record
+    # at end of stream when ungrouped (stats2.go emit loop)
+    return _group_ord(df, out, by)
 
 
 def _merge_group_adds(df, groups, accs, interp, empty_void):
@@ -4369,7 +4476,16 @@ def v_cut_regex(df, argv):
     cols = [c for c in df.columns if not c.startswith("__")]
     hit = [c for c in cols if any(p.search(c) for p in pats)]
     keep = [c for c in cols if (c in hit) != bool(fl.get("-x"))]
-    return df.select(*keep) if keep else df.limit(0).select(*cols)
+    if not keep:
+        return df.limit(0).select(*cols)
+    extra = []
+    if "__ord" in df.columns:
+        extra.append(F.col("__ord"))
+    if "__keys" in df.columns:
+        extra.append(
+            F.filter(F.col("__keys"), lambda k: k.isin(*keep)).alias("__keys")
+        )
+    return df.select(*keep, *extra)
 
 
 def v_rename_regex(df, argv):
@@ -4674,8 +4790,34 @@ def v_reshape(df, argv):
         key, val = _csl(fl["-s"])
         if key not in df.columns or val not in df.columns:
             return df  # absent key/value fields: records pass through
-        ids = [c for c in df.columns if c not in (key, val, "__ord")]
-        return ev.reshape_long_to_wide(df.drop("__ord"), key, val, ids)
+        ids = [c for c in df.columns
+               if c not in (key, val) and not c.startswith("__")]
+        piv = ev.reshape_long_to_wide(
+            df.drop(*[c for c in df.columns if c.startswith("__")]),
+            key, val, ids)
+        # emission: groups in first-seen order; pivoted keys per group
+        # in first-seen order too (reshape.go l2w ordered maps)
+        meta = df.groupBy(*[F.col(c) for c in ids]).agg(
+            F.min("__ord").alias("__ord"),
+            F.array_distinct(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__ord").alias("o"),
+                                F.col(key).cast("string").alias("k"),
+                            )
+                        )
+                    ),
+                    lambda s: s["k"],
+                )
+            ).alias("__pk"),
+        )
+        out = piv.join(meta, ids) if ids else piv.crossJoin(meta)
+        return out.withColumn(
+            "__keys",
+            F.concat(F.array(*[F.lit(c) for c in ids]), F.col("__pk")),
+        ).drop("__pk")
     if "-r" in fl:
         pats = _regexes(_csl(fl["-r"]))
         measures = [c for c in df.columns if not c.startswith("__") and any(p.search(c) for p in pats)]
@@ -4688,10 +4830,42 @@ def v_reshape(df, argv):
     for m in measures:
         c = F.col(m).isNotNull()
         any_measure = c if any_measure is None else (any_measure | c)
-    melted = ev.reshape_wide_to_long(
-        df.filter(any_measure).drop("__ord"), measures, key_name, val_name
-    ).filter(F.col(val_name).isNotNull())
-    passthrough = df.filter(~any_measure).drop("__ord").drop(*measures)
+    # w2l emits per input record one output per present measure, in
+    # measure order (reshape.go:310-340); string-cast values keep their
+    # spellings for the byte channel
+    ids = [c for c in df.columns if c not in measures and c != "__keys"]
+    pairs = ", ".join(
+        f"'{m}', {i}, cast(`{m}` as string)" for i, m in enumerate(measures)
+    )
+    melted = (
+        df.filter(any_measure)
+        .select(
+            *ids,
+            F.expr(
+                f"stack({len(measures)}, {pairs})"
+                f" as (`{key_name}`, `__mi`, `{val_name}`)"
+            ),
+            *( [F.col("__keys")] if "__keys" in df.columns else [] ),
+        )
+        .filter(F.col(val_name).isNotNull())
+        .withColumn(
+            "__ord", F.col("__ord") * (1 << 8) + F.col("__mi") + 1
+        )
+        .drop("__mi")
+    )
+    if "__keys" in df.columns:
+        melted = melted.withColumn(
+            "__keys",
+            F.concat(
+                F.filter(
+                    F.col("__keys"), lambda k: ~k.isin(*(measures))
+                ),
+                F.array(F.lit(key_name), F.lit(val_name)),
+            ),
+        )
+    passthrough = df.filter(~any_measure).drop(*measures).withColumn(
+        "__ord", F.col("__ord") * (1 << 8)
+    )
     return melted.unionByName(passthrough, allowMissingColumns=True)
 
 
@@ -4995,6 +5169,8 @@ ORDER_PRESERVING = {
     # right-driven emission order modeled in v_join (sort-merge --ul
     # flags itself unordered via _TLS.join_unordered)
     "join",
+    # w2l: per record, measures in order; l2w: groups first-seen at EOS
+    "reshape",
 }
 
 # Per-verb VALUE-taking flags, used to keep a trailing `FLAG path`

@@ -2055,6 +2055,9 @@ def template(df: DataFrame, fields: Sequence[str], fill: str | None = None) -> D
                 cols.append(F.coalesce(F.col(f).cast("string"), F.lit(fill)).alias(f))
         else:
             cols.append(F.lit(fill).alias(f))
+    # stream ordinal survives (template is a pure per-record projection)
+    if "__ord" in df.columns:
+        cols.append(F.col("__ord"))
     return df.select(*cols)
 
 

@@ -336,6 +336,10 @@ def w_xtab(records, ofs=None, **_):
     for rec in records:
         cells = _cells(rec)
         if not cells:
+            # keyless record: zero lines, but it still claims its OFS
+            # separator slot (io-multi-character-ixs/0001: n empty
+            # records render as n-1 separators)
+            chunks.append("")
             continue
         width = max((len(k) for k, _ in cells), default=1)
         chunks.append("".join(f"{k.ljust(width)} {v}{ofs}" for k, v in cells))

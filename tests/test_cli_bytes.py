@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 # measured by scripts/cli_bytes_sweep.py; raise as coverage widens
-MIN_PASS_IO = 385
+MIN_PASS_IO = 398
 
 
 def _sweep(spark, pats):
@@ -65,13 +65,17 @@ def test_cli_bytes_io(spark):
     )
 
 
-# round 3: the verb-* byte channel closed its fail list (45 -> 0):
-# void restoration through the flat carrier, reference uniq -x/-a key
-# semantics, top void padding, per-value Miller typing for
-# step/describe/summary, stats2 -s iterative emission, reorder -r
-# anchors, error-as-value marks. Ordered-chain coverage is the floor;
-# zero byte MISMATCHES is the invariant (skips are unordered chains).
-MIN_PASS_VERB = 585
+# round 3: the verb-* byte channel closed its fail list (45 -> 0) and
+# then its unordered-skip list (337 -> ~2): void restoration through
+# the flat carrier, reference uniq -x/-a key semantics, top void
+# padding, per-value Miller typing for step/describe/summary, stats2
+# -s iterative emission + field order + absent-vs-void accumulators,
+# reorder -r anchors, error-as-value marks, the full join emission
+# order (unsorted right-driven AND the sort-merge bucket-keeper
+# replay), reshape w2l/l2w emission, unlashed count-distinct order.
+# Zero byte MISMATCHES is the invariant; skips are should-fail/stderr
+# cases and a handful of unsupported io flag combos.
+MIN_PASS_VERB = 905
 
 
 def test_cli_bytes_verb(spark):
