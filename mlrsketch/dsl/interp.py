@@ -170,10 +170,18 @@ class PFloat(float):
         return (type(self), (float(self), self.printrep))
 
 
+_INFER_MODE = threading.local()  # "float" (-A) / "octal" (-O) / None
+
+
+def set_infer_mode(mode):
+    _INFER_MODE.mode = mode
+
+
 def infer_value(v):
     """Miller scan inference for a string read from data: int (decimal /
     0x / 0b), float, else string. Leading-zero integers stay strings
-    (pkg/scan/type_infer.go)."""
+    (pkg/scan/type_infer.go). -A forces ints to float; -O scans
+    leading-zero integers as octal."""
     if not isinstance(v, str):
         return v
     s = v
@@ -183,8 +191,29 @@ def infer_value(v):
         return s[1:]
     if s == "":
         return ""
+    mode = getattr(_INFER_MODE, "mode", None)
     if _OCTALISH.match(s):
+        if mode == "octal":
+            # -O: 0123 scans octal; 08/09 (bad octal digits) decimal
+            try:
+                return PInt(int(s, 8), s)
+            except ValueError:
+                try:
+                    return PInt(int(s, 10), s)
+                except ValueError:
+                    return PFloat(float(s), s)
         return s
+    if mode == "float":
+        # -A: every number becomes a plain float — the data spelling is
+        # dropped so output reformats through OFMT (dash-A golden)
+        out = _infer_value_plain(s)
+        if isinstance(out, (int, float)) and not isinstance(out, bool):
+            return float(out)
+        return out
+    return _infer_value_plain(s)
+
+
+def _infer_value_plain(s):
     neg = s[:1] in "+-"
     body = s[1:] if neg else s
     try:

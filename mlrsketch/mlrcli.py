@@ -218,14 +218,30 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                   lite: bool = False, ips: str | None = None,
                   codec: str | None = None, barred: bool = False,
                   dedupe: bool = True, quoted_dkvp: bool = False,
-                  native_sink: list | None = None) -> list[dict]:
+                  native_sink: list | None = None,
+                  comment_pass: str | None = None,
+                  comment_sink: list | None = None,
+                  repifs: bool = False,
+                  ifs_regex: str | None = None,
+                  custom_irs: str | None = None,
+                  lazy_quotes: bool = False) -> list[dict]:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
     ext = full.rsplit(".", 1)[-1].lower()
-    codec = codec or {"gz": "gz", "bz2": "bz2", "z": "z"}.get(ext)
-    if ext == "zst" or codec == "zst":
-        raise Unsupported("zstd input (no stdlib codec)")
+    codec = codec or {"gz": "gz", "bz2": "bz2", "z": "z", "zst": "zst"}.get(ext)
+    if codec == "zst" or raw[:4] == b"\x28\xb5\x2f\xfd":
+        try:
+            import pyarrow as _pa
+
+            raw = _pa.input_stream(
+                _pa.py_buffer(raw), compression="zstd"
+            ).read()
+            codec = None
+        except Exception as e:  # noqa: BLE001
+            raise Unsupported(f"zstd input ({e})")
     if codec == "gz" or raw[:2] == b"\x1f\x8b":
         import gzip
         raw = gzip.decompress(raw)
@@ -253,11 +269,60 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
         text = "\n".join(clean)
     if text.startswith("﻿"):
         text = text[1:]  # UTF-8 BOM (io-utf8-bom)
-    if comment_skip is not None:
-        # --skip-comments[-with]: drop comment LINES before any parse
+    if comment_skip is not None or comment_pass is not None:
+        # --skip-comments[-with] / --pass-comments[-with]: comment LINES
+        # leave the parse; pass mode records each with the index of the
+        # record that follows it (the reference reader copies them to
+        # stdout at read time, interleaved with the record stream)
+        pre = comment_pass if comment_pass is not None else comment_skip
+        kept: list[str] = []
+        data_lines = 0
+        blocks_done = 0
+        in_block = False
+        for ln in text.splitlines():
+            if ln.startswith(pre):
+                if comment_pass is not None and comment_sink is not None:
+                    if jsonin:
+                        # the json reader consumes all lines before the
+                        # decoder parses: every comment precedes every
+                        # record (io-skip-pass-comments/0022)
+                        idx = 0
+                    elif icsv == "xtab":
+                        idx = blocks_done
+                    elif icsv in ("tsv",) or icsv is True:
+                        idx = max(
+                            0,
+                            data_lines - (0 if implicit_header else 1),
+                        )
+                    else:
+                        idx = data_lines
+                    comment_sink.append((idx, ln))
+                continue
+            kept.append(ln)
+            if ln.strip() == "":
+                if in_block:
+                    blocks_done += 1
+                in_block = False
+            else:
+                in_block = True
+                data_lines += 1
+        text = "\n".join(kept)
+    if custom_irs:
+        # paragraph mode (lflf) or ASV/USV record separators: rewrite
+        # records onto plain lines before the per-format parse
         text = "\n".join(
-            ln for ln in text.splitlines() if not ln.startswith(comment_skip)
-        )
+            seg.replace("\n", " ") if custom_irs == "\n\n" else seg
+            for seg in text.split(custom_irs)
+            if seg.strip("\n") != ""
+        ).replace("\r", "")
+    if ifs_regex and icsv == "nidx":
+        # re.split returns capture groups too — make them non-capturing
+        rx = _re.compile("(?:" + ifs_regex.replace("(", "(?:") + ")")
+        return [
+            {str(ci + 1): v for ci, v in enumerate(rx.split(ln.strip()))}
+            for ln in text.splitlines()
+            if ln.strip() != ""
+        ]
     if icsv == "tsv":
         lines = [ln for ln in text.splitlines() if ln.strip() != ""]
         if not lines:
@@ -288,6 +353,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             if ln.strip() == "":
                 continue
             vals = ln.split(sep) if sep else ln.split()
+            if repifs:
+                vals = [v for v in vals if v != ""]
             recs.append({str(i + 1): v for i, v in enumerate(vals)})
         return recs
     if jsonin:
@@ -336,6 +403,47 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             if native_sink is not None:
                 native_sink.append(_sanitize_json_native(r))
         return recs
+    if icsv == "markdown":
+        return _parse_markdown_rows(text, implicit_header=implicit_header)
+    if icsv == "recutils":
+        from mlrsketch.dsl.interp import infer_value
+
+        out = []
+        for r in _parse_recutils(text):
+            flat: dict = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            out.append(flat)
+            if native_sink is not None:
+                # recutils values type-infer like dkvp (json output
+                # prints Version: 1.0 as a number)
+                native_sink.append(
+                    {k: (infer_value(v) if isinstance(v, str) else v)
+                     for k, v in r.items()}
+                )
+        return out
+    if icsv == "dcf":
+        out = []
+        for r in _parse_dcf(text):
+            flat = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            out.append(flat)
+            if native_sink is not None:
+                # DCF values stay STRING-typed (FromString) — json
+                # output quotes "1.0"; list fields stay arrays
+                native_sink.append(dict(r))
+        return out
+    if icsv == "yaml":
+        out = []
+        for r in _parse_yaml_docs(text):
+            flat = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            out.append(flat)
+            if native_sink is not None:
+                native_sink.append(r)
+        return out
     if icsv == "pprint":
         recs = []
         for chunk in text.split("\n\n"):
@@ -370,6 +478,10 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                     cur = {}
                 continue
             k, _, v = ln.partition(ips or " ")
+            # repeated IPS is key padding (dots.xtab: a.....1 -> a=1)
+            if ips:
+                while v.startswith(ips):
+                    v = v[len(ips):]
             if dedupe and k in cur:
                 n = 2
                 while f"{k}_{n}" in cur:
@@ -399,6 +511,8 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                     if '"' in chunk
                     else [ln.split(sep) for ln in clines]
                 )
+                if repifs:  # --repifs: repeated IFS counts as one
+                    rows = [[c for c in r if c != ""] for r in rows]
                 if implicit_header:
                     hdr0 = [str(i + 1) for i in range(len(rows[0]))]
                     recs.extend(
@@ -413,8 +527,16 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
                     )
             return recs
         # RFC csv: ONE header; quoted fields may embed separators and
-        # newlines; a fully blank line is a record with one empty field
-        rows = list(_csv.reader(_io.StringIO(text), delimiter=sep))
+        # newlines; a fully blank line is a record with one empty field.
+        # --lazy-quotes: quotes inside unquoted fields stay literal
+        if lazy_quotes and '"' in text:
+            rows = [
+                (ln.split(sep) if not ln.lstrip().startswith('"')
+                 else next(iter(_csv.reader([ln], delimiter=sep))))
+                for ln in text.splitlines()
+            ]
+        else:
+            rows = list(_csv.reader(_io.StringIO(text), delimiter=sep))
         rows = [r if r else [""] for r in rows]
         while rows and rows[-1] == [""]:
             rows.pop()  # trailing newline artifacts
@@ -430,7 +552,10 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
 
     def _pairs(ln):
         if not quoted_dkvp:
-            return ln.split(sep)
+            ps = ln.split(sep)
+            if repifs:  # --repifs: repeated IFS counts as one
+                ps = [p for p in ps if p != ""]
+            return ps
         return _dkvpx_pairs(ln, sep)
 
     def _unq(v):
@@ -482,6 +607,290 @@ def _dkvpx_unq(v: str) -> str:
     if len(v) >= 2 and v[0] == '"' and v[-1] == '"':
         return v[1:-1].replace('""', '"')
     return v
+
+
+def _parse_markdown_rows(text: str, implicit_header: bool = False) -> list[dict]:
+    """Markdown-table input (record_reader_markdown.go): | a | b |
+    header, |---| separator, | 1 | 2 | rows; a new header starts a new
+    schema block. --implicit-csv-header treats every non-separator row
+    as data with positional 1..n keys."""
+    recs: list[dict] = []
+    header: list[str] | None = None
+    for ln in text.splitlines():
+        s = ln.strip()
+        if not s.startswith("|"):
+            header = None
+            continue
+        cells = [c.strip() for c in s.strip("|").split("|")]
+        if all(set(c) <= {"-", ":", " "} and c for c in cells):
+            continue  # |---|---| separator row
+        if implicit_header:
+            recs.append({str(i + 1): c for i, c in enumerate(cells)})
+            continue
+        if header is None:
+            header = cells
+            continue
+        recs.append(dict(zip(header, cells)))
+    return recs
+
+
+def _parse_recutils(text: str) -> list[dict]:
+    """recutils input: Key: value lines in blank-line-separated blocks;
+    '+ ' continuation lines append to the previous value with a
+    newline; orphaned continuations are dropped."""
+    recs: list[dict] = []
+    cur: dict | None = None
+    last_key: str | None = None
+    for ln in text.splitlines():
+        if ln.strip() == "":
+            if cur:
+                recs.append(cur)
+            cur, last_key = None, None
+            continue
+        if ln.startswith("+"):
+            body = ln[2:] if ln.startswith("+ ") else ln[1:]
+            if cur is not None and last_key is not None:
+                prev = cur[last_key]
+                cur[last_key] = body if prev == "" else f"{prev}\n{body}"
+            continue
+        k, sep, v = ln.partition(":")
+        if not sep:
+            continue
+        if cur is None:
+            cur = {}
+        key = k.strip()
+        if key in cur:  # duplicate field names dedupe like csv headers
+            n2 = 2
+            while f"{key}_{n2}" in cur:
+                n2 += 1
+            key = f"{key}_{n2}"
+        cur[key] = v.lstrip()
+        last_key = key
+    if cur:
+        recs.append(cur)
+    return recs
+
+
+_DCF_LIST_FIELDS = {
+    "Depends", "Pre-Depends", "Recommends", "Suggests", "Enhances",
+    "Breaks", "Conflicts", "Replaces", "Build-Depends",
+    "Build-Depends-Indep", "Build-Conflicts", "Build-Conflicts-Indep",
+    "Built-Using",
+}
+
+
+def _parse_dcf(text: str) -> list[dict]:
+    """Debian-control input (record_reader_dcf.go): Key: value
+    paragraphs; leading-space continuation lines join with newlines;
+    the Depends-family fields split into comma-lists. Values are
+    STRING-typed in the reference (FromString — never inferred)."""
+    recs: list[dict] = []
+    cur: dict | None = None
+    last_key: str | None = None
+    for ln in text.splitlines():
+        if ln.strip() == "":
+            if cur:
+                recs.append(cur)
+            cur, last_key = None, None
+            continue
+        if ln[:1] in (" ", "\t") and last_key is not None and cur is not None:
+            body = ln.strip()
+            prev = cur[last_key]
+            if isinstance(prev, list):
+                cur[last_key] = prev + [body]
+            else:
+                cur[last_key] = f"{prev}\n{body}"
+            continue
+        k, sep, v = ln.partition(":")
+        if not sep:
+            continue
+        k = k.strip()
+        if cur is None:
+            cur = {}
+        if k in _DCF_LIST_FIELDS:
+            cur[k] = [p.strip() for p in v.split(",") if p.strip()]
+        else:
+            cur[k] = v.strip()
+        last_key = k
+    if cur:
+        recs.append(cur)
+    return recs
+
+
+def _yaml_scalar_in(tok: str):
+    """YAML scalar token -> native value (reader side): quotes strip,
+    null/~ -> MT_NULL, true/false -> bool, numbers typed, else str."""
+    from mlrsketch.dsl.interp import NULL
+
+    t = tok.strip()
+    if t in ("null", "~", ""):
+        return NULL if t != "" else ""
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
+        body = t[1:-1]
+        if t[0] == '"':
+            body = body.replace('\\"', '"').replace("\\\\", "\\")
+        return body
+    if t == "true":
+        return True
+    if t == "false":
+        return False
+    from mlrsketch.dsl.interp import infer_value
+
+    v = infer_value(t)  # keeps the data spelling (PInt/PFloat printrep)
+    return t if v is None else v
+
+
+def _parse_yaml_docs(text: str) -> list[dict]:
+    """Subset-YAML input (record_reader_yaml.go wraps yaml.v3; Miller
+    only accepts maps-of-scalars/maps/arrays): documents split on ---
+    lines, or one top-level sequence of records."""
+    lines = [
+        ln for ln in text.splitlines()
+        if ln.strip() != "" and not ln.lstrip().startswith("#")
+    ]
+
+    def parse_block(i: int, indent: int):
+        """Parse lines[i:] at `indent`; returns (value, next_i)."""
+        if i >= len(lines):
+            return {}, i
+        ln = lines[i]
+        cur_ind = len(ln) - len(ln.lstrip(" "))
+        if ln.lstrip().startswith("- "):
+            seq = []
+            while i < len(lines):
+                ln = lines[i]
+                ind = len(ln) - len(ln.lstrip(" "))
+                s = ln.lstrip()
+                if ind < cur_ind or not s.startswith("- "):
+                    break
+                if ind > cur_ind:
+                    raise Unsupported("yaml indentation")
+                body = s[2:]
+                if ":" in body:
+                    # map item: rewrite as a deeper-indented map block
+                    # starting with this line
+                    sub_lines = [" " * (cur_ind + 2) + body]
+                    j = i + 1
+                    while j < len(lines):
+                        nxt = lines[j]
+                        nind = len(nxt) - len(nxt.lstrip(" "))
+                        if nind <= cur_ind:
+                            break
+                        sub_lines.append(nxt)
+                        j += 1
+                    sub, _ = _parse_yaml_lines(sub_lines, cur_ind + 2)
+                    seq.append(sub)
+                    i = j
+                else:
+                    seq.append(_yaml_scalar_in(body))
+                    i += 1
+            return seq, i
+        return _parse_yaml_lines_at(lines, i, indent)
+
+    def _parse_yaml_lines(sub_lines: list, indent: int):
+        saved = lines[:]
+        try:
+            lines[:] = sub_lines
+            return _parse_yaml_lines_at(lines, 0, indent)
+        finally:
+            lines[:] = saved
+
+    def _parse_yaml_lines_at(lns: list, i: int, indent: int):
+        out: dict = {}
+        while i < len(lns):
+            ln = lns[i]
+            ind = len(ln) - len(ln.lstrip(" "))
+            if ind < indent:
+                break
+            if ind > indent:
+                raise Unsupported("yaml indentation")
+            s = ln.strip()
+            if s.startswith("- "):
+                break
+            k, sep, v = s.partition(":")
+            if not sep:
+                raise Unsupported("yaml scalar document")
+            key = k.strip()
+            if len(key) >= 2 and key[0] == key[-1] and key[0] in ("'", '"'):
+                key = key[1:-1]
+            if v.strip() == "":
+                # nested block (map or sequence) at deeper indent —
+                # or an EMPTY value if the next line isn't deeper
+                j = i + 1
+                if j < len(lns):
+                    nxt = lns[j]
+                    nind = len(nxt) - len(nxt.lstrip(" "))
+                    if nind > indent:
+                        sub_lines = []
+                        while j < len(lns):
+                            nxt = lns[j]
+                            nind = len(nxt) - len(nxt.lstrip(" "))
+                            if nind <= indent:
+                                break
+                            sub_lines.append(nxt)
+                            j += 1
+                        first = sub_lines[0].lstrip()
+                        if first.startswith("- "):
+                            base = len(sub_lines[0]) - len(first)
+                            seq = []
+                            saved = lines[:]
+                            lines[:] = sub_lines
+                            try:
+                                seq, _ = parse_block(0, base)
+                            finally:
+                                lines[:] = saved
+                            out[key] = seq
+                        else:
+                            base = len(sub_lines[0]) - len(first)
+                            out[key], _ = _parse_yaml_lines(sub_lines, base)
+                        i = j
+                        continue
+                out[key] = ""
+                i += 1
+                continue
+            out[key] = _yaml_scalar_in(v)
+            i += 1
+        return out, i
+
+    def sort_keys(v):
+        # the reference yaml reader converts through Go maps and SORTS
+        # keys lexically at every level (mlrval_yaml.go:73-121)
+        if isinstance(v, dict):
+            return {k: sort_keys(v[k]) for k in sorted(v, key=str)}
+        if isinstance(v, list):
+            return [sort_keys(x) for x in v]
+        return v
+
+    # document layout: top-level sequence => records; else --- docs
+    if lines and lines[0].startswith("- "):
+        seq, _ = parse_block(0, 0)
+        return [
+            sort_keys(r) if isinstance(r, dict) else {"1": sort_keys(r)}
+            for r in seq
+        ]
+    docs: list[dict] = []
+    chunk: list[str] = []
+    for ln in text.splitlines():
+        if ln.strip() == "---":
+            if chunk:
+                docs.append(chunk)
+            chunk = []
+            continue
+        if ln.strip() == "" or ln.lstrip().startswith("#"):
+            continue
+        chunk.append(ln)
+    if chunk:
+        docs.append(chunk)
+    out_docs = []
+    for ch in docs:
+        saved = lines[:]
+        lines[:] = ch
+        try:
+            d, _ = _parse_yaml_lines_at(lines, 0, 0)
+        finally:
+            lines[:] = saved
+        out_docs.append(sort_keys(d))
+    return out_docs
 
 
 def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
@@ -5231,7 +5640,8 @@ VERB_VALUE_FLAGS = {
 _FMT_NAMES = {
     "csv": "csv", "csvlite": "csv", "tsv": "tsv", "tsvlite": "tsv",
     "json": "json", "jsonl": "jsonl", "dkvp": "dkvp", "nidx": "nidx",
-    "xtab": "xtab", "pprint": "pprint",
+    "xtab": "xtab", "pprint": "pprint", "markdown": "markdown",
+    "yaml": "yaml", "recutils": "recutils", "dcf": "dcf",
 }
 
 _FMT_FLAGS = {
@@ -5249,11 +5659,22 @@ _FMT_FLAGS = {
     "--itsvlite": ("tsv", None), "--otsvlite": (None, "tsv"),
     "--inidx": ("nidx", None), "--onidx": (None, "nidx"), "--nidx": ("nidx", "nidx"),
     "--ipprint": ("pprint", None),
+    "--iyaml": ("yaml", None), "--oyaml": (None, "yaml"),
+    "--yaml": ("yaml", "yaml"),
+    "--imd": ("markdown", None), "--imarkdown": ("markdown", None),
+    "--irecutils": ("recutils", None), "--orecutils": (None, "recutils"),
+    "--recutils": ("recutils", "recutils"),
+    "--idcf": ("dcf", None), "--odcf": (None, "dcf"),
+    "--dcf": ("dcf", "dcf"),
+    "--tsvlite": ("tsv", "tsv"),
+    "-c": ("csv", "csv"), "--c2c": ("csv", "csv"),
+    "-t": ("tsv", "tsv"), "--t2t": ("tsv", "tsv"),
 }
 
 # shorthand --a2b conversion flags: a=input format, b=output format
 _FMT_LETTERS = {"c": "csv", "t": "tsv", "j": "json", "d": "dkvp", "n": "nidx",
-                "x": "xtab", "p": "pprint", "m": "markdown"}
+                "x": "xtab", "p": "pprint", "m": "markdown", "y": "yaml",
+                "l": "jsonl"}
 for _a, _af in _FMT_LETTERS.items():
     for _b, _bf in _FMT_LETTERS.items():
         _FMT_FLAGS.setdefault(f"--{_a}2{_b}", (_af, _bf))
@@ -5439,6 +5860,12 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     go_seed = None
     flatsep = "."
     comment_skip = None
+    comment_pass = None
+    infer_mode = None
+    lazy_quotes = False
+    repifs = False
+    ifs_regex = None
+    custom_irs = None
     implicit_header = False
     headerless_out = False
     ragged = False
@@ -5467,9 +5894,9 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             if argv[i + 1] == "dkvpx":
                 if a in ("-i", "--io"):
                     ifmt = "dkvp"
-                    quoted_dkvp = True
                 if a in ("-o", "--io"):
                     ofmt = "dkvp"
+                quoted_dkvp = True
                 i += 2
                 continue
             f_ = _FMT_NAMES.get(argv[i + 1])
@@ -5501,6 +5928,10 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         elif a == "--barred":
             _TLS.render_opts["barred"] = True
             i += 1  # output decoration only; parse_out strips it
+        elif a == "--no-yarray":
+            # yaml output as --- documents instead of one sequence
+            _TLS.render_opts["no_yarray"] = True
+            i += 1
         elif a == "--flatsep" or a == "--oflatsep" or a == "--iflatsep":
             flatsep = argv[i + 1]
             i += 2
@@ -5515,7 +5946,14 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             i += 2
         elif a in ("--irs", "--ors", "--rs"):
             # record separators: splitlines() handles lf/crlf/cr
-            # universally, so these are value-level no-ops
+            # universally; lflf is paragraph mode (blank-line records)
+            if argv[i + 1] == "lflf":
+                if a in ("--irs", "--rs"):
+                    custom_irs = "\n\n"
+                if a in ("--ors", "--rs"):
+                    _TLS.render_opts["ors2"] = True
+                i += 2
+                continue
             if argv[i + 1] not in ("auto", "lf", "crlf", "cr", "\\n", "\n"):
                 raise Unsupported(f"record separator {argv[i + 1]}")
             i += 2
@@ -5525,10 +5963,12 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         elif a == "--skip-comments-with":
             comment_skip = argv[i + 1]
             i += 2
-        elif a in ("--pass-comments", "--pass-comments-with"):
-            # comment lines are copied to stdout interleaved with the
-            # records; the record-level compare can't express that
-            raise Unsupported("pass-comments (text interleaved in expout)")
+        elif a == "--pass-comments":
+            comment_pass = "#"
+            i += 1
+        elif a == "--pass-comments-with":
+            comment_pass = argv[i + 1]
+            i += 2
         elif a in ("--implicit-csv-header", "--headerless-csv-input",
                    "--hi", "--implicit-header", "--implicit-tsv-header"):
             implicit_header = True
@@ -5551,6 +5991,57 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
                    "equals": "=", "semicolon": ";", "pipe": "|"}.get(
                 argv[i + 1], argv[i + 1])
             i += 2
+        elif a == "--ops":
+            _TLS.render_opts["ops"] = {
+                "tab": "\t", "comma": ",", "space": " ", "colon": ":",
+                "equals": "=", "semicolon": ";", "pipe": "|",
+            }.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a == "--repifs":
+            repifs = True
+            i += 1
+        elif a == "--ifs-regex":
+            ifs_regex = {
+                "spaces": "( )+", "tabs": "(\\t)+",
+                "whitespace": "([ \\t])+",
+            }.get(argv[i + 1], argv[i + 1])
+            i += 2
+        elif a == "--jquoteall":
+            i += 1  # Miller-5 compat no-op (json output is typed in v6)
+        elif a == "--quote-all":
+            _TLS.render_opts["quote_all"] = True
+            i += 1
+        elif a == "--iusv":
+            ifmt = "csv"
+            ilite = True
+            ifs = "\u241f"
+            custom_irs = "\u241e"
+            i += 1
+        elif a == "--iasv":
+            ifmt = "csv"
+            ilite = True
+            ifs = "\x1f"
+            custom_irs = "\x1e"
+            i += 1
+        elif a == "--zstdin":
+            forced_codec = "zst"
+            i += 1
+        elif a == "--xvright":
+            _TLS.render_opts["xvright"] = True
+            i += 1
+        elif a == "--omd-aligned":
+            ofmt = "markdown"
+            _TLS.render_opts["md_aligned"] = True
+            i += 1
+        elif a == "--lazy-quotes":
+            lazy_quotes = True
+            i += 1
+        elif a in ("-A", "--infer-int-as-float"):
+            infer_mode = "float"
+            i += 1
+        elif a in ("-O", "--infer-octal"):
+            infer_mode = "octal"
+            i += 1
         elif a in ("--right-align-numeric", "--right"):
             _TLS.render_opts["right_all" if a == "--right" else "right_numeric"] = True
             i += 1  # pprint alignment only; value-level no-op
@@ -5633,9 +6124,9 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         elif a in ("--dkvpx", "--idkvpx", "--odkvpx"):
             if a != "--odkvpx":
                 ifmt = "dkvp"
-                quoted_dkvp = True
             if a != "--idkvpx":
                 ofmt = "dkvp"
+            quoted_dkvp = True
             i += 1
         elif a == "--tz":
             tz_name = argv[i + 1]
@@ -5654,8 +6145,14 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             break
         continue
 
-    if ifmt == "markdown":
-        raise Unsupported("markdown input format")
+    from mlrsketch.dsl import interp as _MIm
+
+    _MIm.set_infer_mode(infer_mode)
+    _TLS.infer_mode = infer_mode
+    if ifmt == "dcf":
+        # DCF values are STRING-typed in the reference (FromString,
+        # record_reader_dcf.go) — writers must not re-scan/OFMT them
+        _TLS.render_opts["str_only"] = True
     rest = argv[i:]
 
     # split on `then`
@@ -5682,16 +6179,20 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     last_verb = last[0] if last else ""
     value_flags = VERB_VALUE_FLAGS.get(last_verb, _VALUE_FLAGS)
     popped: list[str] = []
+    def _path_of(tok: str) -> str:
+        # file:// URI scheme resolves to the plain path (lib/readfiles)
+        return tok[len("file://"):] if tok.startswith("file://") else tok
+
     while (
         last
         and not last[-1].startswith("-")
         and (
-            os.path.isfile(os.path.join("/root/reference", last[-1]))
-            or os.path.isfile(last[-1])
+            os.path.isfile(os.path.join("/root/reference", _path_of(last[-1])))
+            or os.path.isfile(_path_of(last[-1]))
         )
         and not (len(last) >= 2 and last[-2] in value_flags)
     ):
-        popped.append(last.pop())
+        popped.append(_path_of(last.pop()))
     # --from files first (cmd order), then trailing positionals (popping
     # walked right-to-left, so reverse to restore cmd order)
     files = files + list(reversed(popped))
@@ -5758,10 +6259,15 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         _TLS.df_pristine = True
     if files:
         recs: list[dict] = []
+        all_comments: list[tuple[int, str]] = []
+        file_comments: list[tuple[int, str]] = []
         for fidx, f_ in enumerate(files):
             rs = _read_records(
                 f_,
-                icsv=(ifmt if ifmt in ("xtab", "pprint", "tsv", "nidx") else ifmt == "csv"),
+                icsv=(ifmt if ifmt in (
+                    "xtab", "pprint", "tsv", "nidx", "markdown",
+                    "yaml", "recutils", "dcf",
+                ) else ifmt == "csv"),
                 jsonin=(ifmt in ("json", "jsonl")),
                 ifs=ifs,
                 flatsep=flatsep,
@@ -5775,14 +6281,26 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
                 dedupe=dedupe_names,
                 quoted_dkvp=quoted_dkvp,
                 native_sink=(_TLS.orig_json
-                             if ifmt in ("json", "jsonl") else None),
+                             if ifmt in ("json", "jsonl", "yaml",
+                                         "recutils", "dcf") else None),
+                comment_pass=comment_pass,
+                comment_sink=file_comments,
+                repifs=repifs,
+                ifs_regex=ifs_regex,
+                custom_irs=custom_irs,
+                lazy_quotes=lazy_quotes,
             )
+            for idx, cln in file_comments:
+                all_comments.append((len(recs) + idx, cln))
+            file_comments = []
             if needs_filectx:
                 for j, r in enumerate(rs):
                     r["__fnr"] = str(j)
                     r["__fnum"] = str(fidx + 1)
                     r["__fname"] = f_
             recs.extend(rs)
+        if all_comments:
+            _TLS.render_opts["comments"] = all_comments
         if not recs:
             # empty main input still feeds a join's --ul side; for any
             # other verb chain the record stream is empty end-to-end
@@ -5904,8 +6422,10 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         # DataFrame cannot — byte-exact het rendering
         nested = getattr(_TLS, "orig_json", [])
         orig = _TLS.orig_records
-        if (getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl")
-                and getattr(_TLS, "ofmt", "dkvp") in ("json", "jsonl")
+        if (getattr(_TLS, "ifmt", "dkvp") in ("json", "jsonl", "yaml",
+                                              "recutils", "dcf")
+                and getattr(_TLS, "ofmt", "dkvp") in ("json", "jsonl",
+                                                      "yaml")
                 and len(nested) == len(orig)):
             # JSON in and out: flatten the parsed NATIVE records so
             # scalar types (int vs string "1") and number spellings
@@ -6062,6 +6582,15 @@ def _compare_result(res: ExecResult, case_dir: str, expect_err_text):
         exp_text = raw.decode("utf-8")
     except UnicodeDecodeError:
         exp_text = raw.decode("latin-1")
+    passed_comments = {
+        ln for _, ln in (res.render_opts or {}).get("comments", ())
+    }
+    if passed_comments:
+        # --pass-comments: the byte channel interleaves them; the
+        # record-level compare sees records only
+        exp_text = "\n".join(
+            ln for ln in exp_text.splitlines() if ln not in passed_comments
+        ) + ("\n" if exp_text.endswith("\n") else "")
     if ofmt == "nidx":
         # nidx output prints VALUES only (keys dropped); compare
         # positionally on both sides

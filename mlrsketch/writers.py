@@ -98,48 +98,76 @@ def _csv_quote(field: str, sep: str) -> str:
     return field
 
 
-def w_dkvp(records, ofs=None, quoted=False, **_):
+def _cmap(comments):
+    """index -> [comment lines] (pass-comments interleave points)."""
+    m: dict[int, list[str]] = {}
+    for idx, ln in (comments or ()):
+        m.setdefault(idx, []).append(ln)
+    return m
+
+
+def w_dkvp(records, ofs=None, quoted=False, comments=None, ops=None, **_):
     ofs = ofs or ","
+    ops = ops or "="
+    cm = _cmap(comments)
     lines = []
-    for rec in records:
+    for i, rec in enumerate(records):
+        lines.extend(cm.get(i, ()))
         cells = _cells(rec)
         if quoted:
             # dkvpx: CSV-style minimal quoting — only values containing
             # the pair/field separators or a quote, inner quotes doubled
             def q(v):
-                if any(c in v for c in (ofs, "=", '"')):
+                if any(c in v for c in (ofs, ops, '"')):
                     return '"' + v.replace('"', '""') + '"'
                 return v
 
-            lines.append(ofs.join(f"{k}={q(v)}" for k, v in cells))
+            lines.append(ofs.join(f"{k}{ops}{q(v)}" for k, v in cells))
         else:
-            lines.append(ofs.join(f"{k}={v}" for k, v in cells))
+            lines.append(ofs.join(f"{k}{ops}{v}" for k, v in cells))
+    for idx in sorted(k for k in cm if k >= len(records)):
+        lines.extend(cm[idx])
     return "".join(ln + "\n" for ln in lines)
 
 
-def w_nidx(records, ofs=None, **_):
+def w_nidx(records, ofs=None, comments=None, **_):
     ofs = ofs or " "
-    return "".join(ofs.join(v for _, v in _cells(r)) + "\n" for r in records)
+    cm = _cmap(comments)
+    lines = []
+    for i, r in enumerate(records):
+        lines.extend(cm.get(i, ()))
+        lines.append(ofs.join(v for _, v in _cells(r)))
+    for idx in sorted(k for k in cm if k >= len(records)):
+        lines.extend(cm[idx])
+    return "".join(ln + "\n" for ln in lines)
 
 
 def w_csv(records, ofs=None, headerless=False, lite=False, **_):
+    comments = _.get("comments")
+    quote_all = _.get("quote_all", False)
+    ors2 = _.get("ors2", False)  # --ors lflf: blank line after each row
+    qf = ((lambda v, sp: '"' + v.replace('"', '""') + '"')
+          if quote_all else _csv_quote)
+    eol = "\n\n" if ors2 else "\n"
     sep = ofs or ","
     out: list[str] = []
     if lite:
         first = True
         for keys, block in _schema_blocks(records):
-            if not first:
+            if not first and not ors2:
                 out.append("\n")
             first = False
             if not headerless:
-                out.append(sep.join(keys) + "\n")
+                out.append(sep.join(keys) + eol)
             for cells in block:
-                out.append(sep.join(v for _, v in cells) + "\n")
+                out.append(sep.join(v for _, v in cells) + eol)
         return "".join(out)
     # strict csv: one header; later records must extend the first keys
     # (extra trailing values printed positionally, missing ones "")
+    cm = _cmap(comments)
     first_keys: list[str] | None = None
-    for rec in records:
+    for i, rec in enumerate(records):
+        out.extend(c + "\n" for c in cm.get(i, ()))
         cells = _cells(rec)
         if not cells:
             continue
@@ -147,7 +175,7 @@ def w_csv(records, ofs=None, headerless=False, lite=False, **_):
         if first_keys is None:
             first_keys = ks
             if not headerless:
-                out.append(sep.join(_csv_quote(k, sep) for k in ks) + "\n")
+                out.append(sep.join(qf(k, sep) for k in ks) + eol)
         else:
             if ks[: len(first_keys)] != first_keys[: len(ks)]:
                 raise ValueError(
@@ -156,7 +184,9 @@ def w_csv(records, ofs=None, headerless=False, lite=False, **_):
         vals = [v for _, v in cells]
         if len(vals) < len(first_keys):
             vals += [""] * (len(first_keys) - len(vals))
-        out.append(sep.join(_csv_quote(v, sep) for v in vals) + "\n")
+        out.append(sep.join(qf(v, sep) for v in vals) + eol)
+    for idx in sorted(k for k in cm if k >= len(records)):
+        out.extend(c + "\n" for c in cm[idx])
     return "".join(out)
 
 
@@ -173,17 +203,38 @@ def _tsv_escape(s: str) -> str:
 def w_tsv(records, ofs=None, headerless=False, lite=False, **_):
     sep = ofs or "\t"
     out: list[str] = []
+    esc = (lambda s: s) if lite else _tsv_escape  # tsvlite: bytes literal
+    if not lite:
+        # strict tsv mirrors the csv writer's auto-unsparsify rule:
+        # one header; later records must extend its prefix (short rows
+        # pad with voids, long rows print positionally) —
+        # io-tsv-auto-unsparsify/{over,under}
+        first_keys: list[str] | None = None
+        for rec in records:
+            cells = _cells(rec)
+            if not cells:
+                continue
+            ks = [k for k, _ in cells]
+            if first_keys is None:
+                first_keys = ks
+                if not headerless:
+                    out.append(sep.join(esc(k) for k in ks) + "\n")
+            elif ks[: len(first_keys)] != first_keys[: len(ks)]:
+                raise ValueError("TSV schema change")
+            vals = [v for _, v in cells]
+            if len(vals) < len(first_keys):
+                vals += [""] * (len(first_keys) - len(vals))
+            out.append(sep.join(esc(v) for v in vals) + "\n")
+        return "".join(out)
     first = True
     for keys, block in _schema_blocks(records):
         if not first:
-            if not lite:
-                raise ValueError("TSV schema change")
             out.append("\n")
         first = False
         if not headerless:
-            out.append(sep.join(_tsv_escape(k) for k in keys) + "\n")
+            out.append(sep.join(esc(k) for k in keys) + "\n")
         for cells in block:
-            out.append(sep.join(_tsv_escape(v) for _, v in cells) + "\n")
+            out.append(sep.join(esc(v) for _, v in cells) + "\n")
     return "".join(out)
 
 
@@ -274,7 +325,13 @@ def _json_key(k: str) -> str:
 
 
 def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
+           comments=None,
            json_typed=False, **_):
+    pre = ""
+    if comments:
+        # pass-comments with a buffered writer: the reader's comment
+        # copies reach stdout before the end-of-stream list renders
+        pre = "".join(ln + "\n" for _, ln in comments)
     if no_jvstack:
         # --no-jvstack: single-line objects inside the list wrapper
         bodies = []
@@ -289,7 +346,7 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
                 for k, v in nested.items()
             ]
             bodies.append("{" + ", ".join(parts) + "}")
-        return "[\n" + ",\n".join(bodies) + "\n]\n" if bodies else ""
+        return pre + ("[\n" + ",\n".join(bodies) + "\n]\n" if bodies else "")
     bodies = []
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
@@ -309,10 +366,11 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
         bodies.append("{\n" + ",\n".join(fields) + "\n}")
     # no records -> no output at all (the reference writer emits the
     # [ ] wrapper lazily, around the first record)
-    return "[\n" + ",\n".join(bodies) + "\n]\n" if bodies else ""
+    return pre + ("[\n" + ",\n".join(bodies) + "\n]\n" if bodies else "")
 
 
-def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False, **_):
+def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False,
+            json_quote_all=False, **_):
     lines = []
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
@@ -321,29 +379,60 @@ def w_jsonl(records, flatsep=".", auto_unflatten=True, json_typed=False, **_):
             continue
         parts = []
         for k, v in nested.items():
-            enc = (MI.json_encode(v) if isinstance(v, (dict, list))
-                   else _json_scalar(v, json_typed))
+            if json_quote_all and not isinstance(v, (dict, list)):
+                import json as _json
+
+                s = _fmt(v)
+                enc = _json.dumps("" if s is None else s,
+                                  ensure_ascii=False)
+            else:
+                enc = (MI.json_encode(v) if isinstance(v, (dict, list))
+                       else _json_scalar(v, json_typed))
             parts.append(f"{_json_key(k)}: {enc}")
         lines.append("{" + ", ".join(parts) + "}")
     return "".join(ln + "\n" for ln in lines)
 
 
-def w_xtab(records, ofs=None, **_):
+def w_xtab(records, ofs=None, comments=None, ops=None, xvright=False, **_):
     # OFS is xtab's LINE terminator (default "\n"); two consecutive OFS
     # stand in for the record separator (record_writer_xtab.go:31,82,101)
+    # OPS is the key padding character(s), written "always at least
+    # once" to the per-record key width (record_writer_xtab.go:92)
     ofs = "\n" if not ofs else ofs
-    chunks = []
-    for rec in records:
+    ops = ops or " "
+    cm = _cmap(comments)
+    out: list[str] = []
+    first = True
+    for i, rec in enumerate(records):
+        # pass-comments land after the previous block, BEFORE the next
+        # record's separator (the writer prepends OFS per record)
+        for c in cm.get(i, ()):
+            out.append(c + "\n")
         cells = _cells(rec)
+        if not first:
+            out.append(ofs)
+        first = False
         if not cells:
-            # keyless record: zero lines, but it still claims its OFS
-            # separator slot (io-multi-character-ixs/0001: n empty
-            # records render as n-1 separators)
-            chunks.append("")
             continue
         width = max((len(k) for k, _ in cells), default=1)
-        chunks.append("".join(f"{k.ljust(width)} {v}{ofs}" for k, v in cells))
-    return ofs.join(chunks)
+        if xvright:
+            # --xvright: values right-aligned to the record's max
+            # value width (record_writer_xtab.go writeWithRightAligned)
+            vw = max((len(v) for _, v in cells), default=1)
+            out.append("".join(
+                f"{k.ljust(width)} {v.rjust(vw)}{ofs}" for k, v in cells
+            ))
+            continue
+        # single-char OPS pads to the record's key width; multi-char
+        # OPS writes exactly once (record_writer_xtab.go:91-98)
+        out.append("".join(
+            (f"{k}{ops * (width - len(k) + 1)}{v}{ofs}" if len(ops) == 1
+             else f"{k}{ops}{v}{ofs}")
+            for k, v in cells
+        ))
+    for idx in sorted(k for k in cm if k >= len(records)):
+        out.extend(c + "\n" for c in cm[idx])
+    return "".join(out)
 
 
 def _is_numeric(v) -> bool:
@@ -433,7 +522,39 @@ def w_pprint(records, ofs=None, headerless=False, barred=False,
     return "".join(out)
 
 
-def w_markdown(records, right_numeric=False, right_all=False, **_):
+def w_markdown(records, right_numeric=False, right_all=False,
+               md_aligned=False, **_):
+    if md_aligned:
+        # --omd-aligned: pad each column to its block-wide width;
+        # numeric columns (all non-empty cells numeric) right-align and
+        # mark the separator ---: right-aligned too
+        out = []
+        for keys, block in _schema_blocks(records):
+            ncols = len(keys)
+            widths = [
+                max(len(keys[i]), max(len(c[i][1]) for c in block), 3)
+                for i in range(ncols)
+            ]
+            rightish = [
+                (right_all or all(
+                    _is_numeric(c[i][1]) for c in block if c[i][1] != ""
+                )) and any(c[i][1] != "" for c in block)
+                for i in range(ncols)
+            ]
+
+            def cell(s, i):
+                return s.rjust(widths[i]) if rightish[i] else s.ljust(widths[i])
+
+            out.append("| " + " | ".join(
+                cell(k, i) for i, k in enumerate(keys)) + " |\n")
+            out.append("| " + " | ".join(
+                cell("---:" if rightish[i] else "---", i)
+                for i in range(ncols)) + " |\n")
+            for cells in block:
+                out.append("| " + " | ".join(
+                    cell(v.replace("|", "\\|"), i)
+                    for i, (_k, v) in enumerate(cells)) + " |\n")
+        return "".join(out)
     out = []
     last_keys = None
     for keys, block in _schema_blocks(records):
@@ -456,6 +577,168 @@ def w_markdown(records, right_numeric=False, right_all=False, **_):
     return "".join(out)
 
 
+_YAML_PLAIN = __import__("re").compile(
+    r"[A-Za-z_][A-Za-z0-9_ ./()<>=,+'-]*$"
+)
+
+# yaml.v3 quotes YAML-1.1 boolean-ish plain scalars to keep them strings
+_YAML_BOOLISH = {
+    "y", "Y", "yes", "Yes", "YES", "n", "N", "no", "No", "NO",
+    "true", "True", "TRUE", "false", "False", "FALSE",
+    "on", "On", "ON", "off", "Off", "OFF", "null", "Null", "NULL", "~",
+}
+
+
+def _yaml_quote(s: str) -> str:
+    return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _yaml_scalar(v, typed: bool = False) -> str:
+    """One YAML scalar, emulating the reference's yaml.v3 marshal of
+    Miller values (record_writer_yaml.go MlrmapToYAMLNative + Marshal):
+    numbers print their ORIGINAL spelling bare (yaml output never
+    applies MLR_OFMT), plain-safe strings bare, boolean-ish and special
+    strings double-quoted; MT_NULL is null, VOID is ''""''. In `typed`
+    mode (native pristine records) strings never re-scan as numbers —
+    a string "1.0" quotes to stay a string."""
+    if v is MI.NULL:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        pr = getattr(v, "printrep", None)
+        if pr is not None:
+            return pr
+        if isinstance(v, float):
+            return repr(float(v))
+        return str(int(v))
+    s = v if isinstance(v, str) else str(v)
+    if s[:1] == "\x02":
+        return s[1:]
+    if s == "":
+        return '""'
+    from mlrsketch.mlrcli import _infer
+
+    iv = _infer(s)
+    if isinstance(iv, (int, float)) and not isinstance(iv, bool):
+        # numeric spelling: bare with original spelling (carrier
+        # strings) — or quoted in typed mode (it is a REAL string)
+        return _yaml_quote(s) if typed else s
+    if s in _YAML_BOOLISH or not _YAML_PLAIN.match(s):
+        return _yaml_quote(s)
+    return s
+
+
+def _yaml_key(k) -> str:
+    s = str(k)
+    if s == "":
+        return '""'
+    if s in _YAML_BOOLISH or not _YAML_PLAIN.match(s):
+        return _yaml_quote(s)
+    return s
+
+
+def _yaml_block(v, indent: int, lines: list, lead: str | None = None,
+                typed: bool = False):
+    """Emit one value as YAML block lines. `lead` is a prefix ('- ')
+    consuming the first line's indent (sequence items)."""
+    pad = " " * indent
+    first = (lead if lead is not None else pad)
+    if isinstance(v, dict):
+        items = list(v.items())
+        if not items:
+            lines.append(first + "{}")
+            return
+        for i, (k, x) in enumerate(items):
+            p = first if i == 0 else pad
+            if isinstance(x, (dict, list)) and x:
+                lines.append(f"{p}{_yaml_key(k)}:")
+                _yaml_block(x, indent + 2, lines, typed=typed)
+            else:
+                lines.append(f"{p}{_yaml_key(k)}: {_yaml_scalar(x, typed)}")
+        return
+    if isinstance(v, list):
+        if not v:
+            lines.append(first + "[]")
+            return
+        for x in v:
+            if isinstance(x, (dict, list)) and x:
+                _yaml_block(x, indent + 2, lines, lead=pad + "- ",
+                            typed=typed)
+            else:
+                lines.append(f"{pad}- {_yaml_scalar(x, typed)}")
+        return
+    lines.append(first + _yaml_scalar(v, typed))
+
+
+def w_yaml(records, flatsep=".", auto_unflatten=True, yarray=True,
+           json_typed=False, **_):
+    """YAML writer (record_writer_yaml.go): default wraps the stream in
+    one top-level sequence; --no-yarray emits one document per record
+    with `---` separators between documents."""
+    recs = [_maybe_unflatten(r, flatsep, auto_unflatten) for r in records]
+    lines: list[str] = []
+    if yarray:
+        if not recs:
+            return "[]\n"
+        for r in recs:
+            _yaml_block(r, 2, lines, lead="- ", typed=json_typed)
+        return "\n".join(lines) + "\n"
+    chunks = []
+    for r in recs:
+        doc: list[str] = []
+        _yaml_block(r, 0, doc, typed=json_typed)
+        chunks.append("\n".join(doc) + "\n")
+    return "---\n".join(chunks)
+
+
+def w_recutils(records, **_):
+    """recutils writer: Key: value lines, multi-line values continue
+    with '+ ' prefixes, blank line between records
+    (record_reader/writer pair in the reference)."""
+    blocks = []
+    for rec in records:
+        lines = []
+        for k, v in rec.items():
+            s = _fmt(v)
+            if s is None:
+                continue
+            parts = s.split("\n")
+            lines.append(f"{k}: {parts[0]}")
+            lines.extend(f"+ {p}" for p in parts[1:])
+        blocks.append("\n".join(lines) + "\n")
+    return "\n".join(blocks) + ("\n" if blocks else "")
+
+
+def w_dcf(records, flatsep=".", auto_unflatten=True, **_):
+    """Debian-control writer: Key: value lines; array-valued fields
+    (Depends etc.) join with ', '. DCF values are STRING-typed in the
+    reference (record_reader_dcf.go FromString) — no OFMT re-scan."""
+    blocks = []
+    for rec in records:
+        nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+        lines = []
+        for k, v in nested.items():
+            if v is None:
+                continue
+            if isinstance(v, list):
+                s = ", ".join(str(x) for x in v)
+            elif v is MI.NULL:
+                s = ""
+            else:
+                # numeric values format through OFMT like other text
+                # writers; dcf-READ values are strings and skip the
+                # re-scan via the str_only render flag
+                s = _fmt(v)
+                if s is None:
+                    continue
+            parts = s.split("\n")
+            lines.append(f"{k}: {parts[0]}")
+            lines.extend(f" {p}" for p in parts[1:])
+        blocks.append("\n".join(lines) + "\n")
+    return "\n".join(blocks) + ("\n" if blocks else "")
+
+
 _WRITERS = {
     "dkvp": w_dkvp,
     "nidx": w_nidx,
@@ -466,6 +749,9 @@ _WRITERS = {
     "xtab": w_xtab,
     "pprint": w_pprint,
     "markdown": w_markdown,
+    "yaml": w_yaml,
+    "recutils": w_recutils,
+    "dcf": w_dcf,
 }
 
 
@@ -477,7 +763,11 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
            right_all: bool = False, no_jvstack: bool = False,
            str_only: bool = False, gap_n: int | None = None,
            gap_keys: list | None = None, json_typed: bool = False,
-           no_unflatten: bool = False) -> str:
+           no_unflatten: bool = False, no_yarray: bool = False,
+           comments: list | None = None, ops: str | None = None,
+           json_quote_all: bool = False, quote_all: bool = False,
+           ors2: bool = False, xvright: bool = False,
+           md_aligned: bool = False) -> str:
     """Render a record stream as `ofmt` text (see module docstring).
     `float_ofmt` is MLR_OFMT / --ofmt: a Go-style %-format applied to
     float-typed values (not to byte-preserved input strings)."""
@@ -525,6 +815,9 @@ def render(records: Iterable[dict], ofmt: str, *, ofs: str | None = None,
             quoted=quoted_dkvp, lite=lite, auto_unflatten=auto_unflatten,
             barred=barred, right_numeric=right_numeric, right_all=right_all,
             no_jvstack=no_jvstack, json_typed=json_typed,
+            yarray=not no_yarray, comments=comments, ops=ops,
+            json_quote_all=json_quote_all, quote_all=quote_all,
+            ors2=ors2, xvright=xvright, md_aligned=md_aligned,
         )
     finally:
         MI.set_ofmt(prev)

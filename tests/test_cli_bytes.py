@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 # measured by scripts/cli_bytes_sweep.py; raise as coverage widens
-MIN_PASS_IO = 398
+MIN_PASS_IO = 480
 
 
 def _sweep(spark, pats):
