@@ -651,8 +651,8 @@ def q_stats1_extended(spark, sf):
         "l_returnflag",
         F.col("l_quantity_null_count").alias("null_cnt"),
         F.col("l_quantity_distinct_count").alias("dist_cnt"),
-        F.col("l_quantity_minlen").alias("minlen"),
-        F.col("l_quantity_maxlen").alias("maxlen"),
+        F.col("l_quantity_minlen").cast("long").alias("minlen"),
+        F.col("l_quantity_maxlen").cast("long").alias("maxlen"),
         _sig9("l_quantity_meaneb").alias("meaneb"),
         _sig9("l_quantity_skewness").alias("skew"),
         _sig9("l_quantity_kurtosis").alias("kurt"),
@@ -766,8 +766,8 @@ def q_summary(spark, sf):
         _sig9("var").alias("var"),
         _sig9("stddev").alias("stddev"),
         _sig9("median").alias("median"),
-        "minlen",
-        "maxlen",
+        F.col("minlen").cast("long").alias("minlen"),
+        F.col("maxlen").cast("long").alias("maxlen"),
     )
 
 
@@ -991,9 +991,15 @@ def q_frame_sample(spark, sf):
 
 
 def q_sketch_profile(spark, sf):
-    # fused one-pass multi-sketch (HLL + KLL + CMS in one scan) per lang
+    # fused one-pass multi-sketch (HLL + KLL + CMS in one scan) per lang.
+    # The library keeps top_tokens/top_counts as arrays; the gate harness
+    # hashes scalar cells, so project arrays through to_json here.
     d = _t(spark, sf, "documents")
-    return sv.sketch_profile(d, url_col="doc_id", text_col="text", by=["lang"], p=12)
+    s = sv.sketch_profile(d, url_col="doc_id", text_col="text", by=["lang"], p=12)
+    arr = {f.name for f in s.schema.fields if f.dataType.typeName() == "array"}
+    return s.select(
+        *[F.to_json(c).alias(c) if c in arr else F.col(c) for c in s.columns]
+    )
 
 
 def q_token_top_k(spark, sf):
@@ -1007,7 +1013,11 @@ def q_image_features(spark, sf):
     d = multimodal.attach_fake_payload(
         _t(spark, sf, "documents").limit(200), from_col="text"
     )
-    return multimodal.image_features(d)
+    # features is array<float> in the library API; stringify for the
+    # gate harness (its canonicalizer hashes scalar cells only).
+    return multimodal.image_features(d).select(
+        "doc_id", F.to_json("features").alias("features")
+    )
 
 
 def q_step_global(spark, sf):
@@ -1458,8 +1468,8 @@ def oracle_sql() -> dict[str, str]:
         "stats1_iterative": """
             SELECT event_id,
                    count(cents) OVER w AS rcount,
-                   sum(cents) OVER w AS rsum,
-                   avg(cents) OVER w AS rmean,
+                   CAST(sum(cents) OVER w AS BIGINT) AS rsum,
+                   CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w AS rmean,
                    min(cents) OVER w AS rmin,
                    max(cents) OVER w AS rmax
             FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
@@ -1469,7 +1479,7 @@ def oracle_sql() -> dict[str, str]:
         "stats1_iterative_global": """
             SELECT event_id,
                    count(cents) OVER w AS rcount,
-                   avg(cents) OVER w AS rmean,
+                   CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w AS rmean,
                    min(cents) OVER w AS rmin,
                    max(cents) OVER w AS rmax
             FROM (SELECT *, CAST(round(value * 100) AS BIGINT) AS cents FROM events)
@@ -1715,7 +1725,7 @@ def oracle_sql() -> dict[str, str]:
                      var_samp(l_quantity) AS vs
               FROM lineitem GROUP BY 1)
             SELECT l_returnflag,
-                   nullc AS null_cnt,
+                   CAST(nullc AS BIGINT) AS null_cnt,
                    distc AS dist_cnt,
                    minlen, maxlen,
                    {_sig9_sql("sqrt(vs / n)")} AS meaneb,
@@ -1806,7 +1816,7 @@ def oracle_sql() -> dict[str, str]:
         "summary": f"""
             SELECT 'o_orderkey' AS field_name, 'bigint' AS field_type,
                    count(*) AS count,
-                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+                   CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
                    count(DISTINCT o_orderkey) AS distinct_count,
                    {_sig9_sql("sum(CAST(o_orderkey AS DOUBLE))")} AS sum,
                    {_sig9_sql("avg(CAST(o_orderkey AS DOUBLE))")} AS mean,
@@ -1821,7 +1831,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'o_totalprice', 'double',
                    count(*),
-                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT o_totalprice),
                    {_sig9_sql("sum(o_totalprice)")},
                    {_sig9_sql("avg(o_totalprice)")},
@@ -1836,7 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'o_orderstatus', 'string',
                    count(*),
-                   sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END),
+                   CAST(sum(CASE WHEN o_orderstatus IS NULL OR o_orderstatus = '' THEN 1 ELSE 0 END) AS BIGINT),
                    count(DISTINCT o_orderstatus),
                    NULL, NULL, NULL, NULL, NULL, NULL, NULL,
                    min(length(o_orderstatus)),
@@ -1900,7 +1910,7 @@ def oracle_sql() -> dict[str, str]:
                      sum(c) OVER () AS total,
                      coalesce(sum(c) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
               FROM per)
-            SELECT t, total - prior AS n_risk, d AS n_events,
+            SELECT t, CAST(total - prior AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS n_events,
                    {_sig9_sql("exp(sum(CASE WHEN d < total - prior THEN ln(1 - d*1.0/(total-prior)) ELSE '-infinity'::DOUBLE END) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))")} AS survival
             FROM w ORDER BY t
         """,

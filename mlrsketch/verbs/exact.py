@@ -2520,37 +2520,51 @@ def stats1_iterative(
     need_cnt = need_var or any(a in ("count", "mean") for a in accs)
     need_min = "min" in accs
     need_max = "max" in accs
+    # Miller-typed results: min/max/sum of an integer column stay integer
+    # (reference pkg/lib/arithmetic.go:69-100) — mirror the grouped path,
+    # which aggregates the uncast column. Only the moment terms (s2, and
+    # anything feeding mean/var) are forced to double.
+    dtypes = dict(df.dtypes)
+    _INT_T = {"tinyint", "smallint", "int", "bigint"}
+
+    def _is_int(f: str) -> bool:
+        return dtypes.get(f) in _INT_T
+
     prefix_cols: dict[str, Column] = {}
     for f in values:
-        v = F.col(f).cast("double")
+        raw = F.col(f)
+        v = raw.cast("double")
         if need_cnt:
-            prefix_cols[f"__c_{f}"] = F.count(v).over(run)
+            prefix_cols[f"__c_{f}"] = F.count(raw).over(run)
         if need_sum:
-            prefix_cols[f"__s_{f}"] = F.sum(v).over(run)
+            prefix_cols[f"__s_{f}"] = F.sum(raw if _is_int(f) else v).over(run)
         if need_var:
             prefix_cols[f"__s2_{f}"] = F.sum(v * v).over(run)
         if need_min:
-            prefix_cols[f"__mn_{f}"] = F.min(v).over(run)
+            prefix_cols[f"__mn_{f}"] = F.min(raw).over(run)
         if need_max:
-            prefix_cols[f"__mx_{f}"] = F.max(v).over(run)
+            prefix_cols[f"__mx_{f}"] = F.max(raw).over(run)
     pre = numbered.withColumns(prefix_cols)
 
     # per-partition totals: a tiny exports row per range partition,
     # combined on the driver into EXCLUSIVE prefix carries
     agg_list = []
     for f in values:
-        v = F.col(f).cast("double")
+        raw = F.col(f)
+        v = raw.cast("double")
         agg_list += [
-            F.count(v).alias(f"c_{f}"),
-            F.sum(v).alias(f"s_{f}"),
+            F.count(raw).alias(f"c_{f}"),
+            F.sum(raw if _is_int(f) else v).alias(f"s_{f}"),
             F.sum(v * v).alias(f"s2_{f}"),
-            F.min(v).alias(f"mn_{f}"),
-            F.max(v).alias(f"mx_{f}"),
+            F.min(raw).alias(f"mn_{f}"),
+            F.max(raw).alias(f"mx_{f}"),
         ]
     exports = {r["__pid"]: r for r in pre.groupBy("__pid").agg(*agg_list).collect()}
     carries: dict[str, dict[int, object]] = {}
     for f in values:
-        c = s = s2 = 0.0
+        c = 0
+        s = 0 if _is_int(f) else 0.0
+        s2 = 0.0
         mn = mx = None
         cc: dict[int, tuple] = {}
         for pid in sorted(exports):
@@ -2576,8 +2590,12 @@ def stats1_iterative(
 
     out_cols: dict[str, Column] = {}
     for f in values:
+        sum_t = "bigint" if _is_int(f) else "double"
+        mm_t = dtypes.get(f, "double")
         cnt = (F.col(f"__c_{f}") + _carry(f, 0, "long")) if need_cnt else None
-        ssum = (F.col(f"__s_{f}") + F.coalesce(_carry(f, 1), F.lit(0.0))) if need_sum else None
+        ssum = (
+            F.col(f"__s_{f}") + F.coalesce(_carry(f, 1, sum_t), F.lit(0).cast(sum_t))
+        ) if need_sum else None
         ssum2 = (
             F.col(f"__s2_{f}") + F.coalesce(_carry(f, 2), F.lit(0.0))
         ) if need_var else None
@@ -2588,13 +2606,14 @@ def stats1_iterative(
             elif a == "sum":
                 out_cols[name] = F.when(cnt > 0, ssum)
             elif a == "mean":
-                out_cols[name] = F.when(cnt > 0, ssum / cnt)
+                out_cols[name] = F.when(cnt > 0, ssum.cast("double") / cnt)
             elif a == "min":
-                out_cols[name] = F.least(F.col(f"__mn_{f}"), _carry(f, 3))
+                out_cols[name] = F.least(F.col(f"__mn_{f}"), _carry(f, 3, mm_t))
             elif a == "max":
-                out_cols[name] = F.greatest(F.col(f"__mx_{f}"), _carry(f, 4))
+                out_cols[name] = F.greatest(F.col(f"__mx_{f}"), _carry(f, 4, mm_t))
             elif a in ("var", "stddev"):
-                var = (ssum2 - ssum * ssum / cnt) / (cnt - 1)
+                sd = ssum.cast("double")
+                var = (ssum2 - sd * sd / cnt) / (cnt - 1)
                 out_cols[name] = F.when(
                     cnt > 1, F.sqrt(var) if a == "stddev" else var
                 )
