@@ -565,22 +565,41 @@ def q_ann_brute_force(spark, sf):
     )
 
 
-# -- sketch verbs (rows-only: estimates have no SQL equivalent) --------------
+# -- sketch verbs -------------------------------------------------------------
+# Gate configs follow the theta pattern (sketches/theta.py): capacity at
+# or above the gate-scale group size puts every sketch in its EXACT
+# regime (HLL sparse list, KLL uncompacted level 0, t-digest singleton
+# centroids, TopK complete candidate set), so DuckDB oracles hash-match
+# while the 100-TB path (same code, smaller capacity per group) runs in
+# estimation mode with the published bounds.
 
 
 def q_hll_distinct_per_lang(spark, sf):
+    # p=12 => sparse_max 1024 >= distinct texts per lang at gate scale:
+    # HLL++ sparse/list mode holds the exact hash set, estimate exact.
     return sv.count_distinct_hll(_t(spark, sf, "documents"), "text", ["lang"], p=12)
 
 
 def q_tdigest_quantiles(spark, sf):
-    return sv.quantiles_tdigest(_t(spark, sf, "documents"), "n_chars", (0.5, 0.9, 0.99), ["lang"])
+    # delta > pi * group_n => every centroid stays a singleton and the
+    # midpoint interpolation is a deterministic function of the sorted
+    # values (mirrored in the oracle SQL).
+    return sv.quantiles_tdigest(
+        _t(spark, sf, "documents"), "n_chars", (0.5, 0.9, 0.99), ["lang"], delta=1024
+    )
 
 
 def q_kll_quantiles(spark, sf):
-    return sv.quantiles_kll(_t(spark, sf, "events"), "value", (0.5, 0.9), ["event_type"])
+    # k >= group_n => level 0 never compacts: quantile = exact rank
+    # ceil(q*n) of the sorted values.
+    return sv.quantiles_kll(
+        _t(spark, sf, "events"), "value", (0.5, 0.9), ["event_type"], k=8192
+    )
 
 
 def q_cms_top_tokens(spark, sf):
+    # capacity >= vocabulary => candidate set complete, tracked counts
+    # exact (TopKSketch untrimmed mode).
     tok = _t(spark, sf, "documents").select(F.explode(F.split("text", " ")).alias("token"))
     return sv.most_frequent_cms(tok, "token", k=10)
 
@@ -984,10 +1003,12 @@ def q_logireg(spark, sf):
 def q_frame_sample(spark, sf):
     from mlrsketch.pipeline import multimodal
 
+    # doc_id < 50 (not .limit) so the input set is deterministic, and
+    # scalar output columns only so the gate harness can hash them.
     d = multimodal.attach_fake_payload(
-        _t(spark, sf, "documents").limit(50), from_col="text"
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 50), from_col="text"
     )
-    return multimodal.frame_sample(d, every_nth=4)
+    return multimodal.frame_sample(d, every_nth=4).select("doc_id", "frame_idx")
 
 
 def q_sketch_profile(spark, sf):
@@ -995,7 +1016,11 @@ def q_sketch_profile(spark, sf):
     # The library keeps top_tokens/top_counts as arrays; the gate harness
     # hashes scalar cells, so project arrays through to_json here.
     d = _t(spark, sf, "documents")
-    s = sv.sketch_profile(d, url_col="doc_id", text_col="text", by=["lang"], p=12)
+    # p=12 / kll_k=1024: every constituent sketch in its exact regime at
+    # gate scale (sparse HLL, uncompacted KLL, untrimmed TopK).
+    s = sv.sketch_profile(
+        d, url_col="doc_id", text_col="text", by=["lang"], p=12, kll_k=1024
+    )
     arr = {f.name for f in s.schema.fields if f.dataType.typeName() == "array"}
     return s.select(
         *[F.to_json(c).alias(c) if c in arr else F.col(c) for c in s.columns]
@@ -1274,7 +1299,118 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # t-digest midpoint interpolation over singleton centroids (the
+    # exact-below-capacity gate regime): a deterministic function of the
+    # sorted values, mirrored op-for-op from TDigest.quantile so the
+    # IEEE arithmetic matches bit-for-bit.
+    def _td_q(q: str) -> str:
+        return f"""CASE
+            WHEN n = 1 OR {q} * nd <= 0.5 THEN s[1]
+            WHEN {q} * nd >= nd - 0.5 THEN s[n]
+            ELSE s[j{q.replace('0.', '')}]
+                 + ({q} * nd - (CAST(j{q.replace('0.', '')} AS DOUBLE) - 0.5))
+                   * (s[j{q.replace('0.', '')} + 1] - s[j{q.replace('0.', '')}])
+        END"""
+
+    _top_tokens_sql = """
+            SELECT t AS value, count(*) AS count_est
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            GROUP BY t ORDER BY count_est DESC, value ASC LIMIT 10
+        """
     return {
+        # -- sketch suite: exact-below-capacity gate configs ----------------
+        "hll_distinct_per_lang": """
+            SELECT lang,
+                   CAST(count(DISTINCT text) AS DOUBLE) AS distinct_count_est,
+                   CAST(0.0 AS DOUBLE) AS error_bound
+            FROM documents GROUP BY lang
+        """,
+        "kll_quantiles": """
+            SELECT event_type,
+                   s[greatest(1, CAST(ceil(0.5 * n) AS BIGINT))] AS p50,
+                   s[greatest(1, CAST(ceil(0.9 * n) AS BIGINT))] AS p90,
+                   CAST(0.000244140625 AS DOUBLE) AS rank_error_bound
+            FROM (SELECT event_type, list_sort(list(value)) AS s,
+                         count(value) AS n
+                  FROM events GROUP BY 1)
+        """,
+        "tdigest_quantiles": f"""
+            WITH g AS (
+              SELECT lang, list_sort(list(CAST(n_chars AS DOUBLE))) AS s,
+                     count(n_chars) AS n, CAST(count(n_chars) AS DOUBLE) AS nd
+              FROM documents GROUP BY 1),
+            j AS (
+              SELECT *, CAST(floor(0.5 * nd + 0.5) AS BIGINT) AS j5,
+                        CAST(floor(0.9 * nd + 0.5) AS BIGINT) AS j9,
+                        CAST(floor(0.99 * nd + 0.5) AS BIGINT) AS j99
+              FROM g)
+            SELECT lang,
+                   {_td_q('0.5')} AS p50,
+                   {_td_q('0.9')} AS p90,
+                   {_td_q('0.99')} AS p99,
+                   CAST(0.00146484375 AS DOUBLE) AS rank_error_bound
+            FROM j
+        """,
+        "sketch_profile": """
+            WITH tok AS (
+              SELECT lang, t, count(*) AS c
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+              GROUP BY lang, t),
+            tk AS (
+              SELECT lang,
+                     to_json(list_slice(list(t ORDER BY c DESC, t ASC), 1, 20)) AS top_tokens,
+                     to_json(list_slice(list(c ORDER BY c DESC, t ASC), 1, 20)) AS top_counts
+              FROM tok GROUP BY lang),
+            base AS (
+              SELECT lang,
+                     CAST(count(DISTINCT doc_id) AS DOUBLE) AS url_distinct_est,
+                     CAST(0.0 AS DOUBLE) AS url_distinct_bound,
+                     list_sort(list(CAST(length(text) AS DOUBLE))) AS s,
+                     count(text) AS n
+              FROM documents GROUP BY lang)
+            SELECT b.lang, url_distinct_est, url_distinct_bound,
+                   s[greatest(1, CAST(ceil(0.5 * n) AS BIGINT))] AS len_p50,
+                   s[greatest(1, CAST(ceil(0.9 * n) AS BIGINT))] AS len_p90,
+                   s[greatest(1, CAST(ceil(0.99 * n) AS BIGINT))] AS len_p99,
+                   CAST(0.001953125 AS DOUBLE) AS len_rank_bound,
+                   top_tokens, top_counts
+            FROM base b JOIN tk USING (lang)
+        """,
+        "cms_top_tokens": _top_tokens_sql,
+        "token_top_k": _top_tokens_sql,
+        "frame_sample": """
+            SELECT doc_id, CAST(f.g * 4 AS INTEGER) AS frame_idx
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, greatest(1, octet_length(encode(text)) // 256))) AS g) AS f
+            WHERE doc_id < 50
+        """,
+        # Bloom keep-set: with n_bits = 2^20 over ~200 'en' texts the
+        # per-probe FPR is ~(k*n/m)^k ~ 1e-12, and the hash functions are
+        # fixed, so the filtered set is deterministically the exact
+        # anti-join at gate scale (verified value-by-value).
+        "bloom_dedup": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang != 'en'
+              AND text NOT IN (SELECT text FROM documents WHERE lang = 'en')
+        """,
+        "logireg": """
+            WITH d AS (
+              SELECT value AS x,
+                     CAST(event_type = 'purchase' AS DOUBLE) AS y,
+                     1.0 / (1.0 + exp(0.001 * value - 0.002)) AS p
+              FROM events),
+            s AS (
+              SELECT sum(x * (y - p)) AS dldm, sum(y - p) AS dldb,
+                     -sum(x * x * p * (1.0 - p)) AS ha,
+                     -sum(x * p * (1.0 - p)) AS hb,
+                     -sum(p * (1.0 - p)) AS hd,
+                     count(*) AS n
+              FROM d)
+            SELECT round(-0.001 - (hd * dldm - hb * dldb) / (ha * hd - hb * hb), 6) AS m,
+                   round(0.002 - (-hb * dldm + ha * dldb) / (ha * hd - hb * hb), 6) AS b,
+                   n AS value_is_p_n
+            FROM s
+        """,
         "theta_bigram_overlap": f"""
             WITH toks AS (
               SELECT source, string_split(text, ' ') AS t

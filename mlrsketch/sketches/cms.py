@@ -26,7 +26,8 @@ import numpy as np
 from mlrsketch.sketches.hashing import hash_strings, kirsch_mitzenmacher, to_u64
 
 _MAGIC = b"CMS1"
-_TK_MAGIC = b"TPK2"  # v2: candidates carry a per-entry error bound
+_TK_MAGIC = b"TPK3"  # v3: + trimmed flag (untrimmed => candidate counts exact)
+_TK_MAGIC_V2 = b"TPK2"  # v2: candidates carry a per-entry error bound
 _TK_MAGIC_V1 = b"TOPK"
 
 
@@ -118,9 +119,16 @@ class TopKSketch:
     onward. Per-candidate `err` bounds the overcount: `count` arrivals
     were observed while tracked, so true >= count and
     est - err <= true <= est, with err = possible pre-tracking/collision
-    overcount recorded at (re)insertion and summed across merges."""
+    overcount recorded at (re)insertion and summed across merges.
 
-    __slots__ = ("cms", "capacity", "candidates")
+    Exact-below-capacity: while no trim has ever occurred (here or in
+    any merged shard), the candidate set is COMPLETE and each tracked
+    count is the exact arrival total, so top-k ranks by those exact
+    counts with err 0 — the same "the sketch IS the exact answer below
+    its capacity" contract as the theta sketch. The `trimmed` flag
+    records the transition and survives serialization and merges."""
+
+    __slots__ = ("cms", "capacity", "candidates", "trimmed")
 
     def __init__(
         self,
@@ -129,12 +137,15 @@ class TopKSketch:
         capacity: int = 1024,
         cms: CountMinSketch | None = None,
         candidates: dict[str, list[int]] | None = None,
+        trimmed: bool = False,
     ):
         self.cms = cms or CountMinSketch(depth, width)
         self.capacity = capacity
         # item -> [tracked-count floor, uint64 hash, error bound];
-        # ranking always uses CMS estimates after merge.
+        # ranking uses CMS estimates once trimmed, exact tracked
+        # counts while the candidate set is still complete.
         self.candidates: dict[str, list[int]] = candidates or {}
+        self.trimmed = trimmed
 
     def update_values(self, values: np.ndarray, counts: np.ndarray | None = None) -> None:
         """Ingest a pre-aggregated batch: distinct string values + counts
@@ -180,6 +191,7 @@ class TopKSketch:
     def _trim(self) -> None:
         if len(self.candidates) <= self.capacity:
             return
+        self.trimmed = True
         items = list(self.candidates.keys())
         ests = self.cms.estimate_hashes(self._cand_hashes())
         order = np.argsort(-ests, kind="stable")[: self.capacity]
@@ -187,9 +199,16 @@ class TopKSketch:
         self.candidates = {k: v for k, v in self.candidates.items() if k in keep}
 
     def top(self, k: int) -> list[tuple[str, int]]:
-        """Top-k candidates ranked by CMS estimate (desc, then value asc)."""
+        """Top-k candidates (desc count, then value asc). Untrimmed:
+        exact tracked counts; trimmed: CMS estimates."""
         if not self.candidates:
             return []
+        if not self.trimmed:
+            ranked = sorted(
+                ((v, ch[0]) for v, ch in self.candidates.items()),
+                key=lambda t: (-t[1], t[0]),
+            )
+            return ranked[:k]
         items = list(self.candidates.keys())
         ests = self.cms.estimate_hashes(self._cand_hashes())
         ranked = sorted(zip(items, ests.tolist()), key=lambda t: (-t[1], t[0]))
@@ -207,6 +226,12 @@ class TopKSketch:
         the bound soundly."""
         if not self.candidates:
             return []
+        if not self.trimmed:  # complete candidate set: counts are exact
+            ranked = sorted(
+                ((v, ch[0], 0) for v, ch in self.candidates.items()),
+                key=lambda t: (-t[1], t[0]),
+            )
+            return ranked[:k]
         items = list(self.candidates.items())
         ests = self.cms.estimate_hashes(self._cand_hashes())
         ranked = sorted(
@@ -217,6 +242,7 @@ class TopKSketch:
         return ranked[:k]
 
     def merge(self, other: "TopKSketch") -> "TopKSketch":
+        self.trimmed = self.trimmed or other.trimmed
         self.cms.merge(other.cms)
         for k, ch in other.candidates.items():
             cur = self.candidates.get(k)
@@ -238,7 +264,8 @@ class TopKSketch:
         ).encode("utf-8")
         return (
             _TK_MAGIC
-            + struct.pack("<III", self.capacity, len(cms_bytes), len(cand_blob))
+            + struct.pack("<IIIB", self.capacity, len(cms_bytes), len(cand_blob),
+                          1 if self.trimmed else 0)
             + cms_bytes
             + cand_blob
         )
@@ -246,10 +273,15 @@ class TopKSketch:
     @classmethod
     def deserialize(cls, data: bytes) -> "TopKSketch":
         magic = data[:4]
-        if magic not in (_TK_MAGIC, _TK_MAGIC_V1):
+        if magic not in (_TK_MAGIC, _TK_MAGIC_V2, _TK_MAGIC_V1):
             raise ValueError(f"not a TopK state (magic {magic!r})")
-        capacity, cms_len, cand_len = struct.unpack_from("<III", data, 4)
-        off = 4 + 12
+        if magic == _TK_MAGIC:
+            capacity, cms_len, cand_len, trimmed = struct.unpack_from("<IIIB", data, 4)
+            off = 4 + 13
+        else:
+            capacity, cms_len, cand_len = struct.unpack_from("<III", data, 4)
+            trimmed = 1  # legacy states: assume estimates (never claim exact)
+            off = 4 + 12
         cms = CountMinSketch.deserialize(data[off : off + cms_len])
         cand_blob = data[off + cms_len : off + cms_len + cand_len].decode("utf-8")
         candidates = {}
@@ -268,4 +300,5 @@ class TopKSketch:
                         f"corrupt TopK candidate entry ({len(parts)} fields)"
                     )
                 candidates[k] = [int(cnt), int(h), int(err)]
-        return cls(capacity=capacity, cms=cms, candidates=candidates)
+        return cls(capacity=capacity, cms=cms, candidates=candidates,
+                   trimmed=bool(trimmed))

@@ -1,19 +1,37 @@
-"""HyperLogLog++ distinct-count sketch (dense registers, numpy).
+"""HyperLogLog++ distinct-count sketch (sparse list + dense registers).
 
 Replaces Miller's exact `distinct_count` accumulator — an ordered map of
 every distinct original string (reference: /root/reference/pkg/
 transformers/utils/stats1_accumulators.go:341-365) and `count-distinct`
-(pkg/transformers/uniq.go:27) — with a fixed 2^p-byte mergeable state.
+(pkg/transformers/uniq.go:27) — with a mergeable state that is EXACT
+below a threshold and a fixed 2^p-byte dense HLL above it.
 
 Algorithm: Flajolet et al. 2007 (HyperLogLog) with the 64-bit hash and
 small-range linear-counting correction from Heule et al. 2013 (HLL++).
-The empirical bias-correction table of HLL++ is omitted (published
-constants, but linear counting already covers the regime our tests hit);
-the standard error bound remains sigma = 1.04 / sqrt(m).
+Heule §5.2's sparse mode is realized the way Apache DataSketches' HLL
+does its coupon list: below `sparse_max` distinct values the state is
+the sorted set of raw 64-bit hashes itself, so
 
-Merge = elementwise register max — commutative, associative, idempotent,
-so partial states from any partitioning of the data combine to the
-bit-identical dense state.
+  * the estimate is exactly |set| (error_bound 0.0) — low-cardinality
+    groups (the long tail of a per-host/per-lang rollup at web scale)
+    pay no approximation at all, and
+  * merge stays associative at the BIT level even across the
+    sparse->dense promotion: the dense registers are a pure function of
+    the SET of hashes ever seen (promotion replays the full 64-bit
+    hashes), and set union is order-independent.
+
+The empirical bias-correction table of HLL++ is omitted (published
+constants, but sparse mode + linear counting cover the regime where it
+matters); the dense standard error bound remains sigma = 1.04/sqrt(m).
+
+Memory: sparse holds at most `sparse_max` (default m/4) uint64 hashes
+= 2*m bytes worst case vs m bytes dense — the 2x transient is the
+price of exactness below threshold, same trade DataSketches makes.
+
+Merge = set union (sparse) / elementwise register max (dense) —
+commutative, associative, idempotent, so partial states from any
+partitioning of the data combine to the bit-identical state
+(property-tested in tests/test_merge_properties.py).
 """
 
 from __future__ import annotations
@@ -24,27 +42,40 @@ import numpy as np
 
 from mlrsketch.sketches.hashing import floor_log2, to_u64
 
-_MAGIC = b"HLL1"
+_MAGIC = b"HLL1"  # legacy dense-only payload
+_MAGIC2 = b"HLL2"  # mode byte + sparse list or dense registers
 
 
 class HyperLogLog:
-    __slots__ = ("p", "m", "registers")
+    __slots__ = ("p", "m", "sparse_max", "registers", "sparse")
 
-    def __init__(self, p: int = 14, registers: np.ndarray | None = None):
+    def __init__(
+        self,
+        p: int = 14,
+        registers: np.ndarray | None = None,
+        sparse: np.ndarray | None = None,
+        sparse_max: int | None = None,
+    ):
         if not 4 <= p <= 18:
             raise ValueError("p must be in [4, 18]")
         self.p = p
         self.m = 1 << p
-        self.registers = (
-            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
-        )
+        self.sparse_max = self.m // 4 if sparse_max is None else int(sparse_max)
+        if registers is not None:
+            self.registers = registers
+            self.sparse = None
+        else:
+            self.registers = None
+            self.sparse = (
+                sparse if sparse is not None else np.empty(0, dtype=np.uint64)
+            )  # sorted distinct raw 64-bit hashes
 
-    # -- update ------------------------------------------------------------
-    def update_hashes(self, hashes: np.ndarray) -> None:
-        """Ingest a batch of 64-bit hashes (int64/uint64 numpy array)."""
-        if hashes.size == 0:
-            return
-        h = to_u64(hashes)
+    @property
+    def is_sparse(self) -> bool:
+        return self.sparse is not None
+
+    # -- dense ingestion ---------------------------------------------------
+    def _dense_update(self, h: np.ndarray) -> None:
         p = np.uint64(self.p)
         idx = h >> np.uint64(64 - self.p)
         w = (h << p) & np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -55,8 +86,34 @@ class HyperLogLog:
         )
         np.maximum.at(self.registers, idx.astype(np.int64), rho)
 
+    def _promote(self) -> None:
+        """Sparse -> dense: replay the exact hash set into registers."""
+        hashes = self.sparse
+        self.sparse = None
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if hashes.size:
+            self._dense_update(hashes)
+
+    # -- update ------------------------------------------------------------
+    def update_hashes(self, hashes: np.ndarray) -> None:
+        """Ingest a batch of 64-bit hashes (int64/uint64 numpy array)."""
+        if hashes.size == 0:
+            return
+        h = to_u64(hashes)
+        if self.sparse is not None:
+            merged = np.union1d(self.sparse, h)  # sorted distinct
+            if merged.size <= self.sparse_max:
+                self.sparse = merged
+                return
+            self.sparse = merged
+            self._promote()
+            return
+        self._dense_update(h)
+
     # -- estimate ----------------------------------------------------------
     def estimate(self) -> float:
+        if self.sparse is not None:  # exact mode
+            return float(self.sparse.size)
         m = float(self.m)
         if self.m >= 128:
             alpha = 0.7213 / (1.0 + 1.079 / m)
@@ -74,24 +131,50 @@ class HyperLogLog:
         return float(e)
 
     def error_bound(self) -> float:
-        """Published standard error: 1.04 / sqrt(m)."""
+        """Published standard error: 1.04/sqrt(m) dense, 0 in exact
+        sparse mode (the state IS the distinct hash set)."""
+        if self.sparse is not None:
+            return 0.0
         return 1.04 / (self.m**0.5)
 
     # -- merge -------------------------------------------------------------
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if other.p != self.p:
             raise ValueError("cannot merge HLLs of different precision")
+        if self.sparse is not None and other.sparse is not None:
+            merged = np.union1d(self.sparse, other.sparse)
+            self.sparse = merged
+            if merged.size > self.sparse_max:
+                self._promote()
+            return self
+        if self.sparse is not None:
+            self._promote()
+        if other.sparse is not None:
+            if other.sparse.size:
+                self._dense_update(other.sparse)
+            return self
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
     # -- serde -------------------------------------------------------------
     def serialize(self) -> bytes:
-        return _MAGIC + struct.pack("<B", self.p) + self.registers.tobytes()
+        if self.sparse is not None:
+            head = _MAGIC2 + struct.pack("<BBI", self.p, 1, self.sparse.size)
+            return head + np.ascontiguousarray(self.sparse).tobytes()
+        return _MAGIC2 + struct.pack("<BBI", self.p, 0, 0) + self.registers.tobytes()
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HyperLogLog":
-        if data[:4] != _MAGIC:
+        if data[:4] == _MAGIC:  # legacy dense payload
+            p = struct.unpack_from("<B", data, 4)[0]
+            regs = np.frombuffer(data[5:], dtype=np.uint8).copy()
+            return cls(p=p, registers=regs)
+        if data[:4] != _MAGIC2:
             raise ValueError("not an HLL state")
-        p = struct.unpack_from("<B", data, 4)[0]
-        regs = np.frombuffer(data[5:], dtype=np.uint8).copy()
+        p, mode, n = struct.unpack_from("<BBI", data, 4)
+        off = 4 + struct.calcsize("<BBI")
+        if mode == 1:
+            sparse = np.frombuffer(data[off : off + 8 * n], dtype=np.uint64).copy()
+            return cls(p=p, sparse=sparse)
+        regs = np.frombuffer(data[off:], dtype=np.uint8).copy()
         return cls(p=p, registers=regs)
