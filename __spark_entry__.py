@@ -1162,13 +1162,12 @@ def q_mad_global(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's DuckDB correctness gate checks the
-    # FIRST 50 keys. Rounds 1+2 green-checked 100 of 114 keys; round 3
-    # front-loads the 14 never-checked entries, then the 4 queries whose
-    # r2 hash-reds were fixed (sig9 encoding), then new round-3 surface.
+    # FIRST 50 keys. Cumulative through round 3: 97 of 118 keys have
+    # been driver-green at least once. Round 4 front-loads the 21
+    # never-green keys (newly oracled / newly fixed this round), then
+    # keys whose green is recent, then the long-stable tail.
     return {
-        # never-driver-checked until now
-        "ewma": q_ewma,
-        "sample_per_group": q_sample_per_group,
+        # -- never driver-green before round 4 ------------------------------
         "bootstrap_ci": q_bootstrap_ci,
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
@@ -1181,16 +1180,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_top_tokens": q_cms_top_tokens,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
-        # r2 hash-red, fixed this round — prove green at driver level
         "stats1_extended": q_stats1_extended,
-        "stats2_linreg": q_stats2_linreg,
         "summary": q_summary,
         "surv_km": q_surv_km,
-        # new round-3 surface
-        "fraction_cumulative_global": q_fraction_cumulative_global,
-        "theta_bigram_overlap": q_theta_bigram_overlap,
         "stats1_iterative": q_stats1_iterative,
         "stats1_iterative_global": q_stats1_iterative_global,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "ann_lsh": q_ann_lsh,
+        "bloom_dedup": q_bloom_dedup,
+        "bootstrap": q_bootstrap,
+        # -- green in round 3 (re-confirm) ----------------------------------
+        "ewma": q_ewma,
+        "sample_per_group": q_sample_per_group,
+        "stats2_linreg": q_stats2_linreg,
+        "fraction_cumulative_global": q_fraction_cumulative_global,
+        "theta_bigram_overlap": q_theta_bigram_overlap,
         # --- round-2 driver-green keys (checked in CORRECTNESS_r02) ---
         "step_global": q_step_global,
         "slwin_global": q_slwin_global,
@@ -1233,12 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         "shuffle": q_shuffle,
         "group_by_stream": q_group_by_stream,
-        # sketch / non-SQL-expressible (rows-only checks)
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "bloom_dedup": q_bloom_dedup,
-        "bootstrap": q_bootstrap,
         # --- round-1 driver-green keys (checked in CORRECTNESS_r01) ---
         "stats1_basic": q_stats1_basic,
         "stats1_percentiles_interp": q_stats1_percentiles_interp,
