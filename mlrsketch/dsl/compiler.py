@@ -622,7 +622,10 @@ def _cast_int(a: TC) -> TC:
     (error), reference dsl-type-reflect/0001)."""
     if a.t == "int":
         return a
-    if a.t == "float":
+    if a.t in ("float", "num"):
+        # numeric VALUES truncate toward zero (int+int stays int in
+        # Miller; the compiled numeric tier carries it as double) —
+        # only float-looking STRINGS are (error)
         return TC(a.col.try_cast("long"), "int")
     if a.t == "bool":
         return TC(F.when(a.col, 1).otherwise(0).cast("long"), "int")

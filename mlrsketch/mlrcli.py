@@ -895,7 +895,21 @@ def _parse_yaml_docs(text: str) -> list[dict]:
 
 def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
               quoted_dkvp: bool = False,
-              known_keys: set[str] | None = None) -> list[dict]:
+              known_keys: set[str] | None = None,
+              ops: str | None = None, olite: bool = False) -> list[dict]:
+    if fmt in ("yaml", "dcf", "recutils"):
+        # blank-line/document formats: reuse the INPUT parsers (the
+        # writers round-trip through them), then flatten nested values
+        # the same way the reader path does
+        parser = {"yaml": _parse_yaml_docs, "dcf": _parse_dcf,
+                  "recutils": _parse_recutils}[fmt]
+        recs = []
+        for r in parser(text):
+            flat: dict = {}
+            for k, v in r.items():
+                _flatten_json_value(flat, k, v, flatsep)
+            recs.append(flat)
+        return recs
     if fmt == "jsonl":
         import json as _json
 
@@ -921,10 +935,12 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
                 continue
             # the tsv WRITER escapes tab/newline/backslash in keys too,
             # so decode the header here (the reader keeps input header
-            # text verbatim — see _read_records)
-            header = [_tsv_decode(v) for v in clines[0].split("\t")]
+            # text verbatim — see _read_records). tsvlite writes bytes
+            # literally: no decoding on either side.
+            dec = (lambda v: v) if olite else _tsv_decode
+            header = [dec(v) for v in clines[0].split("\t")]
             recs.extend(
-                dict(zip(header, (_tsv_decode(v) for v in ln.split("\t"))))
+                dict(zip(header, (dec(v) for v in ln.split("\t"))))
                 for ln in clines[1:]
             )
         return recs
@@ -1012,7 +1028,7 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
         # Parse with a real CSV reader (RFC quoting, embedded newlines).
         # Blank rows mean het-schema blocks: csv/csvlite writers emit a
         # blank line + fresh header when the record schema changes.
-        all_rows = list(_csv.reader(_io.StringIO(text), delimiter=","))
+        all_rows = list(_csv.reader(_io.StringIO(text), delimiter=(ofs or ",")))
         while all_rows and all_rows[-1] == []:
             all_rows.pop()
         recs = []
@@ -1026,6 +1042,25 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
             block.append(row)
         return recs
     if fmt == "xtab":
+        if ops and ops != " ":
+            # --ops on xtab replaces the key-value separator: a 1-char
+            # ops pads keys to the block's max width with repeated ops
+            # chars (like the default space padding); a multi-char ops
+            # is written verbatim with no padding
+            recs, cur = [], {}
+            for ln in text.splitlines() + [""]:
+                if not ln.strip():
+                    if cur:
+                        recs.append(cur)
+                        cur = {}
+                    continue
+                if len(ops) == 1:
+                    k, _, v = ln.partition(ops)
+                    cur[k] = v.lstrip(ops)
+                else:
+                    k, _, v = ln.partition(ops)
+                    cur[k] = v
+            return recs
         if ofs and ofs not in ("\n", " "):
             # xtab --ofs replaces the NEWLINE between k-v lines; a
             # doubled separator is the record boundary
@@ -1070,12 +1105,13 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
         return recs
     # dkvp
     recs = []
+    kvsep = ops or "="
     for ln in lines:
         rec = {}
         pairs = (_dkvpx_pairs(ln, ofs or ",") if quoted_dkvp
                  else ln.split(ofs or ","))
         for pair in pairs:
-            k, _, v = pair.partition("=")
+            k, _, v = pair.partition(kvsep)
             rec[k] = _dkvpx_unq(v) if quoted_dkvp else v
         recs.append(rec)
     return recs
@@ -6149,6 +6185,11 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
 
     _MIm.set_infer_mode(infer_mode)
     _TLS.infer_mode = infer_mode
+    if infer_mode:
+        # -A/-O change scan inference; the compiled tier bakes DEFAULT
+        # inference into the Catalyst plan, so route put/filter through
+        # the stream interpreter, which consults the mode per value
+        _TLS.prefer_interp = True
     if ifmt == "dcf":
         # DCF values are STRING-typed in the reference (FromString,
         # record_reader_dcf.go) — writers must not re-scan/OFMT them
@@ -6638,9 +6679,18 @@ def _compare_result(res: ExecResult, case_dir: str, expect_err_text):
     ):
         # multi-line values need key-anchored reassembly of the expout
         known_keys = {k for r in got for k in r}
+    render_opts = res.render_opts or {}
+    if render_opts.get("ors2") and ofmt in ("csv", "tsv", "dkvp", "nidx"):
+        # --ors lflf doubles the record separator; collapse the blank
+        # lines so the line-oriented parsers see one record per line
+        # (indistinguishable from het-schema blocks by design)
+        exp_text = "\n".join(
+            ln for ln in exp_text.splitlines() if ln.strip() != ""
+        ) + ("\n" if exp_text.endswith("\n") else "")
     exp = parse_out(exp_text, ofmt, flatsep=flatsep, ofs=ofs,
                     quoted_dkvp=(quoted_dkvp and ofmt == "dkvp"),
-                    known_keys=known_keys)
+                    known_keys=known_keys,
+                    ops=render_opts.get("ops"), olite=res.olite)
     return got, exp, ordered
 
 
