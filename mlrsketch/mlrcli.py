@@ -5853,6 +5853,10 @@ def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,
     float_ofmt = getattr(_TLS, "ofmt_go", None) or None
     render_opts = dict(getattr(_TLS, "render_opts", {}) or {})
     render_records = getattr(_TLS, "render_records", None)
+    if not ordered and records is not None and len(records) <= 1:
+        # a 0/1-record stream (e.g. `uniq -a -n`) is trivially ordered,
+        # so the byte channel can render it
+        ordered = True
     return ExecResult(
         records=records, text=text, ordered=ordered, ofmt=ofmt, ofs=ofs,
         flatsep=flatsep, headerless_out=headerless_out,

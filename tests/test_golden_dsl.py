@@ -26,7 +26,7 @@ pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF), reason="reference checkout not present"
 )
 
-MIN_PASS = 2740
+MIN_PASS = 2745
 
 KNOWN_DIVERGENCES = {
     # Miller's sub() does NOT treat a "\\t" (backslash-t) pattern as a

@@ -163,3 +163,80 @@ def test_theta_associativity_and_idempotence(seed):
     a_bc = theta_union(mk(a_d), theta_union(mk(b_d), mk(c_d)))
     assert ab_c.serialize() == a_bc.serialize()
     assert theta_union(ab_c, ab_c).serialize() == ab_c.serialize()  # idempotent
+
+
+# -- HLL sparse/list mode (round 4): exact below threshold, associative
+# across the sparse->dense promotion boundary -------------------------------
+
+
+def test_hll_sparse_exact_below_threshold():
+    h = HyperLogLog(p=12)  # sparse_max = 1024
+    data = _hashes(1000)
+    h.update_hashes(data)
+    assert h.is_sparse
+    assert h.estimate() == 1000.0  # exact, not approximate
+    assert h.error_bound() == 0.0
+
+
+def test_hll_sparse_promotes_and_matches_dense():
+    data = _hashes(3000)
+    promoted = HyperLogLog(p=12)  # promotes at 1024 entries
+    promoted.update_hashes(data)
+    assert not promoted.is_sparse
+    dense = HyperLogLog(p=12, registers=np.zeros(1 << 12, dtype=np.uint8))
+    dense._dense_update(np.frombuffer(data.tobytes(), dtype=np.uint64))
+    assert promoted.serialize() == dense.serialize()
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 6))
+def test_hll_mixed_sparse_dense_merge_invariance(seed, k):
+    # chunks small enough that some partials stay sparse while others
+    # promote: the merged state must equal the one-shot state bit-for-bit
+    data = _hashes(4_000)
+    whole = HyperLogLog(p=10)
+    whole.update_hashes(data)
+    parts = []
+    for chunk in _random_split(data, seed, k):
+        h = HyperLogLog(p=10)
+        h.update_hashes(chunk)
+        parts.append(h)
+    left = parts[0]
+    for p in parts[1:]:
+        left = left.merge(p)
+    assert left.serialize() == whole.serialize()
+
+
+def test_hll_serde_roundtrip_both_modes():
+    sp = HyperLogLog(p=12)
+    sp.update_hashes(_hashes(100))
+    back = HyperLogLog.deserialize(sp.serialize())
+    assert back.is_sparse and back.estimate() == 100.0
+    assert back.serialize() == sp.serialize()
+    dn = HyperLogLog(p=8)
+    dn.update_hashes(_hashes(5000))
+    back2 = HyperLogLog.deserialize(dn.serialize())
+    assert not back2.is_sparse
+    assert back2.serialize() == dn.serialize()
+
+
+def test_topk_untrimmed_counts_exact_and_flag_survives_serde():
+    from mlrsketch.sketches.cms import TopKSketch
+
+    sk = TopKSketch(capacity=64)
+    vals = np.array([f"t{i % 10}" for i in range(100)], dtype=object)
+    for v in vals:
+        sk.update_values(np.array([v], dtype=object))
+    assert not sk.trimmed
+    top = sk.top(10)
+    assert all(c == 10 for _, c in top)  # exact, no CMS overcount
+    assert [v for v, _ in top] == sorted(f"t{i}" for i in range(10))
+    back = TopKSketch.deserialize(sk.serialize())
+    assert back.trimmed is False and back.top(10) == top
+    # trimming flips the flag and it sticks through serde + merge
+    small = TopKSketch(capacity=4)
+    small.update_values(np.array([f"u{i}" for i in range(20)], dtype=object))
+    assert small.trimmed
+    assert TopKSketch.deserialize(small.serialize()).trimmed is True
+    merged = TopKSketch.deserialize(sk.serialize()).merge(small)
+    assert merged.trimmed
