@@ -1035,13 +1035,22 @@ def q_token_top_k(spark, sf):
 def q_image_features(spark, sf):
     from mlrsketch.pipeline import multimodal
 
+    # doc_id < 200 (not .limit) for a deterministic input set. The fake
+    # decode is fully deterministic (utf-8 bytes tiled to 8x8x3), so the
+    # per-channel means are oracle-able: each channel averages 64
+    # integer bytes — the float64 mean is exact (sum < 2^53, /64 is a
+    # power of two), and the library's float32 quantization is
+    # replicated in SQL via CAST(.. AS REAL). Scalar columns only.
     d = multimodal.attach_fake_payload(
-        _t(spark, sf, "documents").limit(200), from_col="text"
+        _t(spark, sf, "documents").filter(F.col("doc_id") < 200), from_col="text"
     )
-    # features is array<float> in the library API; stringify for the
-    # gate harness (its canonicalizer hashes scalar cells only).
-    return multimodal.image_features(d).select(
-        "doc_id", F.to_json("features").alias("features")
+    feats = multimodal.image_features(d)
+    return feats.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", k + 1).cast("double"), 4).alias(f"f{k}")
+            for k in range(3)
+        ],
     )
 
 
@@ -1382,6 +1391,27 @@ def oracle_sql() -> dict[str, str]:
             FROM documents,
                  LATERAL (SELECT unnest(range(0, greatest(1, octet_length(encode(text)) // 256))) AS g) AS f
             WHERE doc_id < 50
+        """,
+        # STUB image decode (declared, environment-forced) but fully
+        # deterministic: payload = utf-8 text bytes tiled to 192, image
+        # = 8x8x3, features = per-channel byte means as float32. The
+        # text is ASCII at gate scale so unicode(char) = byte value.
+        "image_features": """
+            WITH px AS (
+              SELECT doc_id, i % 3 AS ch,
+                     unicode(substr(text, CAST(i % length(text) AS BIGINT) + 1, 1)) AS v
+              FROM documents,
+                   LATERAL (SELECT unnest(range(0, 192)) AS i)
+              WHERE doc_id < 200),
+            m AS (
+              SELECT doc_id,
+                     CAST(CAST(CAST(sum(CASE WHEN ch = 0 THEN v END) AS DOUBLE) / 64.0 AS REAL) AS DOUBLE) AS m0,
+                     CAST(CAST(CAST(sum(CASE WHEN ch = 1 THEN v END) AS DOUBLE) / 64.0 AS REAL) AS DOUBLE) AS m1,
+                     CAST(CAST(CAST(sum(CASE WHEN ch = 2 THEN v END) AS DOUBLE) / 64.0 AS REAL) AS DOUBLE) AS m2
+              FROM px GROUP BY doc_id)
+            SELECT doc_id, round(m0, 4) AS f0, round(m1, 4) AS f1,
+                   round(m2, 4) AS f2
+            FROM m
         """,
         # Bloom keep-set: with n_bits = 2^20 over ~200 'en' texts the
         # per-probe FPR is ~(k*n/m)^k ~ 1e-12, and the hash functions are
