@@ -17,14 +17,16 @@ import duckdb
 
 
 def _norm(v):
+    # STRICT normalization (round 4): floats and ints must not collapse
+    # ("655.0" != "655") — the driver's canonicalizer distinguishes
+    # dtypes, and the round-3 hash-reds were exactly this class of
+    # mismatch slipping through a laxer local compare.
     if v is None:
         return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "<nan>"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.10g}"
+        return repr(v)
     if isinstance(v, bool):
         return str(v).lower()
     if isinstance(v, (datetime, date)):
