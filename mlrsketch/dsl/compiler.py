@@ -82,6 +82,13 @@ def to_str(a: TC) -> Column:
 
 
 def to_num(a: TC) -> Column:
+    # NOTE: this is the hottest coercion in the compiler and its tree is
+    # duplicated into every arithmetic node over untyped operands —
+    # keep it ONE try_cast. (A round-4 experiment inlined the full
+    # leading-zero/hex scan here; nested expressions multiplied the
+    # subtree until the driver OOMed building the plan. The per-value
+    # inference divergence — "0123" is a string in Miller — is the
+    # stream interpreter's contract, not this tier's.)
     if a.t in _NUMERIC:
         return a.col
     if a.t == "bool":
@@ -517,7 +524,15 @@ def _typeof(a: TC, raw) -> TC:
         res = (
             F.when(s.isNull(), "absent")
             .when(s == "", "empty")
-            .when(s.rlike(r"^-?[0-9]+$") | s.rlike(r"^-?0x[0-9a-fA-F]+$"), "int")
+            # leading-zero decimal ints are STRINGS by default
+            # (io-infer-flags/default; -O opts into octal)
+            .when(s.rlike(r"^[+-]?0[0-9]+$"), "string")
+            .when(
+                s.rlike(r"^-?[0-9]+$")
+                | s.rlike(r"^[+-]?0[xX][0-9a-fA-F]+$")
+                | s.rlike(r"^[+-]?0[bB][01]+$"),
+                "int",
+            )
             .when(s.rlike(r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"), "float")
             .otherwise("string")
         )

@@ -4464,8 +4464,12 @@ def _dsl_program(argv, case_dir=None):
             red_ofmt)
 
 
-def _py_ofmt(fmt: str) -> str:
-    """Go %-format -> python: drop the length modifier (%.4lf -> %.4f)."""
+def _py_ofmt(fmt: str | None) -> str | None:
+    """Go %-format -> python: drop the length modifier (%.4lf -> %.4f).
+    None (no --ofmt and no MLR_OFMT, e.g. interactive CLI use) means
+    Miller's default float formatting — pass it through."""
+    if not fmt:
+        return None
     return _re.sub(r"l+([eEfFgGd])", r"\1", fmt)
 
 

@@ -43,9 +43,12 @@ KNOWN_DIVERGENCES: set[str] = {
     # record-level compare can reconstruct it
     "io-csv-auto-unsparsify/over",
     "io-tsv-auto-unsparsify/over",
-    # Miller's number inference keeps leading-zero integers ("0123") as
-    # STRINGS and arithmetic on them yields (error); the fixed-schema
-    # reader infers them numeric. Documented inference divergence.
+    # Per-VALUE inference (leading-zero "0123" stays string, arithmetic
+    # on it errors, while "0x10" is numeric) needs per-value typing a
+    # union-schema column can't carry — the stream interpreter models
+    # it (dash-A/dash-O route there via infer_mode); compiled typeof
+    # now classifies correctly but compiled arithmetic coerces by
+    # column. Documented two-tier divergence.
     "io-infer-flags/default",
 }
 
