@@ -37,7 +37,13 @@ def main(argv: list[str] | None = None) -> int:
     has_file_operand = any(
         not a.startswith("-") and os.path.isfile(a) for a in argv
     )
-    if not has_file_operand and "-n" not in argv and not sys.stdin.isatty():
+    # -n means "no input" only in GLOBAL flag position (before the first
+    # verb) — `uniq -a -n` is the verb's own flag, not mlr -n
+    from mlrsketch.mlrcli import VERBS
+
+    verb_at = next((i for i, a in enumerate(argv) if a in VERBS), len(argv))
+    no_input = "-n" in argv[:verb_at]
+    if not has_file_operand and not no_input and not sys.stdin.isatty():
         data = sys.stdin.buffer.read()
         stdin_tmp = tempfile.NamedTemporaryFile(
             prefix="mlrsketch_stdin_", suffix=".dat", delete=False
