@@ -22,12 +22,44 @@ from pyspark.sql import functions as F
 def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = None) -> DataFrame:
     """Exact dedup by content hash; keeps the row with the smallest
     ``keep_by`` per distinct text (deterministic), or an arbitrary row
-    when keep_by is None (dropDuplicates)."""
+    when keep_by is None (dropDuplicates).
+
+    Plan shape (the 100 TB-relevant part): the obvious
+    ``Window.partitionBy(fingerprint)`` moves the FULL row payload
+    through the exchange — at web scale that is the whole corpus
+    through one shuffle. Instead, keep-first is expressed as
+
+      1. a key-only aggregate ``fp -> (count, min(keep_by))`` kept to
+         the DUPLICATED fingerprints (partial aggregation map-side, so
+         the exchange carries ~32 bytes per distinct fp per partition,
+         not payloads), then
+      2. a left join of the original rows against that duplicates-only
+         side; a row whose fp has no duplicates passes untouched, a
+         duplicated fp keeps only rows at the group minimum.
+
+    The duplicates side is sized by the number of DUP GROUPS, so AQE
+    picks a broadcast join at realistic dup rates (payload never
+    shuffles at all — the scan is the only full-data pass) and falls
+    back to a sort-merge join when dup groups are genuinely huge, which
+    is the same single payload exchange the window plan always paid.
+    Tested equivalent to the window plan (dedup_keep_first gate query).
+    """
     keyed = df.withColumn("__fp", F.md5(F.col(text_col)))
     if keep_by is None:
+        # dropDuplicates partial-aggregates map-side already: each
+        # partition forwards one candidate row per distinct fp
         return keyed.dropDuplicates(["__fp"]).drop("__fp")
-    w_min = F.min(keep_by).over(Window.partitionBy("__fp"))
-    return keyed.withColumn("__min", w_min).filter(F.col(keep_by) == F.col("__min")).drop("__fp", "__min")
+    dups = (
+        keyed.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__c"), F.min(keep_by).alias("__min"))
+        .filter(F.col("__c") > 1)
+        .select("__fp", "__min")
+    )
+    return (
+        keyed.join(dups, "__fp", "left")
+        .filter(F.col("__min").isNull() | (F.col(keep_by) == F.col("__min")))
+        .drop("__fp", "__min")
+    )
 
 
 def shingles(text_col: str, n: int = 5):

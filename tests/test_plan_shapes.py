@@ -173,3 +173,21 @@ def test_tier1_dsl_compiles_to_pure_catalyst(spark, tables):
     assert "* Project" in tree(p), p  # the DSL projection is codegen'd
     # the filter half pushes down to the scan
     assert "PushedFilters" in p and "GreaterThan(l_quantity" in p, p
+
+
+def test_exact_dedup_keep_first_never_shuffles_payload(spark, tables):
+    """keep-first dedup: the only full-data pass is the scan. The group
+    minimum travels as a key-only aggregate (partial/final around one
+    KB-scale exchange) and rows re-join against the DUPLICATES-ONLY
+    side — no Window over the fingerprint, no payload exchange on the
+    probe side of the join."""
+    from mlrsketch.pipeline import dedup as dd
+
+    df = dd.exact_dedup(
+        tables["documents"].select("doc_id", "text"), "text", keep_by="doc_id"
+    )
+    p = plan(spark, df)
+    assert "Window" not in p, p
+    # the aggregate side is partial/final (map-side combine before the
+    # key-only exchange)
+    assert "partial_count" in p or "HashAggregate" in p, p
