@@ -1652,7 +1652,16 @@ def _step_ungrouped(
         {f"__v_{f}": F.when(gates[f], F.col(f)) for f in values}
     )
 
-    # ---- bounded lookback/lookahead: one equi-join per distinct offset
+    # ---- bounded lookback/lookahead WITHOUT an exchange: the frame is
+    # already range-partitioned with __n contiguous per partition, so a
+    # lag/lead is an in-partition window function for every row deeper
+    # than k from the partition edge; only the ≤k edge rows per
+    # partition need a value from a neighboring partition, and those
+    # source rows (the last/first k of each partition) are a tiny
+    # driver-collected broadcast map keyed by global __n. The previous
+    # implementation equi-joined on __n, which hash-shuffled the FULL
+    # payload twice per distinct offset — the dominant exchange of this
+    # verb at scale.
     lag_offsets: set[int] = set()
     lead_offsets: set[int] = set()
     for s in steppers:
@@ -1662,20 +1671,68 @@ def _step_ungrouped(
         elif base_name == "shift_lead":
             lead_offsets.add(k)
     out = vbase
-    for k in sorted(lag_offsets):
+    w_ord = Window.partitionBy("__pid").orderBy("__n")
+    if lag_offsets or lead_offsets:
+        out = out.withColumn("__pos", F.row_number().over(w_ord)).withColumn(
+            "__psz", F.count(F.lit(1)).over(Window.partitionBy("__pid"))
+        )
+
+    def _edge_map(rows: list, col: str, dtype) -> Column:
+        pairs = []
+        for r in rows:
+            pairs.append(F.lit(r["__n"]))
+            pairs.append(F.lit(r[col]).cast(dtype))
+        return F.create_map(*pairs) if pairs else F.create_map()
+
+    if lag_offsets:
+        max_lag = max(lag_offsets)
         # prev-caches see the GATED sequence (clearPrevValue pushes nil)
-        lagged = vbase.select(
-            (F.col("__n") + k).alias("__n"),
-            *[F.col(f"__v_{f}").alias(f"__lag{k}_{f}") for f in values],
+        edge_tail = (
+            vbase.withColumn(
+                "__rpos",
+                F.row_number().over(
+                    Window.partitionBy("__pid").orderBy(F.col("__n").desc())
+                ),
+            )
+            .filter(F.col("__rpos") <= max_lag)
+            .select("__n", *[f"__v_{f}" for f in values])
+            .collect()
         )
-        out = out.join(lagged, on="__n", how="left")
-    for k in sorted(lead_offsets):
+        for k in sorted(lag_offsets):
+            for f in values:
+                dtype = df.schema[f].dataType
+                boundary = _edge_map(edge_tail, f"__v_{f}", dtype)[
+                    F.col("__n") - k
+                ]
+                out = out.withColumn(
+                    f"__lag{k}_{f}",
+                    F.when(
+                        F.col("__pos") > k,
+                        F.lag(f"__v_{f}", k).over(w_ord),
+                    ).otherwise(boundary),
+                )
+    if lead_offsets:
+        max_lead = max(lead_offsets)
         # shift_lead reads the raw next-record value (step.go:1087-1106)
-        led = numbered.select(
-            (F.col("__n") - k).alias("__n"),
-            *[F.col(f).alias(f"__lead{k}_{f}") for f in values],
+        edge_head = (
+            numbered.withColumn(
+                "__fpos", F.row_number().over(w_ord)
+            )
+            .filter(F.col("__fpos") <= max_lead)
+            .select("__n", *values)
+            .collect()
         )
-        out = out.join(led, on="__n", how="left")
+        for k in sorted(lead_offsets):
+            for f in values:
+                dtype = df.schema[f].dataType
+                boundary = _edge_map(edge_head, f, dtype)[F.col("__n") + k]
+                out = out.withColumn(
+                    f"__lead{k}_{f}",
+                    F.when(
+                        F.col("__pos") <= F.col("__psz") - k,
+                        F.lead(f, k).over(w_ord),
+                    ).otherwise(boundary),
+                )
 
     # ---- running aggregates: per-partition prefix + driver-combined
     # carries (one tiny exports row per range partition)
