@@ -1631,19 +1631,40 @@ def _step_ungrouped(
     # record f_max ahead gate on their own presence (drain events)
     n_total = None
     if f_max:
+        # the gate is a LEAD of presence flags by f_max — in-partition
+        # window lead plus a broadcast boundary map of the first f_max
+        # rows per partition (same no-exchange shape as the lag path
+        # below; this used to be a full equi-join on __n)
         n_total = numbered.agg(F.count(F.lit(1))).collect()[0][0]
-        gsrc = numbered.select(
-            (F.col("__n") - f_max).alias("__n"),
-            *[F.col(f).isNotNull().alias(f"__gp_{f}") for f in values],
+        w_g = Window.partitionBy("__pid").orderBy("__n")
+        edge_gate = (
+            numbered.withColumn("__fpos", F.row_number().over(w_g))
+            .filter(F.col("__fpos") <= f_max)
+            .select(
+                "__n",
+                *[F.col(f).isNotNull().alias(f"__p_{f}") for f in values],
+            )
+            .collect()
         )
-        vbase = numbered.join(gsrc, on="__n", how="left")
-        gates = {
-            f: F.when(
+        vbase = numbered.withColumn(
+            "__gpos", F.row_number().over(w_g)
+        ).withColumn("__gsz", F.count(F.lit(1)).over(Window.partitionBy("__pid")))
+        gates = {}
+        for f in values:
+            pairs = [
+                x
+                for r in edge_gate
+                for x in (F.lit(r["__n"]), F.lit(r[f"__p_{f}"]))
+            ]
+            bmap = F.create_map(*pairs) if pairs else F.create_map()
+            gp = F.when(
+                F.col("__gpos") <= F.col("__gsz") - f_max,
+                F.lead(F.col(f).isNotNull(), f_max).over(w_g),
+            ).otherwise(bmap[F.col("__n") + f_max])
+            gates[f] = F.when(
                 F.col("__n") + f_max <= F.lit(n_total),
-                F.coalesce(F.col(f"__gp_{f}"), F.lit(False)),
+                F.coalesce(gp, F.lit(False)),
             ).otherwise(F.col(f).isNotNull())
-            for f in values
-        }
     else:
         vbase = numbered
         gates = {f: F.col(f).isNotNull() for f in values}
