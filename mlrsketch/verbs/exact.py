@@ -872,9 +872,9 @@ def global_row_number(
     One range-exchange, no single-task stage.
     """
     order_by = _cols(order_by)
-    ordered = df.repartitionByRange(*[F.col(c) for c in order_by]).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    ordered = df.repartitionByRange(
+        *[F.col(c) for c in order_by]
+    ).sortWithinPartitions(*[F.col(c) for c in order_by])
     # Materialize the partition assignment before reuse in two subplans:
     # range sampling is nondeterministic on recompute, so both the counts
     # collect and the downstream scan must read the SAME placement.
@@ -882,9 +882,22 @@ def global_row_number(
     # ContextCleaner when the result DataFrame is garbage-collected,
     # instead of pinning executor storage for the session's lifetime.
     ordered = ordered.localCheckpoint(eager=True)
+    # Number WITHOUT a window: monotonically_increasing_id over the
+    # checkpointed (sorted, placement-fixed) blocks encodes
+    # (partition << 33) | local-row-index, so the local index and pid
+    # are pure projections — a Window.partitionBy(pid) here would
+    # re-exchange the full payload by pid hash just to compute what the
+    # physical layout already knows. Consumers that window over __pid
+    # (prefix sums, boundary lags) still pay their one clustering
+    # exchange; __n-only consumers (cat -n, decimate, sample) now pay
+    # only the range exchange.
+    tagged = ordered.withColumn("__mid", F.monotonically_increasing_id())
+    pid_of = F.shiftright("__mid", 33).cast("int")
     counts = {
         r["__pid"]: r["cnt"]
-        for r in ordered.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+        for r in tagged.groupBy(pid_of.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
     }
     offsets = {}
     acc = 0
@@ -894,10 +907,10 @@ def global_row_number(
     off = F.create_map(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     ) if offsets else F.create_map()
-    w_in = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_by])
-    numbered = ordered.withColumn(
-        out, F.row_number().over(w_in) + F.coalesce(off[F.col("__pid")], F.lit(0))
-    )
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).cast("long")
+    numbered = tagged.withColumn(
+        out, local + 1 + F.coalesce(off[pid_of], F.lit(0))
+    ).withColumn("__pid", pid_of).drop("__mid")
     return numbered if keep_pid else numbered.drop("__pid")
 
 
