@@ -158,3 +158,18 @@ def test_utf8_to_latin1_error_value(spark):
     )
     got = [r["x"] for r in ev.utf8_to_latin1(df, ["x"]).collect()]
     assert got == ["plain ascii", "café", "(error)"]
+
+
+def test_iceberg_layer_capability_gated(spark):
+    """Iceberg integration: conf shape is stable, availability probe is
+    honest (no jar in this sandbox), and the dispatching reader loads
+    parquet paths; the iceberg branch activates only with the runtime
+    jar (spark-submit --packages) and is exercised there."""
+    from mlrsketch.session import has_iceberg, iceberg_conf, read_pages
+
+    conf = iceberg_conf(catalog="c1", warehouse="/tmp/wh")
+    assert conf["spark.sql.catalog.c1.warehouse"] == "/tmp/wh"
+    assert "IcebergSparkSessionExtensions" in conf["spark.sql.extensions"]
+    assert has_iceberg(spark) is False  # sandbox ships no connector
+    df = read_pages(spark, "/root/testdata/sf0.001/documents.parquet")
+    assert df.count() == 500
