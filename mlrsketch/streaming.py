@@ -252,3 +252,115 @@ def read_merged_states(spark, state_dir: str, deserialize, state_col: str = "__s
         sk = deserialize(bytes(r[state_col]))
         merged = sk if merged is None else merged.merge(sk)
     return merged
+
+
+def stream_sketch_profile(
+    sdf: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    by: Sequence[str] = ("lang",),
+    p: int = 12,
+    kll_k: int = 200,
+    top_k: int = 20,
+    cms_depth: int = 5,
+    cms_width: int = 16384,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """The flagship fused page profile (HLL distinct urls + KLL
+    text-length quantiles + CMS/TopK tokens — see
+    verbs.sketch.sketch_profile) as ONE custom stateful streaming
+    operator: the group's MultiSketch is the state, each micro-batch
+    folds in vectorized, and the operator emits the group's running
+    profile. Because every constituent merge is associative and
+    commutative, late/out-of-order pages need no special handling.
+
+    State per group = 2^p (or the sparse list below m/4) + O(kll_k) +
+    depth*width*8 bytes — independent of rows seen, the property that
+    makes a 10^12-page continuous ingest viable. Output mode "update".
+    """
+    import numpy as np
+
+    from mlrsketch.sketches import KLL
+    from mlrsketch.sketches.cms import TopKSketch
+    from mlrsketch.sketches.hashing import hash_strings
+    from mlrsketch.sketches.multi import MultiSketch
+
+    by = list(by)
+    by_fields = [sdf.schema[c] for c in by]
+    out_schema = StructType(
+        by_fields
+        + [
+            StructField("url_distinct_est", DoubleType()),
+            StructField("url_distinct_bound", DoubleType()),
+            StructField("len_p50", DoubleType()),
+            StructField("len_p90", DoubleType()),
+            StructField("len_p99", DoubleType()),
+            StructField("top_tokens", StringType()),  # csv, scalar-friendly
+            StructField("n_batches", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("sketch", BinaryType()), StructField("n_batches", LongType())]
+    )
+    deserializers = {
+        "hll": HyperLogLog.deserialize,
+        "kll": KLL.deserialize,
+        "topk": TopKSketch.deserialize,
+    }
+
+    prepared = sdf.withColumn(
+        "__h_url", F.xxhash64(F.col(url_col).cast("string"))
+    ).withColumn("__tl", F.length(F.col(text_col)).cast("double")).withColumn(
+        "__text", F.col(text_col).cast("string")
+    ).select(*by, "__h_url", "__tl", "__text")
+
+    def make() -> MultiSketch:
+        return MultiSketch(
+            {
+                "hll": HyperLogLog(p=p),
+                "kll": KLL(k=kll_k),
+                "topk": TopKSketch(
+                    depth=cms_depth, width=cms_width, capacity=4 * top_k + 1024
+                ),
+            }
+        )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        if state.exists:
+            blob, n_batches = state.get
+            sk = MultiSketch.deserialize(bytes(blob), deserializers)
+        else:
+            sk, n_batches = make(), 0
+        for pdf in pdfs:
+            sk.parts["hll"].update_hashes(pdf["__h_url"].to_numpy(dtype=np.int64))
+            tl = pdf["__tl"].to_numpy(dtype=np.float64)
+            tl = tl[~np.isnan(tl)]
+            if tl.size:
+                sk.parts["kll"].update_batch(tl)
+            c: Counter = Counter()
+            for t in pdf["__text"]:
+                if t is not None:
+                    c.update(t.split(" "))
+            if c:
+                vals = np.array(list(c.keys()), dtype=object)
+                cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+                sk.parts["topk"].update_hashed(vals, hash_strings(vals), cnts)
+        n_batches += 1
+        state.update((sk.serialize(), n_batches))
+        row = dict(zip(by, key))
+        row["url_distinct_est"] = sk.parts["hll"].estimate()
+        row["url_distinct_bound"] = sk.parts["hll"].error_bound()
+        row["len_p50"] = sk.parts["kll"].quantile(0.5)
+        row["len_p90"] = sk.parts["kll"].quantile(0.9)
+        row["len_p99"] = sk.parts["kll"].quantile(0.99)
+        row["top_tokens"] = ",".join(t for t, _ in sk.parts["topk"].top(top_k))
+        row["n_batches"] = n_batches
+        yield pd.DataFrame([row])
+
+    return prepared.groupBy(*by).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout
+    )

@@ -167,3 +167,45 @@ def test_stream_kll_stateful_matches_exact(spark, stream_src):
             assert abs(rank - q_) <= 3 * got["rank_error_bound"] + 2.0 / n, (
                 etype, col, est, rank,
             )
+
+
+def test_stream_sketch_profile_matches_batch(spark, tmp_path_factory):
+    """The fused HLL+KLL+TopK profile as a stateful stream: final
+    per-lang numbers must match the batch sketch_profile over the same
+    documents (associative merges => stream order is irrelevant)."""
+    path = str(tmp_path_factory.mktemp("profile_src"))
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    sdf = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = st.stream_sketch_profile(
+        sdf, url_col="doc_id", text_col="text", by=["lang"], p=12, kll_k=1024
+    )
+    _run_available_now(out, "t_profile", "update")
+    rows = spark.sql("select * from t_profile").collect()
+    best = {}
+    for r in rows:
+        cur = best.get(r["lang"])
+        if cur is None or r["n_batches"] > cur["n_batches"]:
+            best[r["lang"]] = r.asDict()
+
+    from mlrsketch.verbs import sketch as sv
+
+    batch = {
+        r["lang"]: r.asDict()
+        for r in sv.sketch_profile(
+            docs, url_col="doc_id", text_col="text", by=["lang"], p=12, kll_k=1024
+        ).collect()
+    }
+    assert set(best) == set(batch)
+    for lang, b in batch.items():
+        s = best[lang]
+        assert s["n_batches"] >= 2
+        # sparse HLL + uncompacted KLL at this scale: exact equality
+        assert s["url_distinct_est"] == b["url_distinct_est"]
+        for q in ("len_p50", "len_p90", "len_p99"):
+            assert s[q] == b[q], (lang, q, s[q], b[q])
+        assert s["top_tokens"].split(",") == b["top_tokens"]
