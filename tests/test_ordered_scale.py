@@ -204,3 +204,24 @@ def test_no_single_partition_window_in_plans(data):
         # warning — asserted indirectly by checking no exchange to a
         # single partition exists
         assert "SinglePartition" not in plan, plan
+
+
+def test_step_lag_spans_multiple_tiny_partitions(spark):
+    """Boundary-carry lags when the offset exceeds partition sizes: a
+    12-row frame over 8 partitions gives 1-2 rows per partition, so a
+    shift_lag_3 source is usually 2+ partitions away — the broadcast
+    edge map must resolve it, not just the immediate neighbor."""
+    rows = [(i, float(i * 10)) for i in range(12)]
+    df = spark.createDataFrame(rows, "ord long, x double").repartition(8)
+    got = collect_map(
+        ev.step(df, ["shift_lag_3", "shift_lead_2", "delta"], ["x"],
+                order_by=["ord"])
+    )
+    for i in range(12):
+        r = got[i]
+        exp_lag = float((i - 3) * 10) if i >= 3 else None
+        exp_lead = float((i + 2) * 10) if i + 2 < 12 else None
+        exp_delta = 10.0 if i >= 1 else 0.0
+        assert r["x_shift_lag_3"] == exp_lag, (i, r)
+        assert r["x_shift_lead_2"] == exp_lead, (i, r)
+        assert r["x_delta"] == exp_delta, (i, r)
