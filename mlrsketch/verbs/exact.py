@@ -887,7 +887,9 @@ def global_row_number(
     # (partition << 33) | local-row-index, so the local index and pid
     # are pure projections — a Window.partitionBy(pid) here would
     # re-exchange the full payload by pid hash just to compute what the
-    # physical layout already knows. Consumers that window over __pid
+    # physical layout already knows. The 33-bit local index caps a
+    # partition at 8.6e9 rows — three orders of magnitude above a sane
+    # 128 MB-split partition even at 100 TB. Consumers that window over __pid
     # (prefix sums, boundary lags) still pay their one clustering
     # exchange; __n-only consumers (cat -n, decimate, sample) now pay
     # only the range exchange.
