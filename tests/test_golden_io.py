@@ -29,7 +29,10 @@ pytestmark = pytest.mark.skipif(
 
 MIN_PASS = 490  # round 4: yaml/dcf/recutils + separator-edge cases closed
 
-# Cases whose behavior is out of the value-level model (see each note).
+# Cases whose behavior is out of the VALUE-level compare model (see each
+# note). All four replay BYTE-EXACT through the CLI channel
+# (scripts/cli_bytes_sweep.py / tests/test_cli_bytes.py) — the stronger
+# check — so these are record-compare artifacts, not behavior gaps.
 KNOWN_DIVERGENCES: set[str] = {
     # A blank line in RFC-csv output is textually identical to the
     # blank line that precedes a het-schema header block; the expout
