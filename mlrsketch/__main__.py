@@ -52,9 +52,45 @@ def main(argv: list[str] | None = None) -> int:
         stdin_tmp.close()
         argv.append(stdin_tmp.name)
 
+    # -I (global position): in-place processing — run the chain on each
+    # file operand separately and rewrite that file with the output
+    in_place = "-I" in argv[:verb_at]
+    if in_place:
+        argv = [a for i, a in enumerate(argv) if not (a == "-I" and i < verb_at)]
+
     spark = get_spark(cores=os.environ.get("MLRSKETCH_CPUS"), app="mlrsketch-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def _render(res) -> str:
+        return render(
+            (res.render_records if res.render_records is not None
+             else res.records) or [],
+            res.ofmt,
+            ofs=res.ofs,
+            flatsep=res.flatsep,
+            headerless=res.headerless_out,
+            quoted_dkvp=res.quoted_dkvp,
+            lite=res.olite,
+            auto_unflatten=not res.no_auto_unflatten,
+            float_ofmt=res.float_ofmt,
+            **res.render_opts,
+        )
+
     try:
+        if in_place:
+            files = []
+            while argv and os.path.isfile(argv[-1]):
+                files.append(argv.pop())
+            files.reverse()
+            if not files:
+                print("mlrsketch: -I needs file operands", file=sys.stderr)
+                return 1
+            for fpath in files:
+                res = execute(spark, ["mlr"] + argv + [fpath], env=dict(os.environ))
+                body = res.text if res.text is not None else _render(res)
+                with open(fpath, "w") as fh:
+                    fh.write(body)
+            return 0
         res = execute(spark, ["mlr"] + argv, env=dict(os.environ))
         if res.text is not None:
             sys.stdout.write(res.text)
@@ -62,21 +98,7 @@ def main(argv: list[str] | None = None) -> int:
         for kind, payload in res.stderr:
             if kind == "txt":
                 sys.stderr.write(payload)
-        sys.stdout.write(
-            render(
-                (res.render_records if res.render_records is not None
-                 else res.records) or [],
-                res.ofmt,
-                ofs=res.ofs,
-                flatsep=res.flatsep,
-                headerless=res.headerless_out,
-                quoted_dkvp=res.quoted_dkvp,
-                lite=res.olite,
-                auto_unflatten=not res.no_auto_unflatten,
-                float_ofmt=res.float_ofmt,
-                **res.render_opts,
-            )
-        )
+        sys.stdout.write(_render(res))
         return 0
     except Unsupported as e:
         print(f"mlrsketch: unsupported: {e}", file=sys.stderr)

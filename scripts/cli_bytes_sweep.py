@@ -25,13 +25,64 @@ from mlrsketch.session import get_spark  # noqa: E402
 REF = "/root/reference/test/cases"
 
 
+def _render_res(res) -> str:
+    return render(
+        (res.render_records if res.render_records is not None
+         else res.records) or [],
+        res.ofmt, ofs=res.ofs, flatsep=res.flatsep,
+        headerless=res.headerless_out, quoted_dkvp=res.quoted_dkvp,
+        lite=res.olite, auto_unflatten=not res.no_auto_unflatten,
+        float_ofmt=res.float_ofmt,
+        **res.render_opts,
+    )
+
+
+def _split_in_place(cmd: str):
+    """`mlr -I ...`: returns (base_cmd_without_files, [files]) when -I
+    is in global flag position, else None."""
+    import shlex
+
+    toks = shlex.split(cmd)
+    if "-I" not in toks[1:3] and "-I" not in toks:
+        return None
+    # -I must appear before the first verb-looking bare token
+    i_at = toks.index("-I")
+    if any(not t.startswith("-") and os.path.isfile(t) is False and "=" not in t
+           and t != "mlr" for t in toks[1:i_at]):
+        pass  # flags/values before -I are fine either way
+    files = []
+    while toks and os.path.isfile(toks[-1]):
+        files.append(toks.pop())
+    files.reverse()
+    toks.remove("-I")
+    return " ".join(shlex.quote(t) if " " in t else t for t in toks), files
+
+
 def try_case(spark, case_dir: str):
     """Returns ("pass"|"fail"|"skip", detail)."""
+    import shutil
+    import tempfile
+
     if "should-fail" in os.listdir(case_dir):
         return "skip", "should-fail"
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
+    # precopy (regtester.go PreCopyName): stage listed inputs into a
+    # scratch mirror of the case dir — the reference tree is read-only
+    workdir, tmpd = case_dir, None
+    precopy = os.path.join(case_dir, "precopy")
+    if os.path.exists(precopy):
+        tmpd = tempfile.mkdtemp(prefix="mlrcase_")
+        workdir = tmpd
+        for ln in open(precopy):
+            parts = ln.split()
+            if len(parts) != 2:
+                continue
+            src = parts[0] if os.path.isabs(parts[0]) else os.path.join(
+                "/root/reference", parts[0]
+            )
+            shutil.copy(src, parts[1].replace("${CASEDIR}", tmpd))
+    cmd = cmd.replace("${CASEDIR}", workdir).replace("./" + case_dir, case_dir)
     env = {"MLR_OFMT": "%.8f"}
     envf = os.path.join(case_dir, "env")
     if os.path.exists(envf):
@@ -42,29 +93,66 @@ def try_case(spark, case_dir: str):
     experr = os.path.join(case_dir, "experr")
     if os.path.exists(experr) and os.path.getsize(experr) > 0:
         return "skip", "stderr case"
+    in_place = _split_in_place(cmd) if " -I " in f" {cmd} " else None
     try:
-        res = execute(spark, cmd, env=env)
+        if in_place:
+            # mlr -I: run the chain per file, write the rendered output
+            # back over that file; stdout stays empty
+            base_cmd, files = in_place
+            if not files:
+                return "skip", "in-place without resolvable files"
+            for fpath in files:
+                res1 = execute(spark, f"{base_cmd} {fpath}", env=env)
+                if res1.text is not None:
+                    body = res1.text
+                elif not res1.ordered:
+                    return "skip", "unordered chain"
+                else:
+                    body = _render_res(res1)
+                with open(fpath, "w") as fh:
+                    fh.write(body)
+            got = ""
+            res = res1
+        else:
+            res = execute(spark, cmd, env=env)
     except Unsupported as e:
         return "skip", f"unsupported: {e}"
     with open(os.path.join(case_dir, "expout"), "rb") as f:
         exp = f.read().decode("utf-8", "replace")
-    if res.text is not None:
+    if in_place:
+        pass  # got already ""
+    elif res.text is not None:
         got = res.text
     else:
         if not res.ordered:
             return "skip", "unordered chain"
         try:
-            got = render(
-                (res.render_records if res.render_records is not None
-                 else res.records) or [],
-                res.ofmt, ofs=res.ofs, flatsep=res.flatsep,
-                headerless=res.headerless_out, quoted_dkvp=res.quoted_dkvp,
-                lite=res.olite, auto_unflatten=not res.no_auto_unflatten,
-                float_ofmt=res.float_ofmt,
-                **res.render_opts,
-            )
+            got = _render_res(res)
         except ValueError as e:
             return "skip", f"writer: {e}"
+    # postcmp (regtester.go PostCompareName): expected-vs-actual file
+    # pairs; .expect files live in the original case dir
+    postcmp = os.path.join(case_dir, "postcmp")
+    if os.path.exists(postcmp):
+        for ln in open(postcmp):
+            parts = ln.split()
+            if len(parts) != 2:
+                continue
+
+            def _resolve(p):
+                cand = p.replace("${CASEDIR}", workdir)
+                if not os.path.exists(cand):
+                    cand = p.replace("${CASEDIR}", case_dir)
+                return cand
+
+            fa, fb = _resolve(parts[0]), _resolve(parts[1])
+            try:
+                ba = open(fa, "rb").read()
+                bb = open(fb, "rb").read()
+            except OSError as e:
+                return "fail", f"postcmp {e}"
+            if ba != bb:
+                return "fail", f"postcmp differs: {parts[0]} vs {parts[1]}"
     if res.last_verb == "utf8-to-latin1":
         # the reference writes LATIN-1 bytes here (intentionally not
         # UTF-8); compare raw bytes instead of the lossy utf-8 decode

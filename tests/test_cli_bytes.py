@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 # measured by scripts/cli_bytes_sweep.py; raise as coverage widens
-MIN_PASS_IO = 495  # round 4: measured 495 byte-exact, zero mismatches
+MIN_PASS_IO = 497  # round 4: 497 byte-exact incl. mlr -I in-place, zero mismatches
 
 
 def _sweep(spark, pats):
