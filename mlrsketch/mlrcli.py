@@ -230,6 +230,26 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
     full = path if os.path.isfile(path) else os.path.join("/root/reference", path)
     with open(full, "rb") as f:
         raw = f.read()
+    prepipe = getattr(_TLS, "prepipe", None)
+    if prepipe:
+        import subprocess
+        import sys as _sys
+
+        cmdline, as_arg = prepipe
+        cmdline = cmdline.replace("${MLR}", f"{_sys.executable} -m mlrsketch")
+        if as_arg:  # --prepipex: command gets the filename as an arg
+            cmdline = f"{cmdline} {full}"
+        proc = subprocess.run(
+            cmdline, shell=True,
+            input=None if as_arg else raw,
+            capture_output=True, timeout=300,
+        )
+        if proc.returncode != 0:
+            raise Unsupported(
+                f"prepipe failed rc={proc.returncode}: "
+                f"{proc.stderr.decode('utf-8', 'replace')[:120]}"
+            )
+        raw = proc.stdout
     ext = full.rsplit(".", 1)[-1].lower()
     codec = codec or {"gz": "gz", "bz2": "bz2", "z": "z", "zst": "zst"}.get(ext)
     if codec == "zst" or raw[:4] == b"\x28\xb5\x2f\xfd":
@@ -5881,6 +5901,7 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     _TLS.env_overrides = env_overrides
     _TLS.render_opts = {}
     _TLS.render_records = None
+    _TLS.prepipe = None
     # the CLI/byte path favors the stream interpreter for put/filter —
     # it executes on the original records (printrep preservation, exact
     # int/float typing); the golden record gate keeps the compiled tier
@@ -6183,6 +6204,13 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             # option_parse.go:3984 TryIntFromString: decimal/hex/octal/binary
             go_seed = int(argv[i + 1], 0)
             i += 2
+        elif a in ("--prepipe", "--prepipex"):
+            # run each input through a shell command before parsing
+            # (lib.OpenFileForRead prepipe). ${MLR} resolves to THIS
+            # engine's CLI in a subprocess (the reference regtester
+            # substitutes its own binary the same way).
+            _TLS.prepipe = (argv[i + 1], a == "--prepipex")
+            i += 2
         elif a.startswith("--"):
             raise Unsupported(f"global flag {a}")
         else:
@@ -6203,6 +6231,14 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         # record_reader_dcf.go) — writers must not re-scan/OFMT them
         _TLS.render_opts["str_only"] = True
     rest = argv[i:]
+
+    # shell stdin redirect spelled inside the cmd ("mlr ... cat < file"):
+    # treat "< path" as the input file operand
+    if "<" in rest:
+        ri = rest.index("<")
+        if ri + 1 < len(rest):
+            redirected = rest[ri + 1]
+            rest = rest[:ri] + rest[ri + 2:] + [redirected]
 
     # split on `then`
     chains: list[list[str]] = [[]]

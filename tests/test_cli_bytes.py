@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 # measured by scripts/cli_bytes_sweep.py; raise as coverage widens
-MIN_PASS_IO = 497  # round 4: 497 byte-exact incl. mlr -I in-place, zero mismatches
+MIN_PASS_IO = 501  # round 4: incl. mlr -I, --prepipe (${MLR} subprocess), < redirects
 
 
 def _sweep(spark, pats):
