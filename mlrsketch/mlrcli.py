@@ -471,8 +471,13 @@ def _read_records(path: str, icsv, jsonin: bool = False, ifs: str | None = None,
             if not clines:
                 continue
             if ifs:
-                # --ifs on pprint input: plain separator split
-                rows = [ln.split(ifs) for ln in clines]
+                # --ifs on pprint input: the ifs char is the COLUMN
+                # PADDING (like spaces in default pprint), so split on
+                # RUNS of it — empty tokens are padding, never fields
+                # (pprint renders void as "-")
+                rows = [
+                    [t for t in ln.split(ifs) if t != ""] for ln in clines
+                ]
                 if implicit_header:
                     hdr0 = [str(i + 1) for i in range(len(rows[0]))]
                     recs.extend(_ragged_zip(hdr0, r, True, pad=True) for r in rows)
