@@ -2363,11 +2363,18 @@ def v_gap(df, argv):
 
 
 def v_tee(df, argv):
-    # `mlr tee [-a|-p] [-o fmt] FILE`: copy stream to a file, pass through.
-    # stdout (what expout checks) is the unchanged stream.
+    # `mlr tee [-a|-p] [-o fmt] FILE` (tee.go): copy the stream AT THIS
+    # POINT IN THE CHAIN to a file (format from -o, else the main output
+    # format), pass records through unchanged. -p (pipe to a command) is
+    # out of surface. Driver-side at CLI test scale.
     fl, pos = _flags(argv, {"-a": 0, "-p": 0, "-o": 1, "--no-fflush": 0})
     if len(pos) != 1:
         raise Unsupported("tee without filename")
+    if fl.get("-p"):
+        raise Unsupported("tee -p (pipe)")
+    ofmt = fl.get("-o") or getattr(_TLS, "ofmt", "dkvp")
+    _write_records_file(_df_records(df), pos[0], ofmt,
+                        append=bool(fl.get("-a")))
     return df
 
 
@@ -4894,24 +4901,55 @@ def v_utf8_to_latin1(df, argv):
 
 
 def v_split(df, argv):
-    """`mlr split -n/-m/-g --prefix ...`: writes files, emits nothing on
-    stdout (unless -v passes records downstream). The write goes to a
-    temp dir (the case's prefix points into the read-only reference
-    tree)."""
-    import tempfile
-
+    """`mlr split -n/-m/-g --prefix ...` (split.go:323-519): write the
+    stream into multiple files, emit nothing downstream unless -v.
+    -m M: record i (0-based) -> file (i % M)+1; -n N: file (i / N)+1;
+    -g a,b: one file per distinct value tuple, name parts joined by -j
+    (default "_") and URL-escaped unless -e; records missing a group
+    field go to <prefix>_ungrouped. Filename = prefix_<part>.<suffix>,
+    suffix defaulting to the output format (an embedded --ojson etc.
+    retargets the FILES' format without touching stdout's). File
+    contents go through the same writers as stdout (MLR_OFMT applies).
+    Driver-side at CLI test scale; the distributed path for this shape
+    is exact.split_write (partitionBy parquet)."""
     fl, _ = _flags(argv, {"-n": 1, "-m": 1, "-g": 1, "--prefix": 1, "--suffix": 1,
                           "--folder": 1, "-a": 0, "-v": 0, "-e": 0, "-j": 1,
-                          "--ojson": 0, "--ocsv": 0, "--opprint": 0, "--otsv": 0})
-    tmp = tempfile.mkdtemp(prefix="mlr_split_")
-    d = df.drop("__ord")
+                          "-o": 1, "--ojson": 0, "--ojsonl": 0, "--ocsv": 0,
+                          "--ocsvlite": 0, "--otsv": 0, "--opprint": 0,
+                          "--oxtab": 0, "--omd": 0, "--odkvp": 0, "--onidx": 0})
+    ofmt = getattr(_TLS, "ofmt", "dkvp")
+    for flag, f2 in _SPLIT_OFMT_FLAGS.items():
+        if fl.get(flag):
+            ofmt = f2
+    if fl.get("-o"):
+        ofmt = fl["-o"]
+    prefix = fl.get("--prefix", "split")
+    suffix = fl.get("--suffix") or ofmt
+    folder = fl.get("--folder")
+    joiner = fl.get("-j", "_")
+    recs = _df_records(df)
+    groups: dict[str, list] = {}
     if "-g" in fl:
-        by = [b for b in _csl(fl["-g"]) if b in d.columns]
-        if by:
-            d.write.mode("overwrite").partitionBy(*by).parquet(tmp + "/out")
+        import urllib.parse
+
+        by = _csl(fl["-g"])
+        for r in recs:
+            if all(r.get(b) is not None for b in by):
+                part = joiner.join(str(r[b]) for b in by)
+                if not fl.get("-e"):
+                    part = urllib.parse.quote_plus(part)
+                base = (prefix + joiner if prefix else "") + part + "." + suffix
+            else:
+                base = f"{prefix}_ungrouped.{suffix}"
+            groups.setdefault(base, []).append(r)
     else:
-        n = int(fl.get("-m") or fl.get("-n") or 1)
-        d.repartition(max(n, 1)).write.mode("overwrite").parquet(tmp + "/out")
+        n = max(int(fl.get("-m") or fl.get("-n") or 1), 1)
+        for i, r in enumerate(recs):
+            k = (i % n) + 1 if "-m" in fl else (i // n) + 1
+            groups.setdefault(f"{prefix}_{k}.{suffix}", []).append(r)
+    for base, rs in groups.items():
+        path = os.path.join(folder, base) if folder else base
+        _write_records_file(rs, path, ofmt, append=bool(fl.get("-a")))
     return df if fl.get("-v") else df.limit(0)
 
 
@@ -5874,6 +5912,64 @@ def _order_record(rec: dict, rkeys) -> dict:
         else:
             out[k] = rec[k]
     return out
+
+
+def _df_records(df) -> list[dict]:
+    """Materialize a mid-chain DataFrame into render-ready records for
+    the file-writing verbs (split/tee) — same rules as the end-of-chain
+    byte path: boolean lowercase, __ord emission order, fill-empty -S
+    sentinel strip, VOID restoration via __keys, original key-order
+    reapplication. Driver-side at CLI test scale by design."""
+    for c, t in df.dtypes:
+        if t == "boolean":
+            df = df.withColumn(
+                c, F.when(F.col(c), "true").when(~F.col(c), "false")
+            )
+    if "__ord" in df.columns:
+        df = df.orderBy("__ord")
+
+    def _unfs(v):
+        return v[1:] if isinstance(v, str) and v[:1] == "\x00" else v
+
+    out = []
+    for r in df.collect():
+        d = r.asDict()
+        rec = {k: _unfs(v) for k, v in d.items() if not k.startswith("__")}
+        rkeys = d.get("__keys")
+        if rkeys:
+            for k in rkeys:
+                if k in rec and rec[k] is None:
+                    rec[k] = ""
+        out.append(_order_record(rec, rkeys))
+    return out
+
+
+def _write_records_file(records, path: str, ofmt: str, append: bool = False):
+    """Render records in `ofmt` with the chain's active float format and
+    write them to `path` (split/tee file side-outputs). Refuses to
+    create files under the read-only reference tree."""
+    from mlrsketch.writers import render as _render
+
+    real = os.path.realpath(path)
+    if real.startswith("/root/reference/"):
+        raise Unsupported(f"refusing to write into reference tree: {path}")
+    parent = os.path.dirname(real)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    txt = _render(
+        records, ofmt, flatsep=getattr(_TLS, "flatsep", "."),
+        float_ofmt=getattr(_TLS, "ofmt_go", None),
+    )
+    with open(real, "a" if append else "w") as fh:
+        fh.write(txt)
+
+
+_SPLIT_OFMT_FLAGS = {
+    "--ojson": "json", "--ojsonl": "jsonl", "--ocsv": "csv",
+    "--ocsvlite": "csvlite", "--otsv": "tsv", "--opprint": "pprint",
+    "--oxtab": "xtab", "--omd": "markdown", "--odkvp": "dkvp",
+    "--onidx": "nidx",
+}
 
 
 def _ctx_result(records, ofmt, ofs, flatsep, headerless_out, quoted_dkvp,

@@ -67,21 +67,33 @@ def try_case(spark, case_dir: str):
         return "skip", "should-fail"
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    # precopy (regtester.go PreCopyName): stage listed inputs into a
-    # scratch mirror of the case dir — the reference tree is read-only
+    # precopy (regtester.go PreCopyName) / postcmp / any ${CASEDIR} use:
+    # stage a scratch mirror of the case dir — the reference tree is
+    # READ-ONLY and the sweep must never create files under it. Cases
+    # like verb-split/verb-tee have postcmp without precopy and write
+    # their outputs to ${CASEDIR}; those writes must land in the mirror.
     workdir, tmpd = case_dir, None
     precopy = os.path.join(case_dir, "precopy")
-    if os.path.exists(precopy):
+    postcmp_f = os.path.join(case_dir, "postcmp")
+    if (os.path.exists(precopy) or os.path.exists(postcmp_f)
+            or "${CASEDIR}" in cmd):
         tmpd = tempfile.mkdtemp(prefix="mlrcase_")
         workdir = tmpd
-        for ln in open(precopy):
-            parts = ln.split()
-            if len(parts) != 2:
-                continue
-            src = parts[0] if os.path.isabs(parts[0]) else os.path.join(
-                "/root/reference", parts[0]
-            )
-            shutil.copy(src, parts[1].replace("${CASEDIR}", tmpd))
+        # mirror the case's own files (.expect targets etc.) so postcmp
+        # pairs resolve inside the scratch dir
+        for fn in os.listdir(case_dir):
+            src = os.path.join(case_dir, fn)
+            if os.path.isfile(src):
+                shutil.copy(src, os.path.join(tmpd, fn))
+        if os.path.exists(precopy):
+            for ln in open(precopy):
+                parts = ln.split()
+                if len(parts) != 2:
+                    continue
+                src = parts[0] if os.path.isabs(parts[0]) else os.path.join(
+                    "/root/reference", parts[0]
+                )
+                shutil.copy(src, parts[1].replace("${CASEDIR}", tmpd))
     cmd = cmd.replace("${CASEDIR}", workdir).replace("./" + case_dir, case_dir)
     env = {"MLR_OFMT": "%.8f"}
     envf = os.path.join(case_dir, "env")
