@@ -74,7 +74,8 @@ def shingles(text_col: str, n: int = 5):
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str = "text", n_hashes: int = 64, shingle_n: int = 5
+    df: DataFrame, id_col: str, text_col: str = "text", n_hashes: int = 64,
+    shingle_n: int = 5, hash_family: str = "xxhash"
 ) -> DataFrame:
     """Per-id minhash signature as columns ``__m0..__m{n-1}``.
 
@@ -105,8 +106,23 @@ def minhash_signature(
     if df.rdd.getNumPartitions() < max(2, target // 2):
         df = df.repartition(target)
     toks = F.split(F.col(text_col), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
     count = F.greatest(F.size(toks) - (shingle_n - 1), F.lit(1))
+    if hash_family == "md5":
+        # Engine-portable variant (the oracle-checkable gate config):
+        # shingle STRINGS are materialized and each permutation is
+        # md5_60_hash("j:" + shingle) — DuckDB reproduces every value
+        # exactly. Costlier than the xxhash64 path; test-scale use.
+        sh_s = F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, shingle_n)),
+        )
+        ex = df.select(F.col(id_col), F.explode(sh_s).alias("__s"))
+        aggs = [
+            F.min(md5_60_hash(F.concat_ws(":", F.lit(str(j)), F.col("__s")))).alias(f"__m{j}")
+            for j in range(n_hashes)
+        ]
+        return ex.groupBy(id_col).agg(*aggs)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
     sh_h = F.transform(
         F.sequence(F.lit(0), count - 1),
         lambda i: F.xxhash64(F.slice(th, i + 1, shingle_n)),
@@ -127,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 5,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "xxhash",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH, verified by
     estimated Jaccard = fraction of agreeing signature components.
@@ -135,6 +152,11 @@ def minhash_lsh_pairs(
     (bands ≈ 16 rows/doc, tiny) → self-join on uniform band-hash keys →
     distinct pairs → signature-agreement filter. Returns (id_a, id_b,
     jaccard_est) with id_a < id_b.
+
+    With hash_family="md5" and bands == n_hashes (one row per band) the
+    whole pipeline — signatures, candidate generation, agreement filter
+    — is deterministic AND reproducible in plain SQL, so a DuckDB oracle
+    matches the output hash-exactly (the gate config).
     """
     rows_per_band = n_hashes // bands
     # The signature feeds BOTH sides of the self-join: materialize it or
@@ -142,9 +164,9 @@ def minhash_lsh_pairs(
     # localCheckpoint rather than persist so the blocks are freed by the
     # ContextCleaner when the result is garbage-collected — repeated
     # calls in a long session must not accumulate pinned storage.
-    sig = minhash_signature(df, id_col, text_col, n_hashes, shingle_n).localCheckpoint(
-        eager=True
-    )
+    sig = minhash_signature(
+        df, id_col, text_col, n_hashes, shingle_n, hash_family
+    ).localCheckpoint(eager=True)
     # band hash = xxhash64 over the band's signature columns directly
     # (multi-column JVM hash; no string concat, no array element_at).
     banded = sig.select(
@@ -186,16 +208,27 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> DataFrame:
+def md5_60_hash(col):
+    """Engine-portable 60-bit token hash (first 15 hex chars of md5 as
+    int) — DuckDB computes the identical value, which makes simhash /
+    minhash gate variants exactly oracle-checkable. xxhash64 stays the
+    default (JVM-native, ~10x cheaper) for the scale path."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash",
+            token_hash=None) -> DataFrame:
     """64-bit SimHash (Charikar 2002) over whitespace tokens, JVM-side.
 
     For each bit position b: sign of sum over tokens of
-    (+1 if bit b of xxhash64(token) set else -1). Near-duplicates have
+    (+1 if bit b of hash(token) set else -1). Near-duplicates have
     small Hamming distance. Implemented as 64 aggregate expressions over
-    the token array — no shuffle, no Python.
+    the token array — no shuffle, no Python. `token_hash` swaps the
+    hash family (default xxhash64; md5_60_hash for the oracle-portable
+    variant).
     """
     toks = F.split(F.col(text_col), " ")
-    th = F.transform(toks, lambda t: F.xxhash64(t))
+    th = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
 
     def voter(b: int):
         # closure factory, not a default arg — see perm() note above
@@ -217,20 +250,30 @@ def simhash(df: DataFrame, text_col: str = "text", out: str = "simhash") -> Data
     return df.withColumn(out, sh)
 
 
-def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 x 16-bit chunks (any pair
-    within Hamming distance 3 shares at least one exact chunk — the
-    pigeonhole blocking of Manku et al. 2007), verify Hamming distance.
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text",
+                      max_hamming: int = 3, n_blocks: int = 4,
+                      token_hash=None) -> DataFrame:
+    """Near-dup pairs by SimHash: block on n_blocks equal bit chunks of
+    the 64-bit signature (the pigeonhole blocking of Manku et al. 2007),
+    verify Hamming distance. Recall is GUARANTEED 100% whenever
+    n_blocks > max_hamming: a pair within Hamming distance max_hamming
+    differs in at most max_hamming chunks, so at least one chunk is
+    equal and the pair is always a candidate — with e.g. n_blocks=16,
+    max_hamming=10 the output is the EXACT brute-force pair set (the
+    oracle-checkable gate config). The default 4x16-bit blocking is the
+    recall-1 config for max_hamming <= 3.
     """
-    hashed = simhash(df, text_col).select(id_col, "simhash")
+    bits = 64 // n_blocks
+    mask = (1 << bits) - 1
+    hashed = simhash(df, text_col, token_hash=token_hash).select(id_col, "simhash")
     chunks = hashed.select(
         F.col(id_col),
         F.col("simhash"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned(F.col("simhash"), bits * i).bitwiseAND(F.lit(mask))
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("chunk_idx", "chunk"),
@@ -242,7 +285,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str = "text", max_ha
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", hamming)
+        .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

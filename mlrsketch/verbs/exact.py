@@ -2382,6 +2382,116 @@ def bootstrap(df: DataFrame, seed: int = 42) -> DataFrame:
     return df.sample(withReplacement=True, fraction=1.0, seed=seed)
 
 
+def md5_60(col: Column) -> Column:
+    """Deterministic 60-bit uniform hash: the first 15 hex chars of
+    md5, parsed base-16. Engine-portable — DuckDB computes the identical
+    value as ``('0x'||substr(md5(x),1,15))::BIGINT``, which is what
+    makes hash-seeded randomness (bootstrap multiplicities, seeded
+    samples) exactly oracle-checkable. Pure codegen (md5+conv), no
+    Python."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _poisson1_thresholds(max_k: int = 10) -> list[int]:
+    """Integer CDF thresholds for Poisson(1) scaled to 2^60: a uniform
+    60-bit hash h maps to multiplicity k = #{t in thresholds : h >= t}.
+    Integer comparisons only — bit-identical across engines."""
+    import math
+
+    out, cdf = [], 0.0
+    for k in range(max_k + 1):
+        cdf += math.exp(-1.0) / math.factorial(k)
+        out.append(min(int(cdf * (1 << 60)), 1 << 60))
+    return out
+
+
+POISSON1_T60 = _poisson1_thresholds()
+
+
+def poisson1_mult(hash_col: Column) -> Column:
+    """Poisson(1) multiplicity from a uniform 60-bit hash via the
+    integer inverse-CDF thresholds (POISSON1_T60)."""
+    c = F.lit(0)
+    for t in POISSON1_T60:
+        c = c + (hash_col >= F.lit(t)).cast("int")
+    return c
+
+
+def bootstrap_hash(df: DataFrame, key: Sequence[str], seed: int = 42) -> DataFrame:
+    """Deterministic Poisson bootstrap: each row is repeated
+    Poisson(1)-many times, with the multiplicity drawn by inverse-CDF
+    from a 60-bit md5 hash of (seed, key). Same sampling design as
+    df.sample(replacement, 1.0) but partitioning-independent and
+    engine-portable, so a DuckDB oracle reproduces the exact multiset.
+    Pure codegen: hash -> integer threshold cascade -> array_repeat
+    explode; no shuffle, no Python. This is also the preferred 100 TB
+    shape (no RNG state, embarrassingly parallel, reproducible under
+    any re-partitioning / task retry)."""
+    key = _cols(key)
+    h = md5_60(F.concat_ws(":", F.lit(str(seed)), *[F.col(k).cast("string") for k in key]))
+    c = poisson1_mult(h)
+    return (
+        df.withColumn("__bc", c)
+        .filter(F.col("__bc") > 0)
+        .withColumn("__rep", F.explode(F.array_repeat(F.lit(1), F.col("__bc"))))
+        .drop("__bc", "__rep")
+    )
+
+
+def bootstrap_ci_hash(
+    df: DataFrame,
+    value: str,
+    key: Sequence[str],
+    by: Sequence[str] = (),
+    n_boot: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 42,
+) -> DataFrame:
+    """Bootstrap CI for the per-group mean via the deterministic Poisson
+    bootstrap (see bootstrap_hash): boot b's multiplicity for a row is
+    poisson1(md5_60(seed:b:key)). Boot means accumulate in integer
+    cents (sum(c*round(100*v)) / (100*sum(c))) so the sums are EXACT in
+    any engine and the lo/hi quantiles over the n_boot means interpolate
+    over identical doubles — the whole statistic is oracle-exact.
+
+    Scale shape: one explode (x n_boot), one partial-aggregated groupBy
+    on (by, b), one tiny groupBy on (by) — no per-group materialization
+    (unlike the applyInPandas variant), no RNG state, skew-free keys.
+    Output: (by..., {value}_mean, {value}_ci_lo, {value}_ci_hi)."""
+    by, key = _cols(by), _cols(key)
+    cents = F.round(F.col(value) * 100).cast("long")
+    base = df.select(
+        *by, cents.alias("__cents"),
+        F.concat_ws(":", *[F.col(k).cast("string") for k in key]).alias("__k"),
+    )
+    boots = base.withColumn("__b", F.explode(F.sequence(F.lit(0), F.lit(n_boot - 1))))
+    h = md5_60(F.concat_ws(":", F.lit(str(seed)), F.col("__b").cast("string"), F.col("__k")))
+    c = poisson1_mult(h).cast("long")
+    bm = (
+        boots.withColumn("__c", c)
+        .groupBy(*by, "__b")
+        .agg(
+            (F.sum(F.col("__c") * F.col("__cents"))
+             / (F.lit(100.0) * F.sum("__c"))).alias("__bm")
+        )
+    )
+    ci = bm.groupBy(*by).agg(
+        F.percentile("__bm", F.lit(lo)).alias("__lo"),
+        F.percentile("__bm", F.lit(hi)).alias("__hi"),
+    )
+    mean = base.groupBy(*by).agg(
+        (F.sum("__cents") / (F.lit(100.0) * F.count("__cents"))).alias("__mean")
+    )
+    joined = mean.join(ci, by) if by else mean.crossJoin(ci)
+    return joined.select(
+        *by,
+        F.col("__mean").alias(f"{value}_mean"),
+        F.col("__lo").alias(f"{value}_ci_lo"),
+        F.col("__hi").alias(f"{value}_ci_hi"),
+    )
+
+
 def bootstrap_ci(
     df: DataFrame,
     value: str,

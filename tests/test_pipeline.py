@@ -142,3 +142,69 @@ def test_ivf_topk_recall(spark):
     # nprobe=3 of 8 buckets: decent recall at ~3/8 of the scan
     part = {r["vec_id"] for r in similarity.ivf_topk(indexed, cent, query, k=10, nprobe=3).collect()}
     assert len(part & exact) >= 6, (part, exact)
+
+
+# -- round-5 exact-recall gate configs (the oracle-checkable variants) --------
+
+
+def test_embedding_lsh_gate_recall(spark, sf_dir):
+    """32 bands x 1 bit: the LSH pair set must EQUAL the brute-force
+    pair set on the gate tables (miss probability <= 4e-15 per pair) —
+    this equality is what licenses the brute-force SQL as the driver
+    oracle for embedding_near_dups_lsh."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).cache()
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", threshold=0.45, brute_force=True
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            emb, "vec_id", threshold=0.45, n_bands=32, band_bits=1
+        ).collect()
+    }
+    assert lsh == brute
+
+
+def test_ann_lsh_gate_equals_brute(spark, sf_dir):
+    """32 tables x 1 bit: lsh_topk must return exactly the brute-force
+    top-k (licenses the brute SQL as the ann_lsh oracle)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).cache()
+    q = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    exact = [(r["vec_id"], r["cosine"]) for r in similarity.brute_force_topk(emb, q, k=10).collect()]
+    ann = [(r["vec_id"], r["cosine"]) for r in similarity.lsh_topk(emb, q, k=10, n_tables=32, bits=1).collect()]
+    assert ann == exact
+
+
+def test_simhash_gate_recall_is_exhaustive(spark, dup_docs):
+    """n_blocks=16 > max_hamming=10 => pigeonhole guarantees every
+    qualifying pair is a candidate: the blocked output equals the
+    all-pairs (max_hamming=64 blocked at 1 block... i.e. brute) set."""
+    # brute force: join every pair via a single shared block (n_blocks=1
+    # cannot split 64 bits -> emulate with max_hamming=64 at default
+    # blocking, which makes every pair with ANY shared chunk... instead
+    # compute all-pairs hamming directly from the signature df.
+    sig = dedup.simhash(dup_docs, "text", token_hash=dedup.md5_60_hash).select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    brute = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("h", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("h") <= 10)
+        .collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_dups(
+            dup_docs, "doc_id", "text", max_hamming=10, n_blocks=16,
+            token_hash=dedup.md5_60_hash,
+        ).collect()
+    }
+    assert blocked == brute

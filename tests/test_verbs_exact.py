@@ -253,3 +253,37 @@ def test_sample_exact_k_deterministic(spark, abixy):
     s1 = {r["i"] for r in ev.sample(abixy, 4, seed=1).collect()}
     s2 = {r["i"] for r in ev.sample(abixy, 4, seed=1).collect()}
     assert len(s1) == 4 and s1 == s2
+
+
+# -- round-5 deterministic Poisson bootstrap ----------------------------------
+
+
+def test_bootstrap_hash_deterministic_and_unbiased(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in ev.bootstrap_hash(df, ["k"]).collect())
+    # partitioning-independent: same multiset under any repartition
+    b = sorted(r["k"] for r in ev.bootstrap_hash(df.repartition(7), ["k"]).collect())
+    assert a == b
+    # Poisson(1): E[size] = n, sd = sqrt(n) -> 5 sigma band
+    assert abs(len(a) - 5000) < 5 * np.sqrt(5000)
+    # different seed -> different draw
+    c = sorted(r["k"] for r in ev.bootstrap_hash(df, ["k"], seed=7).collect())
+    assert a != c
+
+
+def test_bootstrap_ci_hash_brackets_mean(spark):
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") * 0.25 + 10).alias("v"),
+        F.col("id").alias("k"),
+    )
+    out = ev.bootstrap_ci_hash(df, "v", key=["k"], by=["g"], n_boot=50)
+    rows = out.collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["v_ci_lo"] <= r["v_mean"] <= r["v_ci_hi"]
+        # CI half-width should be within a few stderr of the group
+        assert r["v_ci_hi"] - r["v_ci_lo"] < 5 * (500 * 0.25) / np.sqrt(500)
+    # deterministic under repartition
+    rows2 = ev.bootstrap_ci_hash(df.repartition(5), "v", key=["k"], by=["g"], n_boot=50).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
