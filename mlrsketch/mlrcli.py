@@ -1053,7 +1053,14 @@ def parse_out(text: str, fmt: str, flatsep: str = ".", ofs: str | None = None,
         # Parse with a real CSV reader (RFC quoting, embedded newlines).
         # Blank rows mean het-schema blocks: csv/csvlite writers emit a
         # blank line + fresh header when the record schema changes.
-        all_rows = list(_csv.reader(_io.StringIO(text), delimiter=(ofs or ",")))
+        # csv.reader requires a single-char delimiter; a multi-char
+        # --ofs falls back to a plain split (no quoting support, which
+        # matches the reference's writer for exotic separators).
+        sep = ofs or ","
+        if len(sep) == 1:
+            all_rows = list(_csv.reader(_io.StringIO(text), delimiter=sep))
+        else:
+            all_rows = [ln.split(sep) if ln else [] for ln in text.splitlines()]
         while all_rows and all_rows[-1] == []:
             all_rows.pop()
         recs = []

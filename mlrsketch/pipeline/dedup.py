@@ -20,9 +20,12 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = None) -> DataFrame:
-    """Exact dedup by content hash; keeps the row with the smallest
+    """Exact dedup by content hash; keeps the row(s) with the smallest
     ``keep_by`` per distinct text (deterministic), or an arbitrary row
-    when keep_by is None (dropDuplicates).
+    when keep_by is None (dropDuplicates). Ties at the group minimum
+    all survive — including a group whose keep_by values are all null
+    (every row ties at null under null-safe equality); pass a unique
+    key as keep_by to guarantee exactly one row per group.
 
     Plan shape (the 100 TB-relevant part): the obvious
     ``Window.partitionBy(fingerprint)`` moves the FULL row payload
@@ -49,16 +52,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", keep_by: str | None = Non
         # dropDuplicates partial-aggregates map-side already: each
         # partition forwards one candidate row per distinct fp
         return keyed.dropDuplicates(["__fp"]).drop("__fp")
+    # __dup marks the joined side explicitly: `__min IS NULL` alone
+    # cannot distinguish "fp has no duplicates" (join miss — keep the
+    # row) from "duplicate group whose keep_by values are ALL null"
+    # (min(keep_by) null — keep exactly the null-keyed rows, i.e. the
+    # group minimum under null-safe equality, matching the window
+    # plan's first_value semantics).
     dups = (
         keyed.groupBy("__fp")
         .agg(F.count(F.lit(1)).alias("__c"), F.min(keep_by).alias("__min"))
         .filter(F.col("__c") > 1)
-        .select("__fp", "__min")
+        .select("__fp", "__min", F.lit(True).alias("__dup"))
     )
     return (
         keyed.join(dups, "__fp", "left")
-        .filter(F.col("__min").isNull() | (F.col(keep_by) == F.col("__min")))
-        .drop("__fp", "__min")
+        .filter(F.col("__dup").isNull() | F.col(keep_by).eqNullSafe(F.col("__min")))
+        .drop("__fp", "__min", "__dup")
     )
 
 

@@ -141,7 +141,13 @@ def read_pages(spark: SparkSession, source: str, fmt: str = "auto") -> DataFrame
     Catalyst pushes filters/pruning into the Iceberg scan exactly as it
     does for parquet (verified by the PushedFilters plan tests).
     """
-    if fmt == "parquet" or (fmt == "auto" and os.path.exists(source)):
+    # auto: anything path-shaped (a URI scheme like s3://, or a path
+    # separator) reads as parquet — os.path.exists only resolves
+    # driver-LOCAL paths, and executor-visible/remote parquet must not
+    # fall through to a confusing catalog lookup. Only bare dotted
+    # identifiers go to spark.table.
+    path_like = "://" in source or "/" in source or os.path.exists(source)
+    if fmt == "parquet" or (fmt == "auto" and path_like):
         return spark.read.parquet(source)
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(source)

@@ -44,6 +44,10 @@ from mlrsketch.sketches.hashing import floor_log2, to_u64
 
 _MAGIC = b"HLL1"  # legacy dense-only payload
 _MAGIC2 = b"HLL2"  # mode byte + sparse list or dense registers
+_MAGIC3 = b"HLL3"  # HLL2 + persisted sparse_max (non-default thresholds
+#                    must survive serde or the two sides of a merge
+#                    promote to dense at different points, breaking the
+#                    bit-identical-state-across-partitionings property)
 
 
 class HyperLogLog:
@@ -128,7 +132,29 @@ class HyperLogLog:
         zeros = int(np.count_nonzero(self.registers == 0))
         if e <= 2.5 * m and zeros > 0:  # linear counting (small range)
             return m * np.log(m / zeros)
-        return float(e)
+        return float(self._bias_correct(e))
+
+    def _bias_correct(self, e: float) -> float:
+        """HLL++ mid-range bias correction (Heule et al. 2013 §5.2):
+        the raw estimator over-estimates by ~1-5% for n <~ 5m; subtract
+        the empirically derived mean bias, linearly interpolated at the
+        observed raw estimate. The table (sketches/hll_bias.py) is
+        GENERATED by scripts/gen_hll_bias.py following the paper's own
+        simulation procedure — not transcribed constants."""
+        if e > 5.0 * self.m:
+            return e
+        try:
+            from mlrsketch.sketches.hll_bias import BIAS, RAW_KNOTS
+        except ImportError:  # generated module absent: raw estimate
+            return e
+        knots, bias = RAW_KNOTS.get(self.p), BIAS.get(self.p)
+        if not knots or e < knots[0] or e > knots[-1]:
+            return e
+        j = int(np.searchsorted(knots, e))
+        if j == 0:
+            return e - bias[0]
+        frac = (e - knots[j - 1]) / (knots[j] - knots[j - 1])
+        return e - (bias[j - 1] + frac * (bias[j] - bias[j - 1]))
 
     def error_bound(self) -> float:
         """Published standard error: 1.04/sqrt(m) dense, 0 in exact
@@ -159,9 +185,11 @@ class HyperLogLog:
     # -- serde -------------------------------------------------------------
     def serialize(self) -> bytes:
         if self.sparse is not None:
-            head = _MAGIC2 + struct.pack("<BBI", self.p, 1, self.sparse.size)
+            head = _MAGIC3 + struct.pack("<BBII", self.p, 1, self.sparse.size,
+                                         self.sparse_max)
             return head + np.ascontiguousarray(self.sparse).tobytes()
-        return _MAGIC2 + struct.pack("<BBI", self.p, 0, 0) + self.registers.tobytes()
+        return (_MAGIC3 + struct.pack("<BBII", self.p, 0, 0, self.sparse_max)
+                + self.registers.tobytes())
 
     @classmethod
     def deserialize(cls, data: bytes) -> "HyperLogLog":
@@ -169,12 +197,17 @@ class HyperLogLog:
             p = struct.unpack_from("<B", data, 4)[0]
             regs = np.frombuffer(data[5:], dtype=np.uint8).copy()
             return cls(p=p, registers=regs)
-        if data[:4] != _MAGIC2:
+        if data[:4] == _MAGIC2:  # pre-sparse_max header (default m/4)
+            p, mode, n = struct.unpack_from("<BBI", data, 4)
+            off = 4 + struct.calcsize("<BBI")
+            sparse_max = None
+        elif data[:4] == _MAGIC3:
+            p, mode, n, sparse_max = struct.unpack_from("<BBII", data, 4)
+            off = 4 + struct.calcsize("<BBII")
+        else:
             raise ValueError("not an HLL state")
-        p, mode, n = struct.unpack_from("<BBI", data, 4)
-        off = 4 + struct.calcsize("<BBI")
         if mode == 1:
             sparse = np.frombuffer(data[off : off + 8 * n], dtype=np.uint64).copy()
-            return cls(p=p, sparse=sparse)
+            return cls(p=p, sparse=sparse, sparse_max=sparse_max)
         regs = np.frombuffer(data[off:], dtype=np.uint8).copy()
-        return cls(p=p, registers=regs)
+        return cls(p=p, registers=regs, sparse_max=sparse_max)

@@ -1616,6 +1616,14 @@ def _parse_stepper(s: str) -> tuple[str, int]:
     return s, 1
 
 
+# literal boundary maps inflate the Catalyst plan by len(edge_rows)
+# entries PER USE SITE (the plan-size blowup class dsl/compiler.py:85
+# warns about); past this budget _step_ungrouped's boundary lookup
+# becomes a tiny broadcast left-join per (offset, field) instead —
+# same values, bounded plan.
+_EDGE_LITERAL_MAX = 10_000
+
+
 def _step_ungrouped(
     df: DataFrame,
     steppers: Sequence[str],
@@ -1644,23 +1652,25 @@ def _step_ungrouped(
     # ---- het gate: presence of each field on the record f_max ahead
     # (the 'ingested' record of this center's event); tail rows with no
     # record f_max ahead gate on their own presence (drain events)
-    n_total = None
     if f_max:
         # the gate is a LEAD of presence flags by f_max — in-partition
         # window lead plus a broadcast boundary map of the first f_max
         # rows per partition (same no-exchange shape as the lag path
-        # below; this used to be a full equi-join on __n)
-        n_total = numbered.agg(F.count(F.lit(1))).collect()[0][0]
+        # below; this used to be a full equi-join on __n). n_total (the
+        # global-tail gate bound) rides along as the per-partition max
+        # __n on the same edge rows — no separate count() job.
         w_g = Window.partitionBy("__pid").orderBy("__n")
         edge_gate = (
             numbered.withColumn("__fpos", F.row_number().over(w_g))
+            .withColumn("__pmax", F.max("__n").over(Window.partitionBy("__pid")))
             .filter(F.col("__fpos") <= f_max)
             .select(
-                "__n",
+                "__n", "__pmax",
                 *[F.col(f).isNotNull().alias(f"__p_{f}") for f in values],
             )
             .collect()
         )
+        n_total = max((r["__pmax"] for r in edge_gate), default=0)
         vbase = numbered.withColumn(
             "__gpos", F.row_number().over(w_g)
         ).withColumn("__gsz", F.count(F.lit(1)).over(Window.partitionBy("__pid")))
@@ -1720,6 +1730,18 @@ def _step_ungrouped(
             pairs.append(F.lit(r[col]).cast(dtype))
         return F.create_map(*pairs) if pairs else F.create_map()
 
+    def _edge_join(rows: list, col: str, dtype, k: int, bname: str):
+        """Broadcast-join fallback: left-join edge values keyed at the
+        TARGET row's __n (edge __n shifted by k) into column bname."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        nonlocal out
+        bdf = df.sparkSession.createDataFrame(
+            [(r["__n"] + k, r[col]) for r in rows],
+            StructType([StructField("__bn", LongType()), StructField(bname, dtype)]),
+        )
+        out = out.join(F.broadcast(bdf), out["__n"] == bdf["__bn"], "left").drop("__bn")
+
     if lag_offsets:
         max_lag = max(lag_offsets)
         # prev-caches see the GATED sequence (clearPrevValue pushes nil)
@@ -1734,14 +1756,23 @@ def _step_ungrouped(
             .select("__n", *[f"__v_{f}" for f in values])
             .collect()
         )
+        use_join = len(edge_tail) > _EDGE_LITERAL_MAX
+        # one map per FIELD, shared across offsets (not one per use)
+        lag_maps = {} if use_join else {
+            f: _edge_map(edge_tail, f"__v_{f}", df.schema[f].dataType)
+            for f in values
+        }
         for k in sorted(lag_offsets):
             for f in values:
-                dtype = df.schema[f].dataType
-                boundary = _edge_map(edge_tail, f"__v_{f}", dtype)[
-                    F.col("__n") - k
-                ]
+                name = f"__lag{k}_{f}"
+                if use_join:
+                    _edge_join(edge_tail, f"__v_{f}", df.schema[f].dataType,
+                               k, name + "_b")
+                    boundary = F.col(name + "_b")
+                else:
+                    boundary = lag_maps[f][F.col("__n") - k]
                 out = out.withColumn(
-                    f"__lag{k}_{f}",
+                    name,
                     F.when(
                         F.col("__pos") > k,
                         F.lag(f"__v_{f}", k).over(w_ord),
@@ -1758,12 +1789,20 @@ def _step_ungrouped(
             .select("__n", *values)
             .collect()
         )
+        use_join = len(edge_head) > _EDGE_LITERAL_MAX
+        lead_maps = {} if use_join else {
+            f: _edge_map(edge_head, f, df.schema[f].dataType) for f in values
+        }
         for k in sorted(lead_offsets):
             for f in values:
-                dtype = df.schema[f].dataType
-                boundary = _edge_map(edge_head, f, dtype)[F.col("__n") + k]
+                name = f"__lead{k}_{f}"
+                if use_join:
+                    _edge_join(edge_head, f, df.schema[f].dataType, -k, name + "_b")
+                    boundary = F.col(name + "_b")
+                else:
+                    boundary = lead_maps[f][F.col("__n") + k]
                 out = out.withColumn(
-                    f"__lead{k}_{f}",
+                    name,
                     F.when(
                         F.col("__pos") <= F.col("__psz") - k,
                         F.lead(f, k).over(w_ord),

@@ -94,7 +94,14 @@ def try_case(spark, case_dir: str):
                     "/root/reference", parts[0]
                 )
                 shutil.copy(src, parts[1].replace("${CASEDIR}", tmpd))
-    cmd = cmd.replace("${CASEDIR}", workdir).replace("./" + case_dir, case_dir)
+    # "./${CASEDIR}/input" must collapse to the absolute workdir path —
+    # normalize the ./-prefixed form BEFORE the plain substitution (the
+    # old "./" + case_dir fixup only worked when workdir == case_dir)
+    cmd = (
+        cmd.replace("./${CASEDIR}", workdir)
+        .replace("${CASEDIR}", workdir)
+        .replace("./" + case_dir, case_dir)
+    )
     env = {"MLR_OFMT": "%.8f"}
     envf = os.path.join(case_dir, "env")
     if os.path.exists(envf):

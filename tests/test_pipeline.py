@@ -208,3 +208,27 @@ def test_simhash_gate_recall_is_exhaustive(spark, dup_docs):
         ).collect()
     }
     assert blocked == brute
+
+
+def test_exact_dedup_null_keep_by_groups(spark):
+    """A duplicate group whose keep_by values are ALL null must not leak
+    every row as if it had no duplicates (join-miss vs null-min
+    ambiguity): nulls tie at the minimum and only drop against a
+    non-null competitor."""
+    rows = [
+        (None, "dup-all-null"), (None, "dup-all-null"),   # all-null group
+        (None, "dup-mixed"), (5, "dup-mixed"),            # null vs 5
+        (1, "unique-a"),
+        (None, "unique-b"),                               # singleton, null key
+    ]
+    df = spark.createDataFrame(rows, "keep_by int, text string")
+    out = dedup.exact_dedup(df, "text", keep_by="keep_by").collect()
+    by_text = {}
+    for r in out:
+        by_text.setdefault(r["text"], []).append(r["keep_by"])
+    # all-null group: both rows tie at null (documented semantics)
+    assert by_text["dup-all-null"] == [None, None]
+    # mixed group: min() ignores nulls -> the non-null minimum wins
+    assert by_text["dup-mixed"] == [5]
+    # singletons pass untouched regardless of null keys
+    assert by_text["unique-a"] == [1] and by_text["unique-b"] == [None]

@@ -37,6 +37,20 @@ class TestHLL:
         h.update_hashes(_hashes(500))
         assert HyperLogLog.deserialize(h.serialize()).estimate() == h.estimate()
 
+    def test_serde_preserves_sparse_max(self):
+        # a non-default promotion threshold must survive serde, or the
+        # two sides of a merge promote at different points and the
+        # bit-identical-state property breaks
+        h = HyperLogLog(p=10, sparse_max=7)
+        h.update_hashes(_hashes(5))
+        r = HyperLogLog.deserialize(h.serialize())
+        assert r.sparse_max == 7 and r.is_sparse
+        # one more batch crosses the custom threshold on BOTH sides
+        h.update_hashes(_hashes(5, offset=5))
+        r.update_hashes(_hashes(5, offset=5))
+        assert not r.is_sparse and not h.is_sparse
+        assert r.serialize() == h.serialize()
+
     def test_duplicates_dont_inflate(self):
         h = HyperLogLog(p=12)
         for _ in range(5):
