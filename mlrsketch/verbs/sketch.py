@@ -565,3 +565,63 @@ def ewma_pandas(
 
     grouped = df.groupBy(*by) if by else df.groupBy()
     return grouped.applyInPandas(per_group, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap-ci as a sketch (SURVEY.md §2.5 `bootstrap-ci`, the scale path)
+# ---------------------------------------------------------------------------
+
+
+def bootstrap_ci_sketch(
+    df: DataFrame,
+    value: str,
+    key: str,
+    by: Sequence[str] = (),
+    n_boot: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+    seed: int = 42,
+    salted: bool = False,
+) -> DataFrame:
+    """`mlr bootstrap-ci` riding the two-level partial/final sketch
+    plan: the mergeable state is n_boot (sum c*v, sum c) Poisson-
+    bootstrap accumulators (sketches/bootci.py) — constant KB per
+    group, no per-group materialization, resample multiplicities
+    deterministic in (key row hash, replicate, seed) under ANY
+    partitioning. Output: by..., {value}_mean, {value}_ci_lo,
+    {value}_ci_hi.
+
+    This is the 10^12-row shape for CI estimation; exact.bootstrap_ci
+    (applyInPandas index resampling) and exact.bootstrap_ci_hash (the
+    engine-portable oracle variant) are the test-scale references it is
+    validated against (tests/test_sketch_verbs_spark.py)."""
+    from mlrsketch.sketches.bootci import BootstrapCI
+
+    def prepare(d: DataFrame, of: str) -> DataFrame:
+        return d.withColumn(
+            "__h", F.xxhash64(F.coalesce(F.col(key).cast("string"), F.lit("")))
+        ).withColumn("__v", F.col(of).cast("double"))
+
+    spec = SketchSpec(
+        make=lambda: BootstrapCI(n_boot=n_boot, lo=lo, hi=hi, seed=seed),
+        update=lambda sk, pdf: sk.update(
+            pdf["__h"].to_numpy(dtype=np.int64),
+            pdf["__v"].to_numpy(dtype=np.float64),
+        ),
+        finalize=lambda sk: pd.DataFrame(
+            [dict(zip((f"{value}_mean", f"{value}_ci_lo", f"{value}_ci_hi"),
+                      sk.result()))]
+        ),
+        internal_cols=("__h", "__v"),
+        prepare=prepare,
+        deserialize=BootstrapCI.deserialize,
+    )
+    schema = StructType(
+        list(_by_fields(df, by))
+        + [
+            StructField(f"{value}_mean", DoubleType()),
+            StructField(f"{value}_ci_lo", DoubleType()),
+            StructField(f"{value}_ci_hi", DoubleType()),
+        ]
+    )
+    return sketch_aggregate(df, value, spec, by=by, out_schema=schema, salted=salted)

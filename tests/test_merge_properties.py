@@ -240,3 +240,37 @@ def test_topk_untrimmed_counts_exact_and_flag_survives_serde():
     assert TopKSketch.deserialize(small.serialize()).trimmed is True
     merged = TopKSketch.deserialize(sk.serialize()).merge(small)
     assert merged.trimmed
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 10_000), k=st.integers(2, 8))
+def test_bootci_partition_invariance(seed, k):
+    """Poisson-bootstrap CI state: resample COUNTS are exactly
+    partition-invariant (hash-derived per key); value sums agree to
+    float summation order; serde round-trips the result."""
+    from mlrsketch.sketches.bootci import BootstrapCI
+
+    rng = np.random.default_rng(seed)
+    keys = np.arange(4_000, dtype=np.uint64)
+    vals = rng.normal(50.0, 10.0, size=keys.size)
+    whole = BootstrapCI(n_boot=40)
+    whole.update(keys, vals)
+    order = rng.permutation(keys.size)
+    assignment = rng.integers(0, k, keys.size)
+    parts = []
+    for i in range(k):
+        idx = order[assignment[order] == i]
+        p = BootstrapCI(n_boot=40)
+        p.update(keys[idx], vals[idx])
+        parts.append(p)
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert np.array_equal(merged.sum_c, whole.sum_c)  # counts: exact
+    assert np.allclose(merged.sum_cv, whole.sum_cv, rtol=1e-12)
+    assert merged.tot_n == whole.tot_n
+    m1, m2 = merged.result(), whole.result()
+    assert np.allclose(m1, m2, rtol=1e-12)
+    rt = BootstrapCI.deserialize(merged.serialize())
+    assert np.array_equal(rt.sum_c, merged.sum_c)
+    assert np.allclose(rt.result(), m1, rtol=0)

@@ -145,3 +145,31 @@ def test_theta_set_ops_against_exact(spark, pages_df):
             assert est == 0.0
         else:
             assert abs(est - true) / true <= 3 * bound + 1e-9, (est, true, bound)
+
+
+def test_bootstrap_ci_sketch_brackets_and_salting(spark, pages_df):
+    """bootstrap_ci_sketch (the partial/final-plan CI): per-lang CI must
+    bracket the exact mean, match the exact mean exactly (it is a plain
+    aggregate), agree between salted and unsalted plans (deterministic
+    resamples), and be consistent with a classical-theory interval."""
+    d = pages_df.withColumn("tl", F.length("text").cast("double"))
+    out = {r["lang"]: r for r in sv.bootstrap_ci_sketch(
+        d, "tl", key="url", by=["lang"], n_boot=60).collect()}
+    exact = {r["lang"]: r for r in d.groupBy("lang").agg(
+        F.avg("tl").alias("mean"), F.stddev("tl").alias("sd"),
+        F.count("tl").alias("n")).collect()}
+    assert set(out) == set(exact)
+    for lang, r in out.items():
+        e = exact[lang]
+        assert abs(r["tl_mean"] - e["mean"]) < 1e-9
+        assert r["tl_ci_lo"] <= r["tl_mean"] <= r["tl_ci_hi"]
+        # 95% bootstrap CI width ~ 2*1.96*se; allow generous slack
+        se = e["sd"] / np.sqrt(e["n"])
+        width = r["tl_ci_hi"] - r["tl_ci_lo"]
+        assert 1.5 * se < width < 8 * se, (lang, width, se)
+    salted = {r["lang"]: r for r in sv.bootstrap_ci_sketch(
+        d, "tl", key="url", by=["lang"], n_boot=60, salted=True).collect()}
+    for lang, r in out.items():
+        s = salted[lang]
+        for c in ("tl_mean", "tl_ci_lo", "tl_ci_hi"):
+            assert abs(r[c] - s[c]) < 1e-9, (lang, c)

@@ -209,3 +209,120 @@ def test_stream_sketch_profile_matches_batch(spark, tmp_path_factory):
         for q in ("len_p50", "len_p90", "len_p99"):
             assert s[q] == b[q], (lang, q, s[q], b[q])
         assert s["top_tokens"].split(",") == b["top_tokens"]
+
+
+def test_stream_stats1_watermark_drops_late(spark, tmp_path_factory):
+    """Append mode + watermark: once a window has been FINALIZED (its
+    state evicted after the watermark passed its end), a late row for
+    that window is guaranteed-dropped — the emitted result neither
+    changes nor re-emits. (Before eviction, dropping is best-effort:
+    Spark may still fold a late row into live state, so the test
+    advances the watermark with a separate micro-batch FIRST and
+    delivers the late row only after the eviction batch.)
+
+    Three files processed as separate micro-batches (mtime order,
+    maxFilesPerTrigger=1): A fills window 1 and advances event time to
+    10:00 (watermark 09:00 after A); B's filler row lets the eviction
+    of window 1 happen at the end of its batch; C replays a late
+    window-1 row, which must hit evicted state and vanish."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("late_src"))
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        [(r[0], "e", float(r[1])) for r in rows], "ts string, event_type string, value double"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    a = mk([("2026-01-01 00:10:00", 1), ("2026-01-01 00:20:00", 2),
+            ("2026-01-01 10:00:00", 100)])
+    b = mk([("2026-01-01 10:05:00", 150)])  # watermark 09:00 > 01:00: evict w1
+    c = mk([("2026-01-01 00:30:00", 50),    # late for the EVICTED window 1
+            ("2026-01-01 10:30:00", 200)])  # on time, window still open
+    now = time.time()
+    for name, df_, age in (("a", a, 300), ("b", b, 200), ("c", c, 100)):
+        df_.coalesce(1).write.mode("overwrite").parquet(f"{path}/{name}")
+        for root, _, files in os.walk(f"{path}/{name}"):
+            for fn in files:
+                os.utime(os.path.join(root, fn), (now - age, now - age))
+    schema = a.schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path + "/*")
+    )
+    out = st.stream_stats1(
+        sdf, ["count", "sum"], ["value"], time_col="ts",
+        window="1 hour", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_late")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    collected = spark.sql("select * from t_late").collect()
+    rows = {
+        str(r["window_start"]): (r["value_count"], r["value_sum"])
+        for r in collected
+    }
+    # window 1 finalized with ONLY the on-time rows; the late 00:30 row
+    # (value 50) hit evicted state and was dropped — and the window was
+    # emitted exactly once
+    assert rows["2026-01-01 00:00:00"] == (2, 3.0), rows
+    assert len(collected) == len(rows), collected
+    # the 10:00 window never closed (watermark never passed 11:00), so
+    # append mode has not emitted it
+    assert "2026-01-01 10:00:00" not in rows
+
+
+def test_stream_sketch_profile_out_of_order_batches(spark, tmp_path_factory):
+    """The fused profile's late-data contract is TOLERANCE, not
+    dropping: every constituent merge is commutative, so delivering
+    micro-batches out of event-time order must land on exactly the
+    same profile as one in-order batch pass."""
+    import time
+
+    path = str(tmp_path_factory.mktemp("ooo_src"))
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        F.col("doc_id").cast("string").alias("url"), "text", "lang",
+        F.col("doc_id").alias("k"),
+    )
+    # "newest" half first, "oldest" half second — reversed delivery
+    docs.filter("k % 2 = 0").coalesce(1).write.mode("overwrite").parquet(path + "/new")
+    time.sleep(1.1)
+    docs.filter("k % 2 = 1").coalesce(1).write.mode("overwrite").parquet(path + "/old")
+    os.utime(path + "/new", (time.time() - 100, time.time() - 100))
+    schema = docs.schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path + "/*")
+    )
+    out = st.stream_sketch_profile(
+        sdf, url_col="url", text_col="text", by=["lang"], p=12, kll_k=1024
+    )
+    q = (
+        out.writeStream.format("memory").queryName("t_ooo")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    # last update per lang = the final running profile
+    final = {}
+    for r in spark.sql("select * from t_ooo").collect():
+        prev = final.get(r["lang"])
+        if prev is None or r["n_batches"] >= prev["n_batches"]:
+            final[r["lang"]] = r
+    from mlrsketch.verbs import sketch as sv
+
+    batch = {
+        r["lang"]: r
+        for r in sv.sketch_profile(
+            docs, url_col="url", text_col="text", by=["lang"], p=12, kll_k=1024
+        ).collect()
+    }
+    assert set(final) == set(batch)
+    for lang, fr in final.items():
+        br = batch[lang]
+        assert fr["n_batches"] >= 2, lang  # genuinely multi-batch
+        assert fr["url_distinct_est"] == br["url_distinct_est"], lang
+        assert (fr["len_p50"], fr["len_p90"], fr["len_p99"]) == (
+            br["len_p50"], br["len_p90"], br["len_p99"]), lang
+        assert fr["top_tokens"].split(",") == br["top_tokens"], lang
