@@ -13,6 +13,7 @@ no per-row Python anywhere.
 """
 
 from mlrsketch.sketches.bloom import BloomFilter
+from mlrsketch.sketches.bootci import BootstrapCI
 from mlrsketch.sketches.cms import CountMinSketch, TopKSketch
 from mlrsketch.sketches.hll import HyperLogLog
 from mlrsketch.sketches.kll import KLL
@@ -25,6 +26,7 @@ from mlrsketch.sketches.theta import (
 )
 
 __all__ = [
+    "BootstrapCI",
     "HyperLogLog",
     "CountMinSketch",
     "TopKSketch",
