@@ -199,6 +199,7 @@ def main():
     )
     n_pass, fails = 0, []
     skips = Counter()
+    skip_names = []
     for c in cases:
         c = c.rstrip("/")
         try:
@@ -211,11 +212,16 @@ def main():
             fails.append((c.replace(REF + "/", ""), detail))
         else:
             skips[detail.split(":")[0]] += 1
+            if detail.split(":")[0] not in ("should-fail", "stderr case"):
+                skip_names.append((c.replace(REF + "/", ""), detail))
     print(f"\nbyte-exact pass={n_pass} fail={len(fails)} "
           f"skip={sum(skips.values())} total={len(cases)}")
     print("\n-- skip reasons --")
     for r, n in skips.most_common(12):
         print(f"  {n:5d}  {r}")
+    print("\n-- non-should-fail skips (enumerated) --")
+    for c, d in skip_names[:40]:
+        print(f"  {c}: {d}")
     fam = Counter(c.split("/")[0] for c, _ in fails)
     print("\n-- fail families --")
     for r, n in fam.most_common(30):
