@@ -3071,11 +3071,24 @@ def v_join(spark, right, argv, to_df, ifmt):
         "--lk" in fl or "--left-keep-field-names" in fl
     ) else None
 
+    # the left file honors the global comment flags too (the reference
+    # builds its -f reader from the main reader options, join.go)
     lrecs = _read_records(
         fl["-f"],
         icsv=(lfmt if lfmt in ("xtab", "pprint", "tsv", "nidx") else lfmt in ("csv", "csvlite")),
         jsonin=(lfmt == "json"),
+        comment_skip=getattr(_TLS, "comment_skip", None),
+        comment_pass=getattr(_TLS, "comment_pass", None),
+        comment_sink=getattr(_TLS, "comment_sink_join", None),
     )
+    # left-file comment lines are STRIPPED, not printed: the reference
+    # copies main reader options into the -f reader (join.go:144), but
+    # the pass-comments OutputString entries it emits are swallowed by
+    # the hash-join ingest instead of reaching stdout — only the MAIN
+    # stream's comments print (golden verb-join/0221).
+    jsink = getattr(_TLS, "comment_sink_join", None)
+    if jsink:
+        jsink.clear()
     left = to_df(spark, lrecs, infer=(lfmt not in ("csv", "csvlite", "tsv"))) if lrecs else None
 
     emit_paired = not fl.get("--np")
@@ -5338,7 +5351,9 @@ def v_reshape(df, argv):
             F.concat(F.array(*[F.lit(c) for c in ids]), F.col("__pk")),
         ).drop("__pk")
     if "-r" in fl:
-        pats = _regexes(_csl(fl["-r"]))
+        # reshape -r is NOT comma-split: each -r is one whole regex
+        # ("regexes can contain commas within them", reshape.go:45)
+        pats = _regexes([fl["-r"]])
         measures = [c for c in df.columns if not c.startswith("__") and any(p.search(c) for p in pats)]
     else:
         measures = [m for m in _csl(fl["-i"]) if m in df.columns]
@@ -5886,8 +5901,32 @@ def run_case(spark, case_dir: str, to_df, allow_should_fail: bool = False):
         )
         if not ({"put", "filter", "check"} & cmd_tokens):
             raise Unsupported("expected-error case")
-    cmd = cmd.replace("${CASEDIR}", case_dir).replace("./" + case_dir, case_dir)
-    if shlex.split(cmd)[:1] != ["mlr"]:
+    # ${CASEDIR} resolves to a scratch MIRROR of the case dir when the
+    # case may WRITE into it (postcmp, or a tee/split chain aiming at
+    # ${CASEDIR}) — the reference tree is read-only and must never be
+    # written. Read-only ${CASEDIR} uses keep the real dir: goldens
+    # like dsl-stat/0001 embed the input PATH in expout, so gratuitous
+    # mirroring would corrupt those comparisons.
+    import re as _re2
+
+    workdir = case_dir
+    if os.path.exists(os.path.join(case_dir, "postcmp")) or (
+        "${CASEDIR}" in cmd and _re2.search(r"\b(tee|split)\b", cmd)
+    ):
+        import shutil
+        import tempfile
+
+        workdir = tempfile.mkdtemp(prefix="mlrcase_")
+        for fn in os.listdir(case_dir):
+            src = os.path.join(case_dir, fn)
+            if os.path.isfile(src):
+                shutil.copy(src, os.path.join(workdir, fn))
+    cmd = (
+        cmd.replace("./${CASEDIR}", workdir)
+        .replace("${CASEDIR}", workdir)
+        .replace("./" + case_dir, case_dir)
+    )
+    if shlex.split(cmd)[:1] not in (["mlr"], ["${MLR}"]):
         raise Unsupported("not mlr")
     # the reference regtest harness runs EVERY case with MLR_OFMT=%.8f
     # (regtester.go:161); an explicit --ofmt overrides it
@@ -6016,7 +6055,9 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
     # primary so the Catalyst compiler stays corpus-tested
     _TLS.prefer_interp = prefer_interp
     argv = shlex.split(cmd) if isinstance(cmd, str) else list(cmd)
-    if argv and argv[0] == "mlr":
+    # ${MLR} is the regtest harness's path-to-the-binary placeholder
+    # (regtester.go) — as the leading token it just means "mlr"
+    if argv and argv[0] in ("mlr", "${MLR}"):
         argv = argv[1:]
     if not argv:
         raise Unsupported("empty command")
@@ -6095,6 +6136,10 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
             if a == "--no-jvstack":
                 _TLS.render_opts["no_jvstack"] = True
             i += 1  # JSON output layout only; json.loads doesn't care
+        elif a == "--jvquoteall":
+            # quote ALL scalar values in json output (json_writer.go)
+            _TLS.render_opts["json_quote_all"] = True
+            i += 1
         elif a == "--jflatsep":
             flatsep = argv[i + 1]
             i += 2
@@ -6450,6 +6495,11 @@ def _exec_argv(spark, cmd: str, to_df, env_overrides: dict,
         spark_df = to_df(spark, recs, infer=True)
         _TLS.orig_records = recs
         _TLS.df_pristine = True
+    # stash the comment flags for side-file readers (join -f honors the
+    # global --skip/--pass-comments like the reference's reader options)
+    _TLS.comment_skip = comment_skip
+    _TLS.comment_pass = comment_pass
+    _TLS.comment_sink_join = []
     if files:
         recs: list[dict] = []
         all_comments: list[tuple[int, str]] = []
@@ -6853,6 +6903,10 @@ def _compare_result(res: ExecResult, case_dir: str, expect_err_text):
 def _infer(v: str):
     if v is None or v == "":
         return None
+    # Miller's scan (Go strconv) rejects surrounding whitespace —
+    # "11.6 " is a STRING; Python's int()/float() would trim it
+    if isinstance(v, str) and (v[:1].isspace() or v[-1:].isspace()):
+        return v
     # Miller 6 keeps leading-zero integers as strings (zip codes;
     # --infer-octal is off by default) — int("0377") then scans octal
     if isinstance(v, str) and len(v) > 1 and (

@@ -209,8 +209,10 @@ def w_tsv(records, ofs=None, headerless=False, lite=False, **_):
         # one header; later records must extend its prefix (short rows
         # pad with voids, long rows print positionally) —
         # io-tsv-auto-unsparsify/{over,under}
+        cm = _cmap(_.get("comments"))
         first_keys: list[str] | None = None
-        for rec in records:
+        for i, rec in enumerate(records):
+            out.extend(c + "\n" for c in cm.get(i, ()))
             cells = _cells(rec)
             if not cells:
                 continue
@@ -225,6 +227,8 @@ def w_tsv(records, ofs=None, headerless=False, lite=False, **_):
             if len(vals) < len(first_keys):
                 vals += [""] * (len(first_keys) - len(vals))
             out.append(sep.join(esc(v) for v in vals) + "\n")
+        for idx in sorted(k for k in cm if k >= len(records)):
+            out.extend(c + "\n" for c in cm[idx])
         return "".join(out)
     first = True
     for keys, block in _schema_blocks(records):
@@ -324,10 +328,25 @@ def _json_key(k: str) -> str:
     return _json.dumps(str(k), ensure_ascii=False)
 
 
+def _quote_leaves(v):
+    """--jvquoteall: every scalar leaf becomes its string spelling
+    (maps/lists keep structure; the typed encoder then quotes them)."""
+    if isinstance(v, dict):
+        return {k: _quote_leaves(x) for k, x in v.items()}
+    if isinstance(v, list):
+        return [_quote_leaves(x) for x in v]
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    s = _fmt(v)
+    return "" if s is None else str(s)
+
+
 def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
            comments=None,
-           json_typed=False, **_):
+           json_typed=False, json_quote_all=False, **_):
     pre = ""
+    if json_quote_all:
+        json_typed = True  # quoted leaves are REAL strings: no re-scan
     if comments:
         # pass-comments with a buffered writer: the reader's comment
         # copies reach stdout before the end-of-stream list renders
@@ -337,6 +356,8 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
         bodies = []
         for rec in records:
             nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+            if json_quote_all:
+                nested = _quote_leaves(nested)
             if not nested:
                 bodies.append("{}")  # zero-key record prints {} (sparsify)
                 continue
@@ -350,6 +371,8 @@ def w_json(records, flatsep=".", auto_unflatten=True, no_jvstack=False,
     bodies = []
     for rec in records:
         nested = _maybe_unflatten(rec, flatsep, auto_unflatten)
+        if json_quote_all:
+            nested = _quote_leaves(nested)
         if not nested:
             bodies.append("{}")  # zero-key record prints {} (sparsify)
             continue

@@ -67,16 +67,18 @@ def try_case(spark, case_dir: str):
         return "skip", "should-fail"
     with open(os.path.join(case_dir, "cmd")) as f:
         cmd = f.read().strip()
-    # precopy (regtester.go PreCopyName) / postcmp / any ${CASEDIR} use:
-    # stage a scratch mirror of the case dir — the reference tree is
-    # READ-ONLY and the sweep must never create files under it. Cases
-    # like verb-split/verb-tee have postcmp without precopy and write
-    # their outputs to ${CASEDIR}; those writes must land in the mirror.
+    # precopy (regtester.go PreCopyName) / postcmp / a write-capable
+    # ${CASEDIR} chain (tee/split): stage a scratch mirror of the case
+    # dir — the reference tree is READ-ONLY and the sweep must never
+    # create files under it. Read-only ${CASEDIR} uses keep the real
+    # dir (goldens like dsl-stat/0001 embed the input path in expout).
+    import re as _re
+
     workdir, tmpd = case_dir, None
     precopy = os.path.join(case_dir, "precopy")
     postcmp_f = os.path.join(case_dir, "postcmp")
     if (os.path.exists(precopy) or os.path.exists(postcmp_f)
-            or "${CASEDIR}" in cmd):
+            or ("${CASEDIR}" in cmd and _re.search(r"\b(tee|split)\b", cmd))):
         tmpd = tempfile.mkdtemp(prefix="mlrcase_")
         workdir = tmpd
         # mirror the case's own files (.expect targets etc.) so postcmp
