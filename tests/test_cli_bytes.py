@@ -34,7 +34,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 # measured by scripts/cli_bytes_sweep.py; raise as coverage widens
-MIN_PASS_IO = 502  # round 5: measured 502/518 under the always-mirror staging
+MIN_PASS_IO = 503  # round 5: measured 503/518 (incl. --jvquoteall, ${MLR} token)
 
 
 def _sweep(spark, pats):
@@ -75,11 +75,13 @@ def test_cli_bytes_io(spark):
 # replay), reshape w2l/l2w emission, unlashed count-distinct order.
 # Zero byte MISMATCHES is the invariant; skips are should-fail/stderr
 # cases and a handful of unsupported io flag combos.
-# round 5: 910 re-measured HONESTLY — split/tee postcmp cases now write
-# real files into a scratch mirror (never the reference tree) and their
-# 12 byte cases pass; remaining 23 skips = 17 should-fail + 3 stderr +
-# 3 unsupported.
-MIN_PASS_VERB = 910
+# round 5: measured 912 HONESTLY — split/tee postcmp cases write real
+# files into a scratch mirror (never the reference tree), reshape -r
+# comma-regex and commented-TSV join drained. The verb+io channel's
+# ONLY remaining non-(should-fail|stderr) skip is verb-sparkline/0003
+# (`mlr sparkline --help`): help text is verbatim reference
+# documentation, a PERMANENT justified skip.
+MIN_PASS_VERB = 912
 
 
 def test_cli_bytes_verb(spark):
