@@ -131,6 +131,23 @@ def q_stats1_percentiles_interp(spark, sf):
     )
 
 
+def q_percentiles_distributed(spark, sf):
+    """Round-5 exact-quantile SCALE path: percentiles_rank — one range
+    exchange, per-(partition, group) rank offsets off the physical
+    layout (no Window, no per-group collect_list), broadcast semi-join
+    down to the <= 2 order statistics per percentile. Same interpolation
+    semantics as stats1(interpolated=True), so the quantile_cont oracle
+    carries over."""
+    li = _t(spark, sf, "lineitem")
+    r = ev.percentiles_rank(li, "l_extendedprice", [50, 90, 99], by=["l_returnflag"])
+    return r.select(
+        "l_returnflag",
+        F.round("l_extendedprice_p50", 4).alias("p50"),
+        F.round("l_extendedprice_p90", 4).alias("p90"),
+        F.round("l_extendedprice_p99", 4).alias("p99"),
+    )
+
+
 def q_stats1_percentiles_miller(spark, sf):
     # Miller's default NON-interpolated percentile: element at
     # int(p/100*n) clamped (reference pkg/bifs/percentiles.go:193-208)
@@ -1224,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "bootstrap": q_bootstrap,
         "bootstrap_ci": q_bootstrap_ci,
+        "percentiles_distributed": q_percentiles_distributed,
         # -- green in round 4 (re-confirm) ----------------------------------
         "image_features": q_image_features,
         "frame_sample": q_frame_sample,
@@ -1630,6 +1648,13 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY 1, 2
         """,
         "stats1_percentiles_interp": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY 1
+        """,
+        "percentiles_distributed": """
             SELECT l_returnflag,
                    round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
                    round(quantile_cont(l_extendedprice, 0.90), 4) AS p90,

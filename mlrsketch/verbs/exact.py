@@ -916,6 +916,119 @@ def global_row_number(
     return numbered if keep_pid else numbered.drop("__pid")
 
 
+def percentiles_rank(
+    df: DataFrame,
+    value: str,
+    ps: Sequence[float],
+    by: Sequence[str] = (),
+    interpolated: bool = True,
+) -> DataFrame:
+    """EXACT per-group percentiles WITHOUT per-group buffers — the
+    distributed alternative to the sorted-collect_list oracle path
+    (stats1 percentile family) and the exact cousin of the KLL/t-digest
+    estimates.
+
+    Plan: ONE range exchange on (by..., value) clusters and sorts the
+    frame; per-partition group counts (a tiny collect — groups are
+    CONTIGUOUS within a sorted partition) give every (partition, group)
+    both its in-partition start index and its global rank offset, so a
+    row's global in-group rank is a pure projection off
+    monotonically_increasing_id — no Window, no second exchange. Only
+    the <= 2 order statistics each requested percentile needs survive
+    the rank filter (a broadcast semi-join against a few rows), and a
+    conditional aggregation interpolates them. Memory class: O(one
+    partition) rows executor-side, O(#partitions x #groups) driver
+    state — this is the 100 TB shape when the quantile must be EXACT
+    rather than KLL-approximate.
+
+    Semantics: interpolated=True == Miller --interpolate == R type 7 ==
+    SQL percentile_cont (position p*(n-1), linear); False == Miller's
+    default element pick sorted[clamp(int(p/100*n), 0, n-1)]
+    (pkg/bifs/percentiles.go:193-208). Output: by..., {value}_p{p}.
+    """
+    by = _cols(by)
+    ps = list(ps)
+    d = df.select(*by, F.col(value).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    ordered = d.repartitionByRange(
+        *[F.col(c) for c in by], F.col("__v")
+    ).sortWithinPartitions(*[F.col(c) for c in by], F.col("__v"))
+    ordered = ordered.localCheckpoint(eager=True)  # pin range placement
+    tagged = ordered.withColumn("__mid", F.monotonically_increasing_id())
+    pid_of = F.shiftright("__mid", 33).cast("int")
+    gkey = F.concat_ws("\x01", *[F.col(c).cast("string") for c in by]) if by else F.lit("")
+    # per-(partition, group) row counts; groups are contiguous in the
+    # range-sorted layout, so these yield both start indexes and offsets
+    pg = (
+        tagged.groupBy(pid_of.alias("__pid"), gkey.alias("__g"))
+        .agg(F.count(F.lit(1)).alias("__c"), F.min("__mid").alias("__m0"))
+        .collect()
+    )
+    per_group: dict[str, list] = {}
+    for r in pg:
+        per_group.setdefault(r["__g"], []).append(r)
+    # adj(pid, g): global in-group rank = partition-local row index
+    # + adj, where adj = (rows of g in earlier partitions) - (g's start
+    # index within this partition)
+    adj_entries: list[tuple[str, int]] = []
+    n_of: dict[str, int] = {}
+    for g, rows in per_group.items():
+        rows.sort(key=lambda r: r["__pid"])
+        run = 0
+        for r in rows:
+            start_local = r["__m0"] & ((1 << 33) - 1)
+            adj_entries.append((f"{r['__pid']}|{g}", run - start_local))
+            run += r["__c"]
+        n_of[g] = run
+    adj = F.create_map(
+        *[F.lit(x) for kv in adj_entries for x in kv]
+    ) if adj_entries else F.create_map()
+    local = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1)).cast("long")
+    ranked = tagged.withColumn(
+        "__rk", local + adj[F.concat(pid_of.cast("string"), F.lit("|"), gkey)]
+    )
+    # needed 0-based ranks per group with interpolation weights
+    need_rows = []
+    for g, n in n_of.items():
+        for p in ps:
+            if n == 0:
+                continue
+            if interpolated:
+                pos = (p / 100.0) * (n - 1)
+                lo = int(pos)
+                frac = pos - lo
+                need_rows.append((g, lo, p, 1.0 - frac))
+                if frac > 0 and lo + 1 <= n - 1:
+                    need_rows.append((g, lo + 1, p, frac))
+            else:
+                idx = min(max(int((p / 100.0) * n), 0), n - 1)
+                need_rows.append((g, idx, p, 1.0))
+    spark = df.sparkSession
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+
+    dedup_need = {(g, rk, float(p)): w for g, rk, p, w in need_rows}
+    need = spark.createDataFrame(
+        [(g, int(rk), p, float(w)) for (g, rk, p), w in dedup_need.items()],
+        StructType([
+            StructField("__g", StringType()), StructField("__rk", LongType()),
+            StructField("__p", DoubleType()), StructField("__w", DoubleType()),
+        ]),
+    )
+    hits = ranked.withColumn("__g", gkey).join(
+        F.broadcast(need), ["__g", "__rk"]
+    )
+    aggs = [
+        F.sum(F.when(F.col("__p") == p, F.col("__v") * F.col("__w"))).alias(
+            f"{value}_p{('%g' % p).replace('.', '_')}"
+        )
+        for p in ps
+    ]
+    out = hits.groupBy(*by).agg(*aggs) if by else hits.groupBy().agg(*aggs)
+    return out
+
+
 def cat_numbered(df: DataFrame, by: Sequence[str] = (), order_by: Sequence[str] = ()) -> DataFrame:
     """`mlr cat -n [-g ...]` (pkg/transformers/cat.go:23): prepend 1-up
     counter, optionally per group, in ``order_by`` order. Grouped:

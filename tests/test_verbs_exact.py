@@ -287,3 +287,30 @@ def test_bootstrap_ci_hash_brackets_mean(spark):
     # deterministic under repartition
     rows2 = ev.bootstrap_ci_hash(df.repartition(5), "v", key=["k"], by=["g"], n_boot=50).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_percentiles_rank_matches_window_free(spark):
+    """The distributed exact-percentile path (range-rank, no Window, no
+    collect_list) must match Spark's percentile() exactly on both the
+    grouped and global shapes, and its plan must contain no Window and
+    no collect_list."""
+    df = spark.range(0, 10_001).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 0.5).alias("v"),
+    )
+    out = {r["g"]: (r["v_p50"], r["v_p97_5"]) for r in
+           ev.percentiles_rank(df, "v", [50, 97.5], by=["g"]).collect()}
+    ref = {r["g"]: (r["a"], r["b"]) for r in df.groupBy("g").agg(
+        F.expr("percentile(v, 0.5)").alias("a"),
+        F.expr("percentile(v, 0.975)").alias("b")).collect()}
+    assert set(out) == set(ref)
+    for g in ref:
+        assert all(abs(x - y) < 1e-9 for x, y in zip(out[g], ref[g])), g
+    plan = ev.percentiles_rank(df, "v", [50], by=["g"])._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "collect_list" not in plan
+    # Miller's non-interpolated element pick
+    got = ev.percentiles_rank(df, "v", [30], by=["g"], interpolated=False).collect()
+    for r in got:
+        n = 10_001 // 3 + (1 if int(r["g"]) < 10_001 % 3 else 0)
+        vals = sorted(float(x["v"]) for x in df.filter(F.col("g") == r["g"]).collect())
+        assert r["v_p30"] == vals[min(max(int(0.3 * n), 0), n - 1)]
